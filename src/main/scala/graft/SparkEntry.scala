@@ -1,13 +1,208 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Changelog, RowFormat}
+import graft.analytics.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every operator has a `queries` entry; SQL-expressible ones also have
+  * a DuckDB oracle in `oracleSql` with matching column aliases.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: snapshot ⊎ changelog ⇒ current state (SURVEY §2 A8). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_apply")(spark, "/root/testdata/sf0.001")
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. CDC core ----
+    "cdc_changelog" -> ((s, d) => Changelog.fromEvents(ev(s, d))),
+    "cdc_filter_txs" -> ((s, d) => Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))),
+    "cdc_attach_file" -> ((s, d) => Changelog.attachFile(Changelog.fromEvents(ev(s, d)))),
+    "cdc_filter_tables" -> ((s, d) =>
+      Changelog.filterTables(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))), Set("customer"))),
+    "cdc_entity_state" -> ((s, d) =>
+      Changelog.entityState(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
+    "cdc_next_position" -> ((s, d) => Changelog.nextPosition(Changelog.fromEvents(ev(s, d)))),
+    "snapshot_load" -> ((s, d) =>
+      Changelog.snapshotLoad(Tables.customer(s, d), "customer", "c_custkey")),
+    "cdc_apply" -> ((s, d) =>
+      Changelog.applyChangelog(
+        Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
+        Changelog.fromEvents(ev(s, d)),
+        "customer")),
+    "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
+    "cdc_dlq" -> ((s, d) => RowFormat.deadLetter(ev(s, d))),
+    // ---- C. Analytics ----
+    "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
+    "q3_shipping_priority" -> (Analytics.q3ShippingPriority _),
+    "q5_supplier_volume" -> (Analytics.q5SupplierVolume _),
+    "top_n_per_group" -> (Analytics.topNPerGroup _),
+    "sessionize" -> (Analytics.sessionize _),
+    "event_windowed_agg" -> (Analytics.eventWindowedAgg _),
+    "user_funnel" -> (Analytics.userFunnel _)
+  )
+
+  /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
+    * Must stay in lockstep with [[graft.cdc.Changelog.fromEvents]]. */
+  private val logCte =
+    """WITH log AS (
+      |  SELECT event_id AS pos,
+      |         CASE WHEN event_type = 'click' THEN 'delete' ELSE 'upsert' END AS op,
+      |         CASE WHEN user_id % 2 = 0 THEN 'customer' ELSE 'orders' END AS tbl,
+      |         user_id AS id,
+      |         event_id // 5 AS tx,
+      |         value AS val,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         event_type AS etype
+      |  FROM events),
+      |committed AS (
+      |  SELECT * FROM log
+      |  WHERE tx NOT IN (SELECT DISTINCT tx FROM log WHERE etype = 'error'))
+      |""".stripMargin
+
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_changelog" -> (logCte +
+      "SELECT pos, op, tbl, id, tx, val, us, etype FROM log"),
+    "cdc_filter_txs" -> (logCte +
+      "SELECT pos, op, tbl, id, tx, val, us, etype FROM committed"),
+    "cdc_attach_file" -> (logCte +
+      """, f AS (
+        |  SELECT pos, op, tbl, id, tx, val, us, etype,
+        |         last_value(CASE WHEN etype = 'signup'
+        |                         THEN 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0') END IGNORE NULLS)
+        |           OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fraw
+        |  FROM log)
+        |SELECT pos, op, tbl, id, tx, val, us, etype,
+        |       coalesce(fraw, 'bin.000000') AS file
+        |FROM f WHERE etype <> 'signup'""".stripMargin),
+    "cdc_filter_tables" -> (logCte +
+      "SELECT pos, op, tbl, id, tx, val, us, etype FROM committed WHERE tbl = 'customer'"),
+    "cdc_entity_state" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, pos, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed)
+        |SELECT tbl, id, val, pos AS last_pos FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+    "cdc_next_position" -> (logCte +
+      """SELECT coalesce((SELECT 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0')
+        |                 FROM log WHERE etype = 'signup'
+        |                 ORDER BY pos DESC LIMIT 1), 'bin.000000') AS file,
+        |       (SELECT max(pos) + 1 FROM log) AS next_pos""".stripMargin),
+    "snapshot_load" ->
+      """SELECT 'upsert' AS op, 'customer' AS tbl, c_custkey AS id,
+        |       c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+    "cdc_apply" -> (logCte +
+      """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
+        |r AS (SELECT id, op, val,
+        |             row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |      FROM clog),
+        |last AS (SELECT id AS l_id, op, val AS l_val FROM r WHERE rn = 1),
+        |snap AS (SELECT c_custkey AS s_id, c_acctbal AS s_val FROM customer)
+        |SELECT coalesce(l_id, s_id) AS id,
+        |       CASE WHEN l_id IS NOT NULL THEN l_val ELSE s_val END AS val,
+        |       CASE WHEN l_id IS NOT NULL THEN 'log' ELSE 'snapshot' END AS src
+        |FROM snap FULL OUTER JOIN last ON s_id = l_id
+        |WHERE coalesce(op, 'upsert') = 'upsert'""".stripMargin),
+    "row_format_normalize" ->
+      """SELECT event_id AS pos,
+        |       CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
+        |       CASE WHEN value > 50 THEN 1 ELSE 0 END AS flag,
+        |       CASE WHEN CAST(regexp_extract(props, '(\d+)', 1) AS INT) = 0 THEN NULL
+        |            ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END AS day,
+        |       upper(event_type) AS etype
+        |FROM events""".stripMargin,
+    "cdc_dlq" ->
+      """SELECT event_id AS pos,
+        |       CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
+        |       'k_out_of_range' AS reason
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       %s AS sum_disc,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin.format(revenueSql),
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%%Y-%%m-%%d') AS odate,
+        |       o_orderpriority,
+        |       %s AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin.format(revenueSql),
+    "q5_supplier_volume" ->
+      """SELECT n_name, %s AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin.format(revenueSql),
+    "top_n_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS pos, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, pos, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, pos)),
+        |s AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, pos
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, sid, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "event_windowed_agg" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket,
+        |       event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "user_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (event_type = 'signup') AS n_signup,
+        |         count(*) FILTER (event_type = 'view') AS n_view,
+        |         count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |         min(us) FILTER (event_type = 'view') AS first_view,
+        |         min(us) FILTER (event_type = 'purchase') AS first_purchase
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_signup, n_view, n_purchase, first_view, first_purchase,
+        |       CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |                 AND first_view < first_purchase THEN 1 ELSE 0 END AS converted
+        |FROM a""".stripMargin
+  )
 }

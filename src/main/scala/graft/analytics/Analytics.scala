@@ -1,0 +1,134 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Analytics / live-view queries — the reference's stated use cases
+  * ("building live views of data for caching or analytics",
+  * reference `README.md`) expressed as Catalyst plans sized for 100 TB.
+  *
+  * Float discipline: money aggregates are summed as DECIMAL (exact,
+  * order-independent — a parallel double sum is not reproducible across
+  * partition schedules) and only cast to double at the very end.
+  * Timestamps are compared/bucketed as epoch microseconds so ns→µs
+  * parquet truncation can never skew a result.
+  */
+object Analytics {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Session-timezone (UTC) parsed literal — independent of JVM tz. */
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** Discounted revenue, summed exactly. */
+  private def revenue = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec6))
+
+  /** TPC-H Q1-style pricing summary: one full scan, partial aggregation
+    * map-side, 6 columns read out of 11 (check `ReadSchema`). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec2)).cast("double").as("sum_base"),
+        revenue.cast("double").as("sum_disc"),
+        (sum(col("l_quantity").cast(dec2)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n")
+      )
+
+  /** TPC-H Q3-style: two fact joins + one broadcastable dim filter,
+    * deterministic top-10 (total order via revenue desc, orderkey). */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style 6-way star join; all dims broadcast, the single
+    * fact-fact (orders ⋈ lineitem) join shuffles once on orderkey. */
+  def q5SupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.cast("double").as("revenue"))
+  }
+
+  /** Top-3 parts by retail price per brand — window row_number with a
+    * total-order tiebreak; one shuffle by brand. */
+  def topNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Gap-based sessionization (30 min) — the canonical event-stream
+    * view. Two windows over one shuffle by user_id; all arithmetic in
+    * epoch micros (exact longs). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id").as("pos"), expr("ts div 1000").as("us"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("pos"))
+    e.withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, lit(1)).otherwise(lit(0)))
+      .withColumn("sid", sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
+  /** Tumbling hourly aggregates per event type (batch twin of the
+    * streaming windowed agg). Bucket = integer division on micros. */
+  def eventWindowedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 1000").as("us"), col("value"))
+      .withColumn("hour_bucket", expr("us div 3600000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).cast("double").as("sum_val"))
+
+  /** Per-user signup→view→purchase funnel via conditional aggregates —
+    * one shuffle by user, no joins. */
+  def userFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        min(when(col("event_type") === "view", col("us"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase")
+      )
+      .withColumn("converted",
+        when(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+          col("first_view") < col("first_purchase"), lit(1)).otherwise(lit(0)))
+}

@@ -1,0 +1,178 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Spark-native changelog (CDC) operators.
+  *
+  * The reference engine (sharetribe/dumpr) exposes a MySQL database as an
+  * ordered stream of row tuples `[op-type table id content meta]`
+  * (reference `src/dumpr/row_format.clj:1-25`) produced by a transducer
+  * chain over binlog events (`src/dumpr/stream.clj:296-304`):
+  * tx filtering, binlog-filename attach, table filtering, schema attach,
+  * and finally a fold into current entity state (the reference's own
+  * correctness oracle, `test/dumpr/test_util.clj` `into-entity-map`).
+  *
+  * Here the same semantics are re-expressed as declarative DataFrame
+  * transforms over any frame with the canonical changelog columns
+  * `(pos: long, op: string, tbl: string, id: long, tx: long, ...)`:
+  *
+  *  - every operator is a single Catalyst plan — no driver-side state;
+  *  - the only shuffle in the whole pipeline is the hash partition by
+  *    `(tbl, id)` for the entity-state fold;
+  *  - small "control" relations (rolled-back tx ids, rotate events) are
+  *    broadcast, never shuffled against the log;
+  *  - at 100 TB the log is a partitioned fact; all of these transforms
+  *    scale linearly with it.
+  *
+  * The test environment has no MySQL, so [[fromEvents]] derives a
+  * deterministic synthetic changelog from the driver-provided `events`
+  * table; the operator implementations are generic over the canonical
+  * columns.
+  */
+object Changelog {
+
+  /** Microseconds in 30 minutes — session/timeout style constants. */
+  val RotatePrefix = "bin."
+  val DefaultFile: String = RotatePrefix + "000000"
+
+  /** Deterministic synthetic changelog from the `events` table.
+    *
+    * Mirrors the reference's event parsing (`src/dumpr/events.clj`):
+    * each raw binlog event becomes `(pos, op, tbl, id, tx, val, us)`.
+    *  - `pos`: binlog offset (event_id)
+    *  - `op` : 'delete' for `click` events, else 'upsert'
+    *  - `tbl`: routing to a target table (even ids → customer)
+    *  - `tx` : 5 events per transaction (`pos div 5`)
+    *  - rotate markers: `signup` events carry a new binlog filename
+    *  - rollback markers: a tx containing an `error` event rolls back
+    */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("pos"),
+      when(col("event_type") === "click", lit("delete")).otherwise(lit("upsert")).as("op"),
+      when(col("user_id") % 2 === 0, lit("customer")).otherwise(lit("orders")).as("tbl"),
+      col("user_id").as("id"),
+      expr("event_id div 5").as("tx"),
+      col("value").as("val"),
+      expr("ts div 1000").as("us"),
+      col("event_type").as("etype")
+    )
+
+  /** Drop events belonging to rolled-back transactions.
+    *
+    * Reference: the `filter-txs` stateful transducer
+    * (`src/dumpr/stream.clj:22-54`) buffers each tx and releases it on
+    * commit / drops it on rollback. Declaratively that is an anti-join
+    * of the log against the (tiny) set of rolled-back tx ids — Spark
+    * broadcasts the set, so the log is never shuffled.
+    */
+  def filterCommitted(log: DataFrame): DataFrame = {
+    val rolledBack = log.filter(col("etype") === "error").select(col("tx")).distinct()
+    log.join(broadcast(rolledBack), Seq("tx"), "left_anti")
+  }
+
+  /** Attach the current binlog filename to every event and drop the
+    * rotate markers themselves.
+    *
+    * Reference: `add-binlog-filename` (`src/dumpr/stream.clj:56-77`)
+    * tracks the filename from rotate events serially. A serial pass
+    * does not scale; rotates are a vanishing fraction of the log, so we
+    * broadcast them and resolve "latest rotate at-or-before pos" with a
+    * broadcast range join + `max_by` — no global ordering anywhere.
+    */
+  def attachFile(log: DataFrame): DataFrame = {
+    val rotates = log
+      .filter(col("etype") === "signup")
+      .select(col("pos").as("r_pos"), rotateFile(col("id")).as("r_file"))
+    val joined = log
+      .join(broadcast(rotates), col("r_pos") <= col("pos"), "left")
+      .groupBy(log.columns.map(col): _*)
+      .agg(max_by(col("r_file"), col("r_pos")).as("file_raw"))
+    joined
+      .withColumn("file", coalesce(col("file_raw"), lit(DefaultFile)))
+      .drop("file_raw")
+      .filter(col("etype") =!= "signup")
+  }
+
+  private def rotateFile(id: Column): Column =
+    concat(lit(RotatePrefix), lpad(id.cast("string"), 6, "0"))
+
+  /** Keep only ops for the given tables.
+    * Reference: `filter-tables` / `filter-database`
+    * (`src/dumpr/stream.clj:108-123`); empty set degenerates to
+    * allow-all exactly like the reference.
+    */
+  def filterTables(log: DataFrame, tables: Set[String]): DataFrame =
+    if (tables.isEmpty) log else log.filter(col("tbl").isin(tables.toSeq: _*))
+
+  /** Last op per (tbl, id) — `rn = 1` over pos-desc within key. */
+  private def lastOpPerKey(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Fold the op stream into current entity state: later ops win,
+    * deletes drop the row. Reference: `into-entity-map`
+    * (`test/dumpr/test_util.clj:104-123`) — the reference's own
+    * correctness oracle for both load and streaming.
+    *
+    * One hash shuffle by (tbl, id); the per-key window never sees more
+    * than one key's rows, so it spills safely and AQE can split skew.
+    */
+  def entityState(log: DataFrame): DataFrame =
+    lastOpPerKey(log)
+      .filter(col("op") === "upsert")
+      .select(col("tbl"), col("id"), col("val"), col("pos").as("last_pos"))
+
+  /** The binlog position to continue streaming from, as a 1-row frame
+    * `(file, next_pos)`. Reference: `next-position`
+    * (`src/dumpr/core.clj:107-113`) and the `:next-position` metadata.
+    */
+  def nextPosition(log: DataFrame): DataFrame = {
+    val lastRotate = log
+      .filter(col("etype") === "signup")
+      .agg(max_by(rotateFile(col("id")), col("pos")).as("f"))
+      .select(coalesce(col("f"), lit(DefaultFile)).as("file"))
+    val maxPos = log.agg((max(col("pos")) + 1).as("next_pos"))
+    lastRotate.crossJoin(maxPos)
+  }
+
+  /** Initial table load: wrap a snapshot table scan in the row-tuple
+    * shape `[op tbl id content]`. Reference: `create-table-stream` /
+    * `stream-table` (`src/dumpr/query.clj:44-66`) — every snapshot row
+    * is an upsert with `meta = nil`. `idCol` plays the reference's
+    * `id-fn` role (primary key by default, caller-overridable).
+    */
+  def snapshotLoad(table: DataFrame, tableName: String, idCol: String): DataFrame =
+    table.select(
+      lit("upsert").as("op") +:
+        lit(tableName).as("tbl") +:
+        col(idCol).as("id") +:
+        table.columns.filter(_ != idCol).map(col): _*
+    )
+
+  /** Snapshot ⊎ changelog ⇒ current table state (the flagship op).
+    *
+    * This is the reference's end-to-end contract: initial load plus
+    * binlog continuation must equal the entity map of the full history
+    * (`test/dumpr/core_test.clj` `streaming` test). Implementation:
+    * last committed op per id (one shuffle), full outer join against
+    * the snapshot on id, log wins, final deletes drop snapshot rows.
+    */
+  def applyChangelog(snapshot: DataFrame, log: DataFrame, table: String): DataFrame = {
+    val lastOps = lastOpPerKey(filterTables(filterCommitted(log), Set(table)))
+      .select(col("id").as("l_id"), col("op"), col("val").as("l_val"))
+    snapshot
+      .select(col("id").as("s_id"), col("val").as("s_val"))
+      .join(lastOps, col("s_id") === col("l_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("upsert")) === "upsert")
+      .select(
+        coalesce(col("l_id"), col("s_id")).as("id"),
+        when(col("l_id").isNotNull, col("l_val")).otherwise(col("s_val")).as("val"),
+        when(col("l_id").isNotNull, lit("log")).otherwise(lit("snapshot")).as("src")
+      )
+  }
+}
