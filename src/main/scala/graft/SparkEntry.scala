@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat}
 import graft.analytics.Analytics
+import graft.operators.{Ann, Dedup}
+import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -45,7 +47,40 @@ object SparkEntry {
     "top_n_per_group" -> (Analytics.topNPerGroup _),
     "sessionize" -> (Analytics.sessionize _),
     "event_windowed_agg" -> (Analytics.eventWindowedAgg _),
-    "user_funnel" -> (Analytics.userFunnel _)
+    "user_funnel" -> (Analytics.userFunnel _),
+    // ---- D. LLM-pipeline operators ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
+    "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"),
+          TextFunctions.langId(TextFunctions.tokens(col("text"))).as("pred_lang"))
+        .withColumn("hit", (col("pred_lang") === col("lang")).cast("int"))
+        .drop("lang")
+    }),
+    "quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      docs.select(col("doc_id"),
+        size(toks).as("n_tok"),
+        (TextFunctions.tokenCount(toks, "the") + TextFunctions.tokenCount(toks, "a")).as("n_stop"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("score"))
+    }),
+    "token_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      docs.select(col("doc_id"),
+        size(toks).as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
+        TextFunctions.bpeishCount(toks).as("n_bpe"))
+    }),
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp")))
   )
 
   /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
@@ -203,6 +238,76 @@ object SparkEntry {
         |SELECT user_id, n_signup, n_view, n_purchase, first_view, first_purchase,
         |       CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
         |                 AND first_view < first_purchase THEN 1 ELSE 0 END AS converted
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "near_dup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars // 100 AS bucket, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, bucket,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                                  for i in range(1, len(w) - 1)])
+        |              ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1)
+        |SELECT a_id, b_id, j FROM p WHERE j >= 0.5""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4002""".stripMargin,
+    "ann_topk" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+        |      FROM p)
+        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, lang, len(w) AS n,
+        |             len(list_filter(w, x -> x = 'the')) AS n_the,
+        |             len(list_filter(w, x -> x = 'a')) AS n_a,
+        |             len(list_filter(w, x -> x = 'data')) AS n_data,
+        |             len(list_filter(w, x -> x = 'join')) AS n_join
+        |      FROM d),
+        |p AS (SELECT doc_id, lang,
+        |             CASE WHEN n_the * 12 >= n THEN 'en'
+        |                  WHEN n_a * 12 >= n THEN 'fr'
+        |                  WHEN n_data * 15 >= n THEN 'de'
+        |                  WHEN n_join * 15 >= n THEN 'es'
+        |                  ELSE 'zh' END AS pred_lang
+        |      FROM c)
+        |SELECT doc_id, pred_lang,
+        |       CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS hit
+        |FROM p""".stripMargin,
+    "quality_score" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, n_chars, CAST(len(w) AS INT) AS n_tok,
+        |             CAST(len(list_filter(w, x -> x = 'the')) +
+        |                  len(list_filter(w, x -> x = 'a')) AS INT) AS n_stop
+        |      FROM d)
+        |SELECT doc_id, n_tok, n_stop,
+        |       round(CAST(least(n_tok, 300) AS DOUBLE) / 300.0 * 0.4 +
+        |             (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3 +
+        |             least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 8.0) / 8.0 * 0.3,
+        |             6) AS score
+        |FROM c""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |                                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin
   )
 }

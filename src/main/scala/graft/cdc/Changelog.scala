@@ -79,22 +79,43 @@ object Changelog {
     *
     * Reference: `add-binlog-filename` (`src/dumpr/stream.clj:56-77`)
     * tracks the filename from rotate events serially. A serial pass
-    * does not scale; rotates are a vanishing fraction of the log, so we
-    * broadcast them and resolve "latest rotate at-or-before pos" with a
-    * broadcast range join + `max_by` — no global ordering anywhere.
+    * does not scale, and a naive `r_pos <= pos` broadcast join is a
+    * nested-loop O(|log|·|rotates|). Instead: rotates (a vanishing
+    * fraction of the log) become disjoint `[start, end)` intervals,
+    * each interval is exploded onto fixed-size position buckets, and
+    * the log equi-joins on its own bucket — one hash join, linear in
+    * the log, no global ordering, AQE-splittable. The only window runs
+    * over the tiny rotate set itself.
     */
-  def attachFile(log: DataFrame): DataFrame = {
+  def attachFile(log: DataFrame, bucketSize: Long = 4096L): DataFrame = {
     val rotates = log
       .filter(col("etype") === "signup")
-      .select(col("pos").as("r_pos"), rotateFile(col("id")).as("r_file"))
-    val joined = log
-      .join(broadcast(rotates), col("r_pos") <= col("pos"), "left")
-      .groupBy(log.columns.map(col): _*)
-      .agg(max_by(col("r_file"), col("r_pos")).as("file_raw"))
-    joined
-      .withColumn("file", coalesce(col("file_raw"), lit(DefaultFile)))
-      .drop("file_raw")
+      .select(col("pos").as("r_start"), rotateFile(col("id")).as("r_file"))
+    // window over rotates only — the control stream is small by nature
+    val w = Window.orderBy(col("r_start"))
+    val maxPos = log.agg(max(col("pos")).as("p_max"))
+    val intervals = rotates
+      .withColumn("r_end", lead(col("r_start"), 1).over(w))
+      .unionByName(
+        // sentinel interval: before the first rotate → default file
+        rotates.agg(min(col("r_start")).as("r_end"))
+          .select(lit(Long.MinValue).as("r_start"), lit(DefaultFile).as("r_file"), col("r_end")))
+      .crossJoin(maxPos)
+      .withColumn("r_end_eff", coalesce(col("r_end"), col("p_max") + 1))
+    // explode each interval onto the position buckets it covers
+    val byBucket = intervals
+      .withColumn("b_lo", expr(s"greatest(r_start, 0L) div $bucketSize"))
+      .withColumn("b_hi", expr(s"(r_end_eff - 1) div $bucketSize"))
+      .withColumn("bucket", explode(sequence(col("b_lo"), greatest(col("b_lo"), col("b_hi")))))
+      .select(col("bucket"), col("r_start"), col("r_end_eff"), col("r_file"))
+    log
       .filter(col("etype") =!= "signup")
+      .withColumn("bucket", expr(s"pos div $bucketSize"))
+      .join(broadcast(byBucket), Seq("bucket"), "left")
+      .filter(col("r_start").isNull ||
+        (col("pos") >= col("r_start") && col("pos") < col("r_end_eff")))
+      .withColumn("file", coalesce(col("r_file"), lit(DefaultFile)))
+      .drop("bucket", "r_start", "r_end_eff", "r_file", "p_max")
   }
 
   private def rotateFile(id: Column): Column =

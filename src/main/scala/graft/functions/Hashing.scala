@@ -75,7 +75,7 @@ object Hashing {
         val h1 = ctx.freshName("h1")
         val h2 = ctx.freshName("h2")
         val hv = ctx.freshName("hv")
-        val hcls = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+        val hcls = "graft.functions.Hashing"
         s"""
            |long[] $sig = new long[$numHashes];
            |java.util.Arrays.fill($sig, Long.MAX_VALUE);
@@ -89,6 +89,54 @@ object Hashing {
            |  }
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+           |""".stripMargin
+      })
+  }
+
+  /** LSH band hashes over a MinHash signature: `bands` hashes, each a
+    * 31-fold over `rowsPerBand` consecutive signature entries. Native
+    * expression so the wrap-around long arithmetic is plain Java —
+    * Column-level `*`/`+` would throw under ANSI mode (Spark 4
+    * default) on intentional overflow. */
+  case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any = {
+      val sig = v.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = 17L
+        var r = 0
+        while (r < rowsPerBand) {
+          acc = acc * 31 + sig.getLong(b * rowsPerBand + r)
+          r += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val out = ctx.freshName("out")
+        val b = ctx.freshName("b")
+        val r = ctx.freshName("r")
+        val acc = ctx.freshName("acc")
+        s"""
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $acc = 17L;
+           |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+           |    $acc = $acc * 31L + $c.getLong($b * $rowsPerBand + $r);
+           |  }
+           |  $out[$b] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
            |""".stripMargin
       })
   }
@@ -129,7 +177,7 @@ object Hashing {
         val j = ctx.freshName("j")
         val h = ctx.freshName("h")
         val out = ctx.freshName("out")
-        val hcls = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+        val hcls = "graft.functions.Hashing"
         s"""
            |int[] $votes = new int[64];
            |for (int $i = 0; $i < $c.numElements(); $i++) {
@@ -156,7 +204,7 @@ object Hashing {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => {
-        val hcls = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+        val hcls = "graft.functions.Hashing"
         s"${ev.value} = $hcls.hash64($c.getBytes(), 3L);"
       })
   }
@@ -165,6 +213,8 @@ object Hashing {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
   def minhash(shingles: Column, numHashes: Int = 128): Column =
     toColumn(MinHashSig(toExpr(shingles), numHashes))
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toColumn(BandHashes(toExpr(sig), bands, rowsPerBand))
   def simhash(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
   def fingerprint(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
 }

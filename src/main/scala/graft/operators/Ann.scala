@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §2 D6-D7).
+  *
+  * [[bruteTopK]] is the exact correctness baseline: score every
+  * (query, candidate) pair, rank per query. At scale this is the
+  * pattern for a *small* query set against a huge corpus — queries
+  * broadcast, corpus scanned once, per-query top-k via window (or
+  * agg-based top-k to avoid the sort when k is tiny).
+  *
+  * [[lshTopK]] is the scale path: random-hyperplane signatures put
+  * vectors into 2^planes sign buckets; only same-bucket pairs are
+  * scored. Bucket join is an equi-join → hash-partitioned, linear in
+  * the corpus, AQE-splittable. Recall/cost is tuned by the plane
+  * count (and, in production, multi-probe over neighboring buckets).
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 stream →
+    * uniform in [-1,1)); fixed seed so plans are reproducible. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numPlanes, dim)((next() >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
+  }
+
+  /** Exact cosine top-k of each of the first `nQueries` vectors
+    * against the whole corpus (self excluded): (q_id, n_id, rnk). */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-k: score only same-sign-bucket
+    * candidates. Returns (q_id, n_id, rnk) — ≤ k rows per query,
+    * fewer when the bucket is sparse. */
+  def lshTopK(embeddings: DataFrame, numPlanes: Int = 6, dim: Int = 64,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucket = planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(col("embedding"), typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+    val e = embeddings.withColumn("bucket", bucket)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's live
+  * replication path (`src/dumpr/stream.clj`).
+  *
+  * dumpr tails the MySQL binlog with a callback client and pushes rows
+  * through in-process transducers; state (current tx buffer, schema
+  * cache, current binlog file) lives in atoms/volatiles on one machine.
+  * The Spark-native seat for each piece:
+  *
+  *  - the binlog client → any streaming source with the canonical
+  *    changelog schema (file/Kafka/JDBC-CDC in production,
+  *    `MemoryStream` in tests);
+  *  - the entity-map fold → `flatMapGroupsWithState` keyed by
+  *    `(tbl, id)` — state lives in Spark's checkpointed state store,
+  *    so it survives failures and scales across executors;
+  *  - tx buffering → `flatMapGroupsWithState` keyed by `tx`:
+  *    buffer on data, release on commit, drop on rollback — the exact
+  *    `filter-txs` semantics (`stream.clj:22-54`) with distributed,
+  *    fault-tolerant state;
+  *  - `next-position` → a running `max(pos)` aggregation any consumer
+  *    can persist as its resume token.
+  */
+object ChangelogStream {
+
+  /** Canonical changelog row (streaming twin of
+    * [[graft.cdc.Changelog.fromEvents]]'s columns). */
+  case class Change(pos: Long, op: String, tbl: String, id: Long, value: Double)
+
+  /** Current state of one (tbl, id) entity. */
+  case class Entity(tbl: String, id: Long, value: Double, lastPos: Long, live: Boolean)
+
+  /** Transaction-tagged event for the tx-atomicity operator.
+    * `kind` ∈ begin | data | commit | rollback. */
+  case class TxEvent(tx: Long, seq: Long, kind: String, change: Change)
+
+  /** B1: fold a changelog stream into live entity state (update mode).
+    * Later positions win; a delete tombstones the entity (emitted with
+    * `live = false` so downstream sinks can remove it — the streaming
+    * analogue of `into-entity-map`'s dissoc).
+    *
+    * `initial` seeds the state store from a batch snapshot — the
+    * snapshot→stream handoff of the reference
+    * (`create-table-stream` then `create-binlog-stream` from
+    * `next-position`, reference `README.md` "Initial load").
+    */
+  def entityState(
+      changes: Dataset[Change],
+      initial: Option[Dataset[Entity]] = None): Dataset[Entity] = {
+    import changes.sparkSession.implicits._
+    val grouped = changes.groupByKey(c => (c.tbl, c.id))
+
+    def fold(key: (String, Long), rows: Iterator[Change], state: GroupState[Entity]): Iterator[Entity] = {
+      val sorted = rows.toSeq.sortBy(_.pos)
+      var cur = state.getOption.orNull
+      sorted.foreach { c =>
+        if (cur == null || c.pos > cur.lastPos) {
+          cur = Entity(key._1, key._2, c.value, c.pos, live = c.op == "upsert")
+        }
+      }
+      if (cur != null) state.update(cur)
+      Iterator.single(cur).filter(_ != null)
+    }
+
+    initial match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout,
+          init.groupByKey(e => (e.tbl, e.id)))(fold)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+    }
+  }
+
+  /** B4: transaction atomicity on a stream — buffer each tx, release
+    * on commit, drop on rollback, strip the markers. With
+    * `txTimeoutMs > 0` an open tx is dropped (like a never-committed
+    * tx) after that much processing-time silence; `0` disables
+    * timeouts (bounded test streams). */
+  def filterCommitted(events: Dataset[TxEvent], txTimeoutMs: Long = 60000): Dataset[Change] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (txTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.tx)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (tx: Long, rows: Iterator[TxEvent], state: GroupState[Seq[TxEvent]]) => {
+          if (txTimeoutMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = state.getOption.getOrElse(Seq.empty) ++ rows
+            val committed = buf.exists(_.kind == "commit")
+            val rolledBack = buf.exists(_.kind == "rollback")
+            if (committed) {
+              state.remove()
+              buf.sortBy(_.seq).iterator.filter(_.kind == "data").map(_.change)
+            } else if (rolledBack) {
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(buf)
+              if (txTimeoutMs > 0) state.setTimeoutDuration(txTimeoutMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+
+  /** B2: resume-token stream — running max position (complete mode),
+    * the streaming `next-position` (`src/dumpr/core.clj:107-113`). */
+  def positionTracking(changes: Dataset[Change]): DataFrame =
+    changes.agg(max(col("pos")).as("max_pos"))
+      .select((col("max_pos") + 1).as("next_pos"))
+}

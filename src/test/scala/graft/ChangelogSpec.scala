@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Changelog
+
+/** Batch CDC semantics, mirroring the reference's own test contract
+  * (`test/dumpr/core_test.clj`): the op stream folds to the same
+  * entity map as replaying the history; snapshot + changelog compose.
+  */
+class ChangelogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hand-built changelog: (pos, op, tbl, id, tx, val, us, etype)
+  private def log(rows: (Long, String, String, Long, Long, Double, String)*) =
+    rows.toSeq
+      .map { case (pos, op, tbl, id, tx, v, et) => (pos, op, tbl, id, tx, v, pos * 1000L, et) }
+      .toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+
+  test("entityState: later ops win, deletes drop (into-entity-map)") {
+    val l = log(
+      (1, "upsert", "t", 1, 0, 1.0, "x"),
+      (2, "upsert", "t", 1, 0, 2.0, "x"),
+      (3, "upsert", "t", 2, 0, 9.0, "x"),
+      (4, "delete", "t", 2, 0, 0.0, "x"))
+    val out = Changelog.entityState(l).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> 2.0))
+  }
+
+  test("filterCommitted drops every event of a rolled-back tx") {
+    val l = log(
+      (1, "upsert", "t", 1, 10, 1.0, "x"),
+      (2, "upsert", "t", 2, 11, 2.0, "error"), // tx 11 rolls back
+      (3, "upsert", "t", 3, 11, 3.0, "x"),
+      (4, "upsert", "t", 4, 12, 4.0, "x"))
+    val keep = Changelog.filterCommitted(l).select("pos").as[Long].collect().sorted
+    assert(keep.toSeq == Seq(1L, 4L))
+  }
+
+  test("attachFile carries last rotate file and removes rotates") {
+    val l = log(
+      (1, "upsert", "t", 7, 0, 1.0, "x"),
+      (2, "upsert", "t", 3, 0, 1.0, "signup"), // rotate → bin.000003
+      (3, "upsert", "t", 8, 0, 1.0, "x"),
+      (4, "upsert", "t", 5, 0, 1.0, "signup"), // rotate → bin.000005
+      (5, "upsert", "t", 9, 0, 1.0, "x"))
+    val out = Changelog.attachFile(l).select("pos", "file").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "bin.000000", 3L -> "bin.000003", 5L -> "bin.000005"))
+  }
+
+  test("applyChangelog: log wins, final deletes drop snapshot rows") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
+    val l = log(
+      (1, "upsert", "customer", 2, 0, 99.0, "x"), // update existing
+      (2, "delete", "customer", 3, 0, 0.0, "x"), // delete existing
+      (3, "upsert", "customer", 4, 0, 44.0, "x")) // insert new
+    val out = Changelog.applyChangelog(snap, l, "customer")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set((1L, 10.0, "snapshot"), (2L, 99.0, "log"), (4L, 44.0, "log")))
+  }
+
+  test("fold equivalence on the real events table (reference property)") {
+    // replaying the committed op stream serially == entityState plan
+    val l = Changelog.filterCommitted(
+      Changelog.fromEvents(Tables.events(spark, "/root/testdata/sf0.001")))
+    val serial = l.orderBy("pos")
+      .select("tbl", "id", "op", "val", "pos")
+      .collect()
+      .foldLeft(Map.empty[(String, Long), (Double, Long)]) { (m, r) =>
+        val k = (r.getString(0), r.getLong(1))
+        if (r.getString(2) == "upsert") m + (k -> ((r.getDouble(3), r.getLong(4)))) else m - k
+      }
+    val planned = Changelog.entityState(l).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(planned == serial)
+  }
+
+  test("snapshotLoad wraps rows as upserts with id from idCol") {
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+    val out = Changelog.snapshotLoad(c, "customer", "c_custkey")
+    assert(out.columns.take(3).toSeq == Seq("op", "tbl", "id"))
+    assert(out.filter(col("op") =!= "upsert").count() == 0)
+    assert(out.count() == c.count())
+  }
+}

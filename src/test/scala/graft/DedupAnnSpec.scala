@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+import graft.functions.VectorFunctions
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("jaccardPairs finds planted near-dups and nothing below threshold") {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf))
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "driver data plants near-dup docs")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("minhashLsh recovers the exact-Jaccard pairs (high recall) and keeps one per dup set") {
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(Tables.documents(spark, sf))
+    val dupDocs = lsh.filter(col("n_dup") > 0).select("doc_id").as[Long].collect().toSet
+    val exactDocs = exact.flatMap(p => Set(p._1, p._2))
+    // LSH candidates verified with the same threshold ⇒ recall ≥ 80% of exact pairs' docs
+    assert(dupDocs.intersect(exactDocs).size >= (exactDocs.size * 0.8).toInt)
+    // every b-side of a verified pair is dropped; a-sides without smaller dups kept
+    val kept = lsh.filter(col("keep") === 1).count()
+    assert(kept < lsh.count() || exactDocs.isEmpty)
+  }
+
+  test("simhash summary is total (one row per doc) and flags some near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.simhash(docs)
+    assert(out.count() == docs.count())
+  }
+
+  test("bruteTopK matches a driver-side exact computation") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      d / (na * nb)
+    }
+    val expected = (0L until 3L).map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(emb(q), emb(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).map(_._1)
+    }.toMap
+    val got = Ann.bruteTopK(Tables.embeddings(spark, sf), nQueries = 3, k = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    assert(got == expected)
+  }
+
+  test("lshTopK returns subsets of true neighbors ranked consistently") {
+    val out = Ann.lshTopK(Tables.embeddings(spark, sf), nQueries = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
+  test("exact dedup groups by full text") {
+    val docs = Seq((1L, "same text", 9L), (2L, "same text", 9L), (3L, "other", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.exact(docs).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("VectorFunctions.cosine equals scalar math") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}

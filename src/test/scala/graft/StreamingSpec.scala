@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.ChangelogStream
+import graft.streaming.ChangelogStream.{Change, Entity, TxEvent}
+import graft.streaming.EventStreams
+
+/** Streaming semantics (SURVEY §2 B1-B5), driven through MemoryStream
+  * + processAllAvailable — the reference's `core_test.clj` scenarios
+  * re-expressed for Structured Streaming.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("B1: entityState folds a changelog stream (later ops win, deletes tombstone)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = ChangelogStream.entityState(in.toDS())
+      .writeStream.format("memory").queryName("b1").outputMode("update").start()
+    in.addData(
+      Change(1, "upsert", "t", 1, 1.0),
+      Change(2, "upsert", "t", 2, 2.0))
+    q.processAllAvailable()
+    in.addData(
+      Change(3, "upsert", "t", 1, 9.0), // update id 1
+      Change(4, "delete", "t", 2, 0.0)) // tombstone id 2
+    drain(q)
+    val last = spark.table("b1").groupBy("tbl", "id")
+      .agg(max(struct(col("lastPos"), col("value"), col("live"))).as("s"))
+      .select(col("id"), col("s.value"), col("s.live"))
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(last == Set((1L, 9.0, true), (2L, 0.0, false)))
+  }
+
+  test("B2: positionTracking emits the resume token (next-position)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = ChangelogStream.positionTracking(in.toDS())
+      .writeStream.format("memory").queryName("b2").outputMode("complete").start()
+    in.addData(Change(5, "upsert", "t", 1, 1.0), Change(9, "upsert", "t", 2, 2.0))
+    drain(q)
+    assert(spark.table("b2").as[Long].collect().max == 10L)
+  }
+
+  test("B3: watermarked windowed counts close windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("b3").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 10:10:00"), "click", 1.0), (t("2024-01-01 10:20:00"), "click", 2.0))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 12:00:01"), "view", 1.0)) // advances watermark past 10-11h
+    drain(q)
+    val rows = spark.table("b3").select("event_type", "n", "sum_val")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("click", 2L, 3.0)))
+  }
+
+  test("B4: tx buffering — commit releases in order, rollback drops, markers stripped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxEvent]
+    val dummy = Change(0, "", "", 0, 0.0)
+    val q = ChangelogStream.filterCommitted(in.toDS(), txTimeoutMs = 0)
+      .writeStream.format("memory").queryName("b4").outputMode("append").start()
+    in.addData(
+      TxEvent(1, 0, "begin", dummy),
+      TxEvent(1, 1, "data", Change(1, "upsert", "t", 1, 1.0)),
+      TxEvent(2, 0, "begin", dummy),
+      TxEvent(2, 1, "data", Change(2, "upsert", "t", 2, 2.0)))
+    q.processAllAvailable()
+    in.addData(
+      TxEvent(1, 2, "data", Change(3, "upsert", "t", 3, 3.0)),
+      TxEvent(1, 3, "commit", dummy), // tx 1 commits (across batches)
+      TxEvent(2, 2, "rollback", dummy)) // tx 2 rolls back
+    drain(q)
+    val out = spark.table("b4").select("pos").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("B5: snapshot→stream handoff equals full-history fold (reference streaming test)") {
+    // full history: 6 ops; snapshot = fold of first 3, stream = last 3
+    val all = Seq(
+      Change(1, "upsert", "t", 1, 1.0),
+      Change(2, "upsert", "t", 2, 2.0),
+      Change(3, "delete", "t", 1, 0.0),
+      Change(4, "upsert", "t", 1, 10.0),
+      Change(5, "upsert", "t", 3, 3.0),
+      Change(6, "delete", "t", 2, 0.0))
+    val (initial, streamed) = all.splitAt(3)
+    val snapState = initial
+      .groupBy(c => (c.tbl, c.id))
+      .map { case (k, cs) => val last = cs.maxBy(_.pos)
+        Entity(k._1, k._2, last.value, last.pos, last.op == "upsert") }
+      .toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = ChangelogStream.entityState(in.toDS(), Some(snapState.toDS()))
+      .writeStream.format("memory").queryName("b5").outputMode("update").start()
+    in.addData(streamed: _*)
+    drain(q)
+    val last = spark.table("b5").groupBy("tbl", "id")
+      .agg(max(struct(col("lastPos"), col("value"), col("live"))).as("s"))
+      .select(col("id"), col("s.value"), col("s.live"))
+      .as[(Long, Double, Boolean)].collect().toSet
+      .filter(_._3) // live entities only
+    // expected = serial fold of ALL ops
+    val expected = all.foldLeft(Map.empty[Long, Double]) { (m, c) =>
+      if (c.op == "upsert") m + (c.id -> c.value) else m - c.id
+    }.map { case (id, v) => (id, v, true) }.toSet
+    assert(last == expected)
+  }
+}
