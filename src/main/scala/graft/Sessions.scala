@@ -20,6 +20,15 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // single-parquet-file tables must still fan out across cores:
+      // with the 128m default, a 20 MB file is ONE partition and every
+      // scan-heavy stage runs on one thread
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // JVM case mappings: Spark 4's ICU path (UTF8_BINARY upper/lower)
+      // has a very expensive static init and per-char ICU calls; our
+      // data is ASCII where JVM semantics are identical
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Standalone local session (tests / benchmarks). */

@@ -38,11 +38,80 @@ object Hashing {
     h ^ (h >>> 31)
   }
 
-  /** MinHash signature of a string array: `numHashes` permutations via
-    * the standard h1 + i·h2 double-hashing scheme (one byte pass per
-    * element). Empty/null arrays → signature of Long.MaxValue. */
+  /** splitmix64 of a long with a seed — the long-input counterpart of
+    * [[hash64]]. */
+  @inline def hashLong(v: Long, seed: Long): Long = {
+    var z = v ^ seed
+    z += 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sorted distinct hashed word 3-gram shingles in one native pass:
+    * equivalent to `array_sort(array_distinct(transform(shingles3(w),
+    * fingerprint)))` but codegen'd — higher-order functions evaluate
+    * their lambdas interpreted per element, which made the shingle
+    * pipeline the hottest interpreted loop in the engine. Hash of a
+    * shingle = [[hash64]] (seed 3) over the `w1_w2_w3` UTF-8 bytes,
+    * bit-identical to [[Fingerprint64]] of the concatenated string. */
+  case class HashedShingles3(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): HashedShingles3 = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(Hashing.hashedShingles3(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.Hashing.hashedShingles3($c));""".stripMargin)
+  }
+
+  /** Shared kernel for [[HashedShingles3]] (called from generated
+    * code): hash each 3-gram window, sort, dedupe adjacent. */
+  def hashedShingles3(words: ArrayData): Array[Long] = {
+    val n = words.numElements()
+    if (n < 3) return Array.emptyLongArray
+    val m = n - 2
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b0 = words.getUTF8String(i).getBytes
+      val b1 = words.getUTF8String(i + 1).getBytes
+      val b2 = words.getUTF8String(i + 2).getBytes
+      val buf = new Array[Byte](b0.length + b1.length + b2.length + 2)
+      System.arraycopy(b0, 0, buf, 0, b0.length)
+      buf(b0.length) = '_'
+      System.arraycopy(b1, 0, buf, b0.length + 1, b1.length)
+      buf(b0.length + b1.length + 1) = '_'
+      System.arraycopy(b2, 0, buf, b0.length + b1.length + 2, b2.length)
+      hs(i) = hash64(buf, 3L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe adjacent
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** MinHash signature of a string or long array: `numHashes`
+    * permutations via the standard h1 + i·h2 double-hashing scheme
+    * (one hash pass per element). Empty/null arrays → signature of
+    * Long.MaxValue. */
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
+    // lazy: dataType is only legal on resolved children
+    private lazy val longInput: Boolean = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
@@ -52,9 +121,14 @@ object Hashing {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < arr.numElements()) {
-        val bytes = arr.getUTF8String(i).getBytes
-        val h1 = hash64(bytes, 0L)
-        val h2 = hash64(bytes, 1L)
+        val (h1, h2) =
+          if (longInput) {
+            val x = arr.getLong(i)
+            (hashLong(x, 0L), hashLong(x, 1L))
+          } else {
+            val bytes = arr.getUTF8String(i).getBytes
+            (hash64(bytes, 0L), hash64(bytes, 1L))
+          }
         var j = 0
         while (j < numHashes) {
           val hv = h1 + j * h2
@@ -71,18 +145,25 @@ object Hashing {
         val sig = ctx.freshName("sig")
         val i = ctx.freshName("i")
         val j = ctx.freshName("j")
-        val bytes = ctx.freshName("bytes")
         val h1 = ctx.freshName("h1")
         val h2 = ctx.freshName("h2")
         val hv = ctx.freshName("hv")
+        val x = ctx.freshName("x")
         val hcls = "graft.functions.Hashing"
+        val hashes =
+          if (longInput)
+            s"""long $x = $c.getLong($i);
+               |long $h1 = $hcls.hashLong($x, 0L);
+               |long $h2 = $hcls.hashLong($x, 1L);""".stripMargin
+          else
+            s"""byte[] $x = $c.getUTF8String($i).getBytes();
+               |long $h1 = $hcls.hash64($x, 0L);
+               |long $h2 = $hcls.hash64($x, 1L);""".stripMargin
         s"""
            |long[] $sig = new long[$numHashes];
            |java.util.Arrays.fill($sig, Long.MAX_VALUE);
            |for (int $i = 0; $i < $c.numElements(); $i++) {
-           |  byte[] $bytes = $c.getUTF8String($i).getBytes();
-           |  long $h1 = $hcls.hash64($bytes, 0L);
-           |  long $h2 = $hcls.hash64($bytes, 1L);
+           |  $hashes
            |  for (int $j = 0; $j < $numHashes; $j++) {
            |    long $hv = $h1 + $j * $h2;
            |    if ($hv < $sig[$j]) $sig[$j] = $hv;
@@ -193,6 +274,52 @@ object Hashing {
       })
   }
 
+  /** Intersection size of two SORTED long arrays — one O(n+m) merge
+    * pass, no hash sets, no per-pair allocation. The workhorse of the
+    * pair-verify step in shingle dedup: arrays are pre-hashed and
+    * pre-sorted once per document, so each of the millions of
+    * candidate pairs costs only a linear scan. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(lv: Any, rv: Any): Any = {
+      val a = lv.asInstanceOf[ArrayData]
+      val b = rv.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var n = 0
+      val la = a.numElements(); val lb = b.numElements()
+      while (i < la && j < lb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(n)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $i = 0, $j = 0, $n = 0;
+           |int $la = $a.numElements(), $lb = $b.numElements();
+           |while ($i < $la && $j < $lb) {
+           |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |  if ($x == $y) { $n++; $i++; $j++; }
+           |  else if ($x < $y) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = $n;
+           |""".stripMargin
+      })
+  }
+
   /** 64-bit content fingerprint (FNV-1a + finalizer) of a string. */
   case class Fingerprint64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -216,5 +343,9 @@ object Hashing {
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     toColumn(BandHashes(toExpr(sig), bands, rowsPerBand))
   def simhash(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def hashedShingles3Col(words: Column): Column =
+    toColumn(HashedShingles3(toExpr(words)))
   def fingerprint(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
 }

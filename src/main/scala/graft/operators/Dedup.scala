@@ -33,20 +33,45 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** Near-dup pairs by 3-gram-shingle Jaccard ≥ `threshold`, blocked
-    * by length bucket (±1). Returns (a_id, b_id, j). */
+    * by length bucket (±1). Returns (a_id, b_id, j).
+    *
+    * Execution shape (this matters at scale): candidate pairs are
+    * generated from *id-only* rows (the blocked join touches 16-byte
+    * rows, never arrays), then repartitioned by a_id — so the heavy
+    * verify step is spread over the full cluster even though the
+    * blocking key has few distinct values. Shingle arrays are attached
+    * via two joins against the (persisted) shingle projection and the
+    * intersection is computed once per pair. The broadcast hint fits
+    * corpora whose (id, shingles) projection fits an executor; beyond
+    * that Spark falls back to a shuffle join on id — still linear. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val t = docs.select(
-      col("doc_id"),
-      expr("n_chars div 100").as("bucket"),
-      TextFunctions.shingles3(TextFunctions.tokens(col("text"))).as("sh"))
-    val a = t.select(col("doc_id").as("a_id"), col("bucket").as("a_bucket"), col("sh").as("a_sh"))
-    val b = t.select(
-      col("doc_id").as("b_id"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("a_bucket"),
-      col("sh").as("b_sh"))
-    a.join(b, Seq("a_bucket"))
+    // Shingle sets are hashed to SORTED long arrays once per doc:
+    // string compares / hash-set probes disappear from the per-pair
+    // hot loop, and each pair costs one O(n) merge
+    // (Hashing.SortedIntersectCount). Jaccard values are unchanged —
+    // |∩| on 64-bit-hashed distinct shingles equals |∩| on the strings
+    // (collision odds ~1e-15 per pair).
+    val t = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        expr("n_chars div 100").as("bucket"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .persist()
+    val a = t.select(col("doc_id").as("a_id"), col("bucket").as("a_bucket"))
+    val b = t.select(col("doc_id").as("b_id"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("a_bucket"))
+    val cand = a.join(b, Seq("a_bucket"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("j", TextFunctions.jaccard(col("a_sh"), col("b_sh")))
+      .select(col("a_id"), col("b_id"))
+      .repartition(col("a_id"))
+    cand
+      .join(broadcast(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        size(col("sh")).as("a_n"))), Seq("a_id"))
+      .join(broadcast(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        size(col("sh")).as("b_n"))), Seq("b_id"))
+      .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
       .where(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), col("j"))
   }
@@ -58,21 +83,38 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val d = docs.select(col("doc_id"),
-      TextFunctions.shingles3(TextFunctions.tokens(col("text"))).as("sh"))
-    val idx = d
+    val d = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .persist()
+    // one pass: shingles → signature → band buckets; pairs are
+    // generated inside each bucket via sorted-combination lambdas
+    // (no self-join — a self-join would re-run the whole hashing
+    // subtree and shuffle it twice)
+    val buckets = d
       .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
       .select(col("doc_id"),
         posexplode(Hashing.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-    val cand = idx.as("a")
-      .join(idx.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("band"), col("bh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
-    val verified = cand
-      .join(d.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .withColumn("j", TextFunctions.jaccard(col("a_sh"), col("b_sh")))
+    // verified dup pairs: attach shingles from the cached projection;
+    // candidate set is tiny (LSH gives ~linear candidates), so it is
+    // broadcast against the corpus-side scans
+    val withA = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(broadcast(cand), Seq("a_id"))
+    val verified = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      .join(broadcast(withA), Seq("b_id"))
+      .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("j",
+        col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
       .withColumn("dup", (col("j") >= threshold).cast("int"))
       .select(col("a_id"), col("b_id"), col("dup"))
     // per-doc rollup: candidates/dups seen from either side; `keep`
@@ -91,8 +133,12 @@ object Dedup {
   /** SimHash near-dup summary per document (hamming ≤ `maxHamming`).
     * Candidates via 4×16-bit chunk banding. */
   def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val s = docs.select(col("doc_id"),
-      Hashing.simhash(TextFunctions.tokens(col("text"))).as("sh64"))
+    // persisted: the chunk self-join below scans this twice, and
+    // re-deriving simhashes per scan would double the hashing work
+    val s = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Hashing.simhash(TextFunctions.tokens(col("text"))).as("sh64")).persist()
     val chunkArr = array((0 until 4).map(i =>
       shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xffffL))): _*)
     val chunks = s.select(col("doc_id"), col("sh64"),
