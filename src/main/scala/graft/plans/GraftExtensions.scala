@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Hashing._
+import graft.functions.VectorFunctions.CosineF32
+
+/** SQL surface for graft's native expressions.
+  *
+  * Register with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (or `spark.sql.extensions=graft.plans.
+  * GraftExtensions`) and the engine's codegen'd primitives become
+  * plain SQL functions:
+  *
+  * {{{
+  *   SELECT graft_fingerprint(text)             FROM docs
+  *   SELECT graft_minhash(graft_shingles3(split(text,' '))) FROM docs
+  *   SELECT graft_cosine(a.embedding, b.embedding)          FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(str) - 64-bit content fingerprint"),
+      (exprs: Seq[Expression]) => Fingerprint64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(array<string>) - 64-bit SimHash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingles3"),
+      info("graft_shingles3", "graft_shingles3(array<string>) - sorted hashed word 3-grams"),
+      (exprs: Seq[Expression]) => HashedShingles3(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(arr[, n]) - MinHash signature (default 128 perms)"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 128)))
+    e.injectFunction((FunctionIdentifier("graft_bandhash"),
+      info("graft_bandhash", "graft_bandhash(sig, bands, rowsPerBand) - LSH band hashes"),
+      (exprs: Seq[Expression]) => BandHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect", "graft_sorted_intersect(a, b) - |a ∩ b| of sorted long arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors"),
+      (exprs: Seq[Expression]) => CosineF32(exprs.head, exprs(1))))
+  }
+}

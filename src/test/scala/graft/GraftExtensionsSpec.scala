@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** SQL-registered native functions (SURVEY §2 — SparkSessionExtensions
+  * surface). Uses its own session: extensions bind at build time. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // extensions only apply at session construction: clear the
+    // default/active handles so getOrCreate builds a fresh session
+    // (reusing the shared SparkContext), then restore the default
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    SparkSession.setDefaultSession(base)
+    s
+  }
+
+  test("graft_* functions are callable from SQL and match the Column API") {
+    val viaSql = spark.sql(
+      "SELECT graft_fingerprint('hello world') AS fp").collect()(0).getLong(0)
+    assert(viaSql == graft.functions.Hashing.hash64("hello world".getBytes("UTF-8"), 3L))
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val mh = spark.sql(
+      "SELECT size(graft_minhash(graft_shingles3(split('a b c d e', ' ')))) AS n")
+      .collect()(0).getInt(0)
+    assert(mh == 128)
+    val si = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i")
+      .collect()(0).getInt(0)
+    assert(si == 2)
+  }
+}
