@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.cdc.Changelog
+
+/** Property-based CDC semantics, mirroring the reference's generative
+  * tests (`test/dumpr/core_test.clj`: `gen-ops-sequence`,
+  * `table-loading`, `streaming`): for ANY op history, the declarative
+  * plans must equal the serial `into-entity-map` fold, and
+  * snapshot ⊎ changelog must equal the fold of the full history.
+  */
+class ChangelogPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (op, tbl, id, value) histories over a small key space (like the
+  // reference's gen-ids) so updates/deletes actually collide
+  private val genOps: Gen[List[(String, String, Long, Double)]] =
+    Gen.listOfN(60, for {
+      op <- Gen.frequency(3 -> Gen.const("upsert"), 1 -> Gen.const("delete"))
+      tbl <- Gen.oneOf("customer", "orders")
+      id <- Gen.choose(0L, 9L)
+      v <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (op, tbl, id, v))
+
+  private def toDf(ops: List[(String, String, Long, Double)]) =
+    ops.zipWithIndex.map { case ((op, tbl, id, v), i) =>
+      (i.toLong, op, tbl, id, i.toLong / 5, v, i.toLong * 1000, "x")
+    }.toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+
+  private def serialFold(ops: List[(String, String, Long, Double)]) =
+    ops.foldLeft(Map.empty[(String, Long), Double]) { case (m, (op, tbl, id, v)) =>
+      if (op == "upsert") m + ((tbl, id) -> v) else m - ((tbl, id))
+    }
+
+  private def check(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("entityState equals into-entity-map for arbitrary histories") {
+    check(Prop.forAll(genOps) { ops =>
+      val planned = Changelog.entityState(toDf(ops)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      planned == serialFold(ops)
+    }, 8)
+  }
+
+  test("snapshot + changelog == fold of full history (reference streaming test)") {
+    check(Prop.forAll(genOps, Gen.choose(0, 59)) { (ops, splitAt) =>
+      val (initial, streamed) = ops.splitAt(splitAt)
+      // snapshot = fold of the initial segment, restricted to 'customer'
+      val snapshot = serialFold(initial).collect {
+        case ((tbl, id), v) if tbl == "customer" => (id, v)
+      }.toSeq.toDF("id", "val")
+      // changelog continues from pos = splitAt
+      val log = streamed.zipWithIndex.map { case ((op, tbl, id, v), i) =>
+        val pos = (splitAt + i).toLong
+        (pos, op, tbl, id, pos / 5, v, pos * 1000, "x")
+      }.toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+      val applied = Changelog.applyChangelog(snapshot, log, "customer")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = serialFold(ops).collect { case (("customer", id), v) => id -> v }.toMap
+      applied == expected
+    }, 6)
+  }
+}
