@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"),

@@ -51,6 +51,47 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** IVF-flat approximate top-k: a coarse codebook of `nlist`
+    * deterministic centroids (sampled from the corpus — no iterative
+    * k-means needed for a reproducible index), every vector assigned
+    * to its nearest centroid's inverted list, queries probe their
+    * `nprobe` nearest lists and score only those candidates.
+    *
+    * Scale shape: the codebook is tiny and broadcast everywhere; list
+    * assignment is one linear scan of the corpus (in production,
+    * materialized once as the index); each query scans ~nprobe/nlist
+    * of the corpus through an equi-join on list id — hash-partitioned,
+    * AQE-splittable, no pairwise blowup. */
+  def ivfTopK(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cent = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // inverted-list assignment: nearest centroid per corpus vector
+    val assigned = embeddings
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid"))).as("list_id"))
+    // probe lists: each query's nprobe nearest centroids
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cid"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid").as("list_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probes)
+      .join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("list_id")), Seq("list_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** LSH-bucketed approximate top-k: score only same-sign-bucket
     * candidates. Returns (q_id, n_id, rnk) — ≤ k rows per query,
     * fewer when the bucket is sparse. */

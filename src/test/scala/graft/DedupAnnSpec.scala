@@ -59,6 +59,16 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ivfTopK probes nearest lists and ranks consistently") {
+    val out = Ann.ivfTopK(Tables.embeddings(spark, sf), nQueries = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+  }
+
   test("lshTopK returns subsets of true neighbors ranked consistently") {
     val out = Ann.lshTopK(Tables.embeddings(spark, sf), nQueries = 10)
       .as[(Long, Long, Int)].collect()
