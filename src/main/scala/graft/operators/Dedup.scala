@@ -70,6 +70,12 @@ object Dedup {
         size(col("sh")).as("a_n"))), Seq("a_id"))
       .join(broadcast(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
         size(col("sh")).as("b_n"))), Seq("b_id"))
+      // size-ratio prefilter: j ≥ t ⇒ i ≥ t(na+nb)/(1+t) and
+      // i ≤ min(na,nb), so min(na,nb)·(1+t) ≥ t·(na+nb) is a
+      // necessary condition — prunes pairs before the merge pass
+      // without changing the result set
+      .where(least(col("a_n"), col("b_n")) * (1.0 + threshold) >=
+        (col("a_n") + col("b_n")) * threshold)
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
       .where(col("j") >= threshold)
