@@ -1,0 +1,257 @@
+package graft
+
+/** Generators for DuckDB oracle SQL that replays graft's custom 64-bit
+  * hash pipelines bit-exactly, so the hash-based operators
+  * (`doc_fingerprint`, `dedup_simhash`, `dedup_minhash_lsh`) get a full
+  * SQL oracle instead of a rows-only check.
+  *
+  * DuckDB BIGINT arithmetic raises on overflow (no wrap-around), so the
+  * oracle runs every hash in HUGEINT (int128) arithmetic mod 2^64:
+  *
+  *  - 64-bit wrap-around multiplication by a constant is decomposed
+  *    into 32-bit halves (`a*m = a*m_lo + ((a*m_hi) mod 2^32)·2^32`,
+  *    all mod 2^64) so no intermediate exceeds ~2^97;
+  *  - logical shift right is integer division by 2^k;
+  *  - the final unsigned value converts to Spark's signed long with a
+  *    2^63 pivot.
+  *
+  * The byte-level FNV-1a fold iterates `unicode(char)` over
+  * `string_split(s, '')`, which equals UTF-8 bytes for the ASCII-only
+  * test corpus (asserted by the oracle itself returning matching
+  * hashes; non-ASCII corpora would need a bytes-of-BLOB iteration).
+  *
+  * Mirrors [[graft.functions.Hashing]] exactly: FNV-1a offset/prime,
+  * splitmix64 finalizer constants, seed mixing, double-hash MinHash
+  * permutations `h1 + j*h2` compared as signed longs, and the
+  * `acc*31 + x` band fold seeded with 17.
+  */
+object DuckSql {
+
+  private val M = "18446744073709551616" // 2^64
+  private val FnvOffset = BigInt("cbf29ce484222325", 16)
+  private val FnvPrime = BigInt("100000001b3", 16)
+  private val K1 = BigInt("9e3779b97f4a7c15", 16) // splitmix64 gamma
+  private val K2 = BigInt("bf58476d1ce4e5b9", 16)
+  private val K3 = BigInt("94d049bb133111eb", 16)
+
+  /** `(a * m) mod 2^64` with `a` an unsigned HUGEINT expr < 2^64 and
+    * `m` a 64-bit constant, via 32-bit decomposition of `m`. */
+  private def mulmod(a: String, m: BigInt): String = {
+    val lo = m & 0xffffffffL
+    val hi = m >> 32
+    s"((($a)*$lo + ((($a)*$hi) % 4294967296) * 4294967296) % $M)"
+  }
+
+  /** Unsigned HUGEINT in [0, 2^64) → Spark's signed BIGINT. */
+  def signed(a: String): String =
+    s"CAST(CASE WHEN ($a) >= 9223372036854775808 THEN ($a) - $M ELSE ($a) END AS BIGINT)"
+
+  /** Signed BIGINT expr → unsigned HUGEINT in [0, 2^64). */
+  def unsigned(a: String): String =
+    s"(CASE WHEN ($a) < 0 THEN CAST(($a) AS HUGEINT) + $M ELSE CAST(($a) AS HUGEINT) END)"
+
+  /** FNV-1a 64 fold (no finalizer) over the chars of `strExpr` with the
+    * seed mixed into the offset basis; unsigned HUGEINT out. */
+  private def fnvFold(strExpr: String, seed: Long): String = {
+    val init = FnvOffset ^ BigInt(seed)
+    s"list_reduce(list_prepend($init::HUGEINT, " +
+      s"list_transform(list_filter(string_split($strExpr, ''), c -> c <> ''), " +
+      s"c -> unicode(c)::HUGEINT)), (h, b) -> ${mulmod("xor(h, b)", FnvPrime)})"
+  }
+
+  /** Wrap relation `src` (must expose column `inCol` as unsigned
+    * HUGEINT) in the 4-stage splitmix64 finalizer; result keeps
+    * `carry` columns plus `outCol` (unsigned HUGEINT). */
+  private def finalize(src: String, carry: String, inCol: String, outCol: String): String =
+    s"""(SELECT $carry, xor($outCol, $outCol // 2147483648) AS $outCol FROM
+       | (SELECT $carry, ${mulmod(s"xor($outCol, $outCol // 134217728)", K3)} AS $outCol FROM
+       |  (SELECT $carry, ${mulmod(s"xor($outCol, $outCol // 1073741824)", K2)} AS $outCol FROM
+       |   (SELECT $carry, (($inCol) + $K1) % $M AS $outCol FROM $src))))""".stripMargin
+
+  /** Oracle for `doc_fingerprint`: hash64(text, seed=3) per doc. */
+  def fingerprintOracle: String =
+    s"""SELECT doc_id, ${signed("h")} AS fp
+       |FROM ${finalize("(SELECT doc_id, " + fnvFold("text", 3) + " AS h0 FROM documents)",
+                        "doc_id", "h0", "h")} f""".stripMargin
+
+  /** Oracle for `dedup_simhash` with chunk-pair banding: nChunks =
+    * maxHamming+2 equal-ish bit slices, one band per unordered chunk
+    * pair — pigeonhole: ≤ maxHamming differing bits damage at most
+    * maxHamming chunks, leaving ≥ 2 intact, so some intact pair
+    * matches. Must mirror [[graft.operators.Dedup.simhash]]. */
+  def simhashOracle(maxHamming: Int): String = {
+    val nChunks = maxHamming + 2
+    val bounds = (0 to nChunks).map(i => (64 * i) / nChunks)
+    def chunk(i: Int): String = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      s"((shu // ${BigInt(1) << lo}) % ${BigInt(1) << w})"
+    }
+    val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val bandExprs = pairIdx.map { case (i, j) =>
+      val wj = bounds(j + 1) - bounds(j)
+      s"${chunk(i)} * ${BigInt(1) << wj} + ${chunk(j)}"
+    }
+    val tokHashes = finalize(
+      "(SELECT doc_id, " + fnvFold("tok", 2) + " AS h0 FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))",
+      "doc_id", "h0", "h")
+    s"""WITH th AS (SELECT * FROM $tokHashes tf),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sh AS (
+       |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, shu,
+       |         unnest(range(${bandExprs.length})) AS ci,
+       |         unnest([${bandExprs.mkString(", ")}]) AS cv
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.shu AS au, b.shu AS bu
+       |  FROM bands a JOIN bands b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT a_id, b_id,
+       |         CASE WHEN bit_count(xor(${signed("au")}, ${signed("bu")})) <= $maxHamming
+       |              THEN 1 ELSE 0 END AS dup
+       |  FROM cand),
+       |u AS (
+       |  SELECT a_id AS doc_id, dup, 0 AS dup_smaller FROM ver
+       |  UNION ALL
+       |  SELECT b_id AS doc_id, dup, dup AS dup_smaller FROM ver)
+       |SELECT s.doc_id, ${signed("s.shu")} AS sh64,
+       |       count(u.dup) AS n_cand,
+       |       CAST(coalesce(sum(u.dup), 0) AS BIGINT) AS n_dup,
+       |       CAST(CASE WHEN coalesce(sum(u.dup_smaller), 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
+       |FROM sh s LEFT JOIN u ON u.doc_id = s.doc_id
+       |GROUP BY s.doc_id, s.shu""".stripMargin
+  }
+
+  /** Oracle for `dedup_minhash_lsh`: full MinHash signature + LSH band
+    * replay — 3-gram string shingles, h1/h2 double hashing,
+    * `h1 + j*h2` (mod 2^64, signed-min) signature, `acc*31+x` band
+    * fold, bucket self-join candidates, exact-Jaccard verify, per-doc
+    * rollup. Mirrors [[graft.operators.Dedup.minhashLsh]] (the hashed
+    * 64-bit shingle intersection there equals string-shingle
+    * intersection — no collisions at oracle scale). */
+  def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val shingleHashes = finalize(
+      finalize(
+        "(SELECT doc_id, " + fnvFold("s", 0) + " AS g1, " + fnvFold("s", 1) + " AS g2 FROM " +
+          "(SELECT doc_id, unnest(sh) AS s FROM shl))",
+        "doc_id, g2", "g1", "h1"),
+      "doc_id, h1", "g2", "h2")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+       |                                  for i in range(1, len(w) - 1)])
+       |              ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM d),
+       |hh AS (SELECT * FROM $shingleHashes hf),
+       |sig AS (
+       |  SELECT doc_id, j, min(${signed("(h1 + j*h2) % " + M)}) AS sv
+       |  FROM hh CROSS JOIN (SELECT unnest(range($numHashes)) AS j) js
+       |  GROUP BY doc_id, j),
+       |bh AS (
+       |  SELECT doc_id, j // $rows AS band,
+       |         list_reduce(list_prepend(17::HUGEINT, list(${unsigned("sv")} ORDER BY j)),
+       |                     (a, x) -> (a*31 + x) % $M) AS bv
+       |  FROM sig GROUP BY doc_id, j // $rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bh a JOIN bh b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT a_id, b_id,
+       |         CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+       |                   >= $threshold
+       |              THEN 1 ELSE 0 END AS dup
+       |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id),
+       |u AS (
+       |  SELECT a_id AS doc_id, dup, 0 AS dup_smaller FROM ver
+       |  UNION ALL
+       |  SELECT b_id AS doc_id, dup, dup AS dup_smaller FROM ver)
+       |SELECT d.doc_id,
+       |       count(u.dup) AS n_cand,
+       |       CAST(coalesce(sum(u.dup), 0) AS BIGINT) AS n_dup,
+       |       CAST(CASE WHEN coalesce(sum(u.dup_smaller), 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
+       |FROM d LEFT JOIN u ON u.doc_id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
+  /** Full-precision double literal (Java Double.toString round-trips,
+    * DuckDB parses to the nearest double = the original). */
+  private def dlit(d: Double): String = java.lang.Double.toString(d)
+
+  /** Left-to-right double dot product of the embedding column with a
+    * literal plane — same fold order as
+    * [[graft.functions.VectorFunctions.dot]]. */
+  private def dotLit(plane: Array[Double]): String = {
+    val lits = plane.map(dlit).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"[CAST(embedding[k] AS DOUBLE) * ($lits)[k] for k in range(1, ${plane.length + 1})]), " +
+      s"(acc, v) -> acc + v)"
+  }
+
+  /** Oracle for `ann_lsh`: sign-bucket from literal hyperplanes (same
+    * deterministic planes as [[graft.operators.Ann.hyperplanes]]),
+    * bucket equi-join, cosine top-k. */
+  def annLshOracle(planes: Array[Array[Double]], nQueries: Int, k: Int): String = {
+    val bucketExpr = planes.zipWithIndex
+      .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} > 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM e q JOIN e c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM p)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Oracle for `ann_ivf`: centroids = first `nlist` vectors, nearest-
+    * centroid assignment (cos desc, cid asc), `nprobe` probe lists per
+    * query, cosine top-k within probed lists. */
+  def annIvfOracle(nlist: Int, nprobe: Int, nQueries: Int, k: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $nlist),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                    CAST(c.c_emb AS DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cid AS list_id FROM (
+       |    SELECT e.vec_id AS q_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                    CAST(c.c_emb AS DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $nQueries) t
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(n.embedding AS DOUBLE[])) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.list_id = p.list_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
+}

@@ -309,6 +309,13 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
         |       CAST(list_sum(list_transform(string_split(text, ' '),
         |                                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // hash-pipeline oracles: bit-exact DuckDB replays of the custom
+    // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
+    "doc_fingerprint" -> DuckSql.fingerprintOracle,
+    "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
+    "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
+    "ann_lsh" -> DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5),
+    "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5)
   )
 }

@@ -10,40 +10,56 @@ import graft.functions.{Hashing, TextFunctions}
   * candidate-generation step is *linear* in the corpus — the O(n²)
   * work only ever happens inside small blocks/buckets:
   *
-  *  - exact: one hash-shuffle groupBy on content
+  *  - exact: one hash-shuffle groupBy on the 64-bit content fingerprint
   *  - blocked Jaccard: length-bucket blocking (±1 neighbor expansion
   *    keeps boundary pairs), shingle-set verify inside blocks
-  *  - MinHash+LSH: 128-perm signatures, 16×8 banding, bucket
-  *    equi-join for candidates, exact-Jaccard verify
-  *  - SimHash: 64-bit signature, 4×16-bit chunk banding (pigeonhole:
-  *    hamming ≤ 3 ⇒ some chunk equal), popcount verify
+  *  - MinHash+LSH: exact-duplicate collapse, then 128-perm signatures,
+  *    16×8 banding, id-only bucket self-join for candidates,
+  *    exact-Jaccard verify on group representatives
+  *  - SimHash: 64-bit signature, chunk-PAIR banding (pigeonhole-correct
+  *    for the configured hamming radius), popcount verify
   *  - embedding cosine: brute-force pair scan (correctness baseline;
   *    the scale path is [[Ann.lshTopK]]-style bucketing)
   *
+  * The near-dup operators collapse exact duplicates FIRST (identical
+  * shingle sets for MinHash, identical signatures for SimHash): a
+  * boilerplate flood of k identical documents is one group — one
+  * signature, one bucket row — so the candidate join never sees a
+  * quadratic mega-bucket, and the per-document rollup is reconstituted
+  * exactly from group sizes. This is the standard production shape
+  * (collapse → LSH → verify) and the per-doc output is bit-identical
+  * to the uncollapsed computation (see [[Dedup.rollupPerDoc]]).
+  *
   * At 100 TB: banding hashes distribute uniformly so bucket joins are
   * AQE-splittable; signatures are computed in one codegen'd pass per
-  * row ([[graft.functions.Hashing]]); no driver-side loops anywhere.
+  * row ([[graft.functions.Hashing]]); no driver-side loops, no forced
+  * broadcasts of corpus-sized relations anywhere.
   */
 object Dedup {
 
-  /** Exact dedup: keeper id + multiplicity per distinct text. */
+  /** Exact dedup: keeper id + multiplicity per distinct text.
+    *
+    * Groups by the 64-bit content fingerprint, not the text itself —
+    * at 100 TB the shuffle carries 8 bytes per row instead of whole
+    * document bodies (collision odds ~1e-15 per pair make the
+    * fingerprint a safe group key; pair it with a within-group verify
+    * if the corpus is adversarial). */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(Hashing.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
   /** Near-dup pairs by 3-gram-shingle Jaccard ≥ `threshold`, blocked
     * by length bucket (±1). Returns (a_id, b_id, j).
     *
-    * Execution shape (this matters at scale): candidate pairs are
-    * generated from *id-only* rows (the blocked join touches 16-byte
-    * rows, never arrays), then repartitioned by a_id — so the heavy
-    * verify step is spread over the full cluster even though the
-    * blocking key has few distinct values. Shingle arrays are attached
-    * via two joins against the (persisted) shingle projection and the
-    * intersection is computed once per pair. The broadcast hint fits
-    * corpora whose (id, shingles) projection fits an executor; beyond
-    * that Spark falls back to a shuffle join on id — still linear. */
+    * This is the correctness BASELINE for [[minhashLsh]] (the scale
+    * path): emitting all pairs is inherently quadratic in duplicate
+    * groups, and the low-cardinality blocking key concentrates work.
+    * Execution shape: candidate pairs are generated from *id-only*
+    * rows (the blocked join touches 16-byte rows, never arrays), then
+    * repartitioned by a_id so the verify spreads across the cluster;
+    * shingle arrays attach via joins against the persisted projection
+    * — no broadcast hints, AQE picks the strategy by observed size. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // Shingle sets are hashed to SORTED long arrays once per doc:
     // string compares / hash-set probes disappear from the per-pair
@@ -66,10 +82,10 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .repartition(col("a_id"))
     cand
-      .join(broadcast(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        size(col("sh")).as("a_n"))), Seq("a_id"))
-      .join(broadcast(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        size(col("sh")).as("b_n"))), Seq("b_id"))
+      .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        size(col("sh")).as("a_n")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        size(col("sh")).as("b_n")), Seq("b_id"))
       // size-ratio prefilter: j ≥ t ⇒ i ≥ t(na+nb)/(1+t) and
       // i ≤ min(na,nb), so min(na,nb)·(1+t) ≥ t·(na+nb) is a
       // necessary condition — prunes pairs before the merge pass
@@ -82,89 +98,145 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("j"))
   }
 
+  /** Reconstitute the per-document near-dup rollup from group-level
+    * pair verdicts. Exactness argument: within a group every member
+    * pair is a candidate AND a verified dup (identical signatures ⇒
+    * identical buckets; identical shingle sets ⇒ j = 1; identical
+    * simhash ⇒ hamming 0), so each member sees its (m-1) co-members;
+    * across groups, candidacy and the dup verdict depend only on the
+    * group representative, so a partner group contributes its full
+    * size `pm` to every member. `keep` drops a doc iff a verified dup
+    * with a smaller id exists: a smaller co-member (doc_id > gid) or a
+    * dup partner group whose min id (= its gid) is smaller.
+    *
+    *  - `members`:  (gid, doc_id, m [, carry…])
+    *  - `verified`: (a_gid, b_gid, dup) — distinct group pairs
+    *  - `sizes`:    (gid, m)
+    */
+  private def rollupPerDoc(members: DataFrame, verified: DataFrame,
+                           sizes: DataFrame, carry: Seq[String]): DataFrame = {
+    val fromA = verified
+      .join(sizes.select(col("gid").as("b_gid"), col("m").as("pm")), Seq("b_gid"))
+      .select(col("a_gid").as("gid"), col("pm"), col("dup"), col("b_gid").as("p_gid"))
+    val fromB = verified
+      .join(sizes.select(col("gid").as("a_gid"), col("m").as("pm")), Seq("a_gid"))
+      .select(col("b_gid").as("gid"), col("pm"), col("dup"), col("a_gid").as("p_gid"))
+    val pairAgg = fromA.unionAll(fromB).groupBy(col("gid")).agg(
+      sum(col("pm")).as("ext_cand"),
+      sum(col("dup") * col("pm")).as("ext_dup"),
+      min(when(col("dup") === 1, col("p_gid"))).as("min_dup_gid"))
+    members.join(pairAgg, Seq("gid"), "left")
+      .select(
+        col("doc_id") +: carry.map(col) :+
+          (col("m") - 1 + coalesce(col("ext_cand"), lit(0L))).as("n_cand") :+
+          (col("m") - 1 + coalesce(col("ext_dup"), lit(0L))).as("n_dup") :+
+          when(col("doc_id") > col("gid") ||
+              (col("min_dup_gid").isNotNull && col("min_dup_gid") < col("doc_id")), lit(0))
+            .otherwise(lit(1)).as("keep"): _*)
+  }
+
   /** MinHash+LSH near-dup summary per document:
     * (doc_id, n_cand, n_dup, keep). A doc is kept when no *verified*
     * duplicate (exact shingle Jaccard ≥ threshold) has a smaller id —
-    * the distributed analogue of "keep first occurrence". */
+    * the distributed analogue of "keep first occurrence".
+    *
+    * Scale shape: exact-dup collapse by shingle-set hash (8-byte
+    * shuffle key, map-side combined) → signatures on distinct shingle
+    * sets only → id-only (gid, band, bh) self-join for candidates
+    * (hash equi-join, AQE skew-splittable, never a corpus broadcast)
+    * → shingle arrays attach to the *candidate* rows via two joins
+    * against the persisted group projection → group-pair verdicts fan
+    * back out to documents through arithmetic on group sizes. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val d = docs
+    val withKey = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .withColumn("gk", xxhash64(col("sh")))
+    // collapse: one row per distinct shingle set; min_by keeps the
+    // representative deterministic, partial aggregation means the
+    // shuffle carries ~one shingle array per DISTINCT document
+    val groups = withKey
+      .groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+        min_by(col("sh"), col("doc_id")).as("sh"))
       .persist()
-    // one pass: shingles → signature → band buckets; pairs are
-    // generated inside each bucket via sorted-combination lambdas
-    // (no self-join — a self-join would re-run the whole hashing
-    // subtree and shuffle it twice)
-    val buckets = d
+    val members = withKey.select(col("doc_id"), col("gk"))
+      .join(groups.select(col("gk"), col("gid"), col("m")), Seq("gk"))
+    // banded signature projection: `bands` small (gid, band, bh) rows
+    // per group — this is all the candidate join ever shuffles
+    val bh = groups
       .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
-      .select(col("doc_id"),
+      .select(col("gid"),
         posexplode(Hashing.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-      .groupBy(col("band"), col("bh"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .persist()
+    val candG = bh.as("a")
+      .join(bh.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
       .distinct()
-    // verified dup pairs: attach shingles from the cached projection;
-    // candidate set is tiny (LSH gives ~linear candidates), so it is
-    // broadcast against the corpus-side scans
-    val withA = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      .join(broadcast(cand), Seq("a_id"))
-    val verified = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      .join(broadcast(withA), Seq("b_id"))
+    val shProj = groups.select(col("gid"), col("sh"))
+    val verified = shProj.select(col("gid").as("a_gid"), col("sh").as("a_sh"))
+      .join(candG, Seq("a_gid"))
+      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
       .withColumn("dup", (col("j") >= threshold).cast("int"))
-      .select(col("a_id"), col("b_id"), col("dup"))
-    // per-doc rollup: candidates/dups seen from either side; `keep`
-    // drops docs having a verified dup with a smaller id
-    val fromA = verified.select(col("a_id").as("doc_id"), col("dup"), lit(0).as("dup_smaller"))
-    val fromB = verified.select(col("b_id").as("doc_id"), col("dup"), col("dup").as("dup_smaller"))
-    docs.select(col("doc_id"))
-      .join(fromA.unionAll(fromB), Seq("doc_id"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(col("dup")).as("n_cand"),
-        coalesce(sum(col("dup")), lit(0L)).as("n_dup"),
-        when(coalesce(sum(col("dup_smaller")), lit(0L)) > 0, lit(0)).otherwise(lit(1)).as("keep"))
+      .select(col("a_gid"), col("b_gid"), col("dup"))
+    rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq.empty)
   }
 
-  /** SimHash near-dup summary per document (hamming ≤ `maxHamming`).
-    * Candidates via 4×16-bit chunk banding. */
+  /** SimHash near-dup summary per document (hamming ≤ `maxHamming`):
+    * (doc_id, sh64, n_cand, n_dup, keep).
+    *
+    * Candidate generation bands on unordered PAIRS of `maxHamming+2`
+    * bit chunks: ≤ maxHamming differing bits damage at most maxHamming
+    * chunks, so at least two chunks survive intact and the pair of
+    * surviving chunks matches — the pigeonhole guarantee covers the
+    * full configured radius (the naive one-chunk-per-band split only
+    * guarantees hamming ≤ nChunks-1). Chunk pairs also keep the band
+    * key wide (~16 bits for the default) so buckets stay selective at
+    * scale. Exact-dup collapse on sh64 keeps identical-document floods
+    * from forming quadratic buckets. */
   def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    // persisted: the chunk self-join below scans this twice, and
-    // re-deriving simhashes per scan would double the hashing work
     val s = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        Hashing.simhash(TextFunctions.tokens(col("text"))).as("sh64")).persist()
-    val chunkArr = array((0 until 4).map(i =>
-      shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xffffL))): _*)
-    val chunks = s.select(col("doc_id"), col("sh64"),
-      posexplode(chunkArr).as(Seq("ci", "cv")))
-    val cand = chunks.as("a")
-      .join(chunks.as("b"), col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        Hashing.simhash(TextFunctions.tokens(col("text"))).as("sh64"))
+      .persist() // 16 B/row; scanned by both the collapse and the member join
+    val groups = s.groupBy(col("sh64"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .persist()
+    val members = s.join(groups, Seq("sh64")) // (doc_id, sh64, gid, m)
+    val nChunks = maxHamming + 2
+    val bounds = (0 to nChunks).map(i => (64 * i) / nChunks)
+    def chunk(i: Int): Column = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      shiftrightunsigned(col("sh64"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val bandArr = array(pairIdx.map { case (i, j) =>
+      val wj = bounds(j + 1) - bounds(j)
+      chunk(i) * lit(1L << wj) + chunk(j) // < 2^26, no ANSI overflow
+    }: _*)
+    val bandsDf = groups
+      .select(col("gid"), col("sh64"), posexplode(bandArr).as(Seq("ci", "cv")))
+      .persist()
+    val verified = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"),
         col("a.sh64").as("a_sh"), col("b.sh64").as("b_sh"))
       .distinct()
-      .withColumn("dup", (bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming).cast("int"))
-    val fromA = cand.select(col("a_id").as("doc_id"), col("dup"), lit(0).as("dup_smaller"))
-    val fromB = cand.select(col("b_id").as("doc_id"), col("dup"), col("dup").as("dup_smaller"))
-    s.select(col("doc_id"), col("sh64"))
-      .join(fromA.unionAll(fromB), Seq("doc_id"), "left")
-      .groupBy(col("doc_id"), col("sh64"))
-      .agg(
-        count(col("dup")).as("n_cand"),
-        coalesce(sum(col("dup")), lit(0L)).as("n_dup"),
-        when(coalesce(sum(col("dup_smaller")), lit(0L)) > 0, lit(0)).otherwise(lit(1)).as("keep"))
+      .withColumn("dup",
+        (bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming).cast("int"))
+      .select(col("a_gid"), col("b_gid"), col("dup"))
+    rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq("sh64"))
   }
 
   /** Embedding-cosine near-dup pairs (ids only; cosine in strict

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Equivalence + scale-hazard tests for the near-dup operators:
+  *
+  *  - SimHash banding must be LOSSLESS for the configured radius:
+  *    chunk-pair banding guarantees every pair within `maxHamming`
+  *    shares a band (pigeonhole over maxHamming+2 chunks). Verified
+  *    against a brute-force all-pairs popcount at sf0.001.
+  *  - The exact-duplicate collapse inside minhashLsh/simhash must make
+  *    an identical-document flood (the classic boilerplate mega-bucket
+  *    that blows up naive LSH with k² pair expansion) complete with the
+  *    exact same per-doc rollup the naive computation would produce.
+  */
+class DedupEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash banded n_dup equals brute-force all-pairs hamming count") {
+    val docs = Tables.documents(spark, sf)
+    val maxH = 6
+    val out = Dedup.simhash(docs, maxH)
+      .select("doc_id", "sh64", "n_dup", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    val sh = out.map(r => r._1 -> r._2).toMap
+    // brute force over all pairs on the driver (500 docs → 125k pairs)
+    val ids = sh.keys.toArray.sorted
+    val bruteDup = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val bruteMinDup = collection.mutable.Map[Long, Long]()
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))) <= maxH
+    } {
+      bruteDup(ids(i)) += 1; bruteDup(ids(j)) += 1
+      bruteMinDup.updateWith(ids(j))(m => Some(m.fold(ids(i))(math.min(_, ids(i)))))
+    }
+    assert(bruteDup.values.sum > 0, "driver data plants near-dup docs")
+    out.foreach { case (id, _, nDup, keep) =>
+      assert(nDup == bruteDup(id), s"doc $id: banded n_dup $nDup != brute ${bruteDup(id)}")
+      assert(keep == (if (bruteMinDup.contains(id)) 0 else 1), s"doc $id keep")
+    }
+  }
+
+  test("minhashLsh mega-bucket: 10k identical docs collapse, exact rollup, no blowup") {
+    val n = 10000
+    val flood = spark.range(n)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate text repeated over and over in every single doc").as("text"),
+        lit(68).as("n_chars"))
+    val distinctTail = Seq(
+      (100000L, "a completely different document about spark partitions and shuffles", 68),
+      (100001L, "yet another unrelated text mentioning catalyst rules and codegen", 64)
+    ).toDF("doc_id", "text", "n_chars")
+    val t0 = System.nanoTime()
+    val out = Dedup.minhashLsh(flood.unionAll(distinctTail))
+      .as[(Long, Long, Long, Int)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == n + 2)
+    val byId = out.map(r => r._1 -> r).toMap
+    // every flood member: 9999 verified dups, only doc 0 kept
+    assert(byId(0L) == ((0L, (n - 1).toLong, (n - 1).toLong, 1)))
+    assert(byId(1L) == ((1L, (n - 1).toLong, (n - 1).toLong, 0)))
+    assert(byId((n - 1).toLong)._4 == 0)
+    // distinct docs: no candidates, kept
+    assert(byId(100000L) == ((100000L, 0L, 0L, 1)))
+    assert(byId(100001L) == ((100001L, 0L, 0L, 1)))
+    // collapse means this is seconds, not the hours a 10k² pair
+    // expansion would take; generous bound for noisy hosts
+    assert(secs < 120.0, s"mega-bucket took $secs s — collapse not effective?")
+  }
+
+  test("simhash mega-bucket: identical docs collapse with exact rollup") {
+    val n = 5000
+    val flood = spark.range(n)
+      .select(col("id").as("doc_id"),
+        lit("identical tokens everywhere in this flood of boilerplate docs").as("text"),
+        lit(61).as("n_chars"))
+    val out = Dedup.simhash(flood).as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._4 == (n - 1).toLong)) // n_dup
+    assert(out.count(_._5 == 1) == 1) // exactly one keeper
+    assert(out.find(_._5 == 1).get._1 == 0L)
+  }
+}
