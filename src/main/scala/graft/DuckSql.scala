@@ -135,15 +135,25 @@ object DuckSql {
     * fold, bucket self-join candidates, exact-Jaccard verify, per-doc
     * rollup. Mirrors [[graft.operators.Dedup.minhashLsh]] (the hashed
     * 64-bit shingle intersection there equals string-shingle
-    * intersection — no collisions at oracle scale). */
+    * intersection — no collisions at oracle scale).
+    *
+    * Hash family replays the engine's LONG path exactly: the engine
+    * feeds pre-hashed shingles `g = hash64(s, seed 3)` into MinHashSig,
+    * which derives `h1 = hashLong(g, 0) = splitmix64(g)` and
+    * `h2 = hashLong(g, 1) = splitmix64(g ⊕ 1)` — NOT `hash64(s, 0/1)`
+    * over the string. The candidate sets (and `n_cand`) only agree when
+    * the band-hash family is identical, so the oracle finalizes the
+    * seed-3 fold and then re-finalizes for h1/h2. */
   def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String = {
     val rows = numHashes / bands
     val shingleHashes = finalize(
       finalize(
-        "(SELECT doc_id, " + fnvFold("s", 0) + " AS g1, " + fnvFold("s", 1) + " AS g2 FROM " +
-          "(SELECT doc_id, unnest(sh) AS s FROM shl))",
-        "doc_id, g2", "g1", "h1"),
-      "doc_id, h1", "g2", "h2")
+        finalize(
+          "(SELECT doc_id, " + fnvFold("s", 3) + " AS g0 FROM " +
+            "(SELECT doc_id, unnest(sh) AS s FROM shl))",
+          "doc_id", "g0", "g"),
+        "doc_id, g", "g", "h1"),
+      "doc_id, h1", "xor(g, 1::HUGEINT)", "h2")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |shl AS (
        |  SELECT doc_id,

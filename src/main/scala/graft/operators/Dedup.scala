@@ -109,7 +109,13 @@ object Dedup {
     * with a smaller id exists: a smaller co-member (doc_id > gid) or a
     * dup partner group whose min id (= its gid) is smaller.
     *
-    *  - `members`:  (gid, doc_id, m [, carry…])
+    * The within-group (m-1) contribution is gated on the members'
+    * `grp_ok` flag: a group may collapse docs that are identical under
+    * the group key yet are NOT dups of each other under the operator's
+    * own verify (MinHash's empty-shingle group: Jaccard 0/0 is not a
+    * match, so <3-token docs must stay singletons — set grp_ok = 0).
+    *
+    *  - `members`:  (gid, doc_id, m, grp_ok [, carry…])
     *  - `verified`: (a_gid, b_gid, dup) — distinct group pairs
     *  - `sizes`:    (gid, m)
     */
@@ -128,9 +134,9 @@ object Dedup {
     members.join(pairAgg, Seq("gid"), "left")
       .select(
         col("doc_id") +: carry.map(col) :+
-          (col("m") - 1 + coalesce(col("ext_cand"), lit(0L))).as("n_cand") :+
-          (col("m") - 1 + coalesce(col("ext_dup"), lit(0L))).as("n_dup") :+
-          when(col("doc_id") > col("gid") ||
+          (col("grp_ok") * (col("m") - 1) + coalesce(col("ext_cand"), lit(0L))).as("n_cand") :+
+          (col("grp_ok") * (col("m") - 1) + coalesce(col("ext_dup"), lit(0L))).as("n_dup") :+
+          when((col("doc_id") > col("gid") && col("grp_ok") === 1) ||
               (col("min_dup_gid").isNotNull && col("min_dup_gid") < col("doc_id")), lit(0))
             .otherwise(lit(1)).as("keep"): _*)
   }
@@ -154,20 +160,31 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      // two independent 64-bit group keys: a single-key collision would
+      // silently merge unrelated shingle sets and mark their docs as
+      // verified dups; requiring BOTH to collide (~2^-128 per pair)
+      // keeps that negligible even at billions of documents
       .withColumn("gk", xxhash64(col("sh")))
+      .withColumn("gk2", xxhash64(lit(1L), col("sh")))
     // collapse: one row per distinct shingle set; min_by keeps the
     // representative deterministic, partial aggregation means the
     // shuffle carries ~one shingle array per DISTINCT document
     val groups = withKey
-      .groupBy(col("gk"))
+      .groupBy(col("gk"), col("gk2"))
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
         min_by(col("sh"), col("doc_id")).as("sh"))
+      // <3-token docs have empty shingle sets: they all share a group
+      // key, but Jaccard 0/0 is NOT a match — they are neither banded
+      // nor counted as each other's dups (grp_ok gates the rollup)
+      .withColumn("grp_ok", (size(col("sh")) > 0).cast("int"))
       .persist()
-    val members = withKey.select(col("doc_id"), col("gk"))
-      .join(groups.select(col("gk"), col("gid"), col("m")), Seq("gk"))
+    val members = withKey.select(col("doc_id"), col("gk"), col("gk2"))
+      .join(groups.select(col("gk"), col("gk2"), col("gid"), col("m"), col("grp_ok")),
+        Seq("gk", "gk2"))
     // banded signature projection: `bands` small (gid, band, bh) rows
     // per group — this is all the candidate join ever shuffles
     val bh = groups
+      .filter(col("grp_ok") === 1)
       .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
       .select(col("gid"),
         posexplode(Hashing.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
@@ -211,7 +228,8 @@ object Dedup {
     val groups = s.groupBy(col("sh64"))
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
       .persist()
-    val members = s.join(groups, Seq("sh64")) // (doc_id, sh64, gid, m)
+    // identical sh64 ⇒ hamming 0 ⇒ always a true dup: grp_ok is 1
+    val members = s.join(groups, Seq("sh64")).withColumn("grp_ok", lit(1))
     val nChunks = maxHamming + 2
     val bounds = (0 to nChunks).map(i => (64 * i) / nChunks)
     def chunk(i: Int): Column = {

@@ -76,6 +76,24 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(secs < 120.0, s"mega-bucket took $secs s — collapse not effective?")
   }
 
+  test("minhashLsh: short docs (<3 tokens, empty shingle set) are NOT each other's dups") {
+    val docs = Seq(
+      (1L, "hello world", 11),               // 2 tokens → no shingles
+      (2L, "goodbye", 7),                    // 1 token → no shingles
+      (3L, "ok", 2),                         // 1 token → no shingles
+      (10L, "the quick brown fox jumps over the lazy dog", 43),
+      (11L, "the quick brown fox jumps over the lazy dog", 43) // true dup of 10
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.minhashLsh(docs).as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // empty-shingle docs: zero candidates, zero dups, all kept
+    for (id <- Seq(1L, 2L, 3L))
+      assert(out(id) == ((id, 0L, 0L, 1)), s"short doc $id must stay a singleton: ${out(id)}")
+    // the real dup pair still collapses and rolls up
+    assert(out(10L) == ((10L, 1L, 1L, 1)))
+    assert(out(11L) == ((11L, 1L, 1L, 0)))
+  }
+
   test("simhash mega-bucket: identical docs collapse with exact rollup") {
     val n = 5000
     val flood = spark.range(n)
