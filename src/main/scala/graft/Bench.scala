@@ -15,7 +15,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = Sessions.tune(
+    val spark = Sessions.fromEnv(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,24 +2,47 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Tuned SparkSession builders for the graft engine.
+/** Tuned SparkSession builders for the graft engine, split into two
+  * profiles:
   *
-  * Local testing runs `local[32]` in one JVM; the settings below are the
-  * ones that transfer to a 1000-executor cluster unchanged (AQE, skew
-  * handling, UTC, broadcast threshold). `shuffle.partitions` is sized to
-  * the local core count — on a real cluster leave AQE's coalescing to
-  * pick the effective number.
+  *  - [[cluster]] — settings that are correct on ANY deployment,
+  *    including a 1000-executor cluster reading 100 TB: AQE (runtime
+  *    re-planning, partition coalescing, skew-join splitting), UTC
+  *    session time, parquet aggregate pushdown. Nothing here assumes
+  *    single-JVM or small files; scan partition sizing is left at
+  *    Spark's defaults (128 MB splits are right for real datasets).
+  *  - [[benchLocal]] — the cluster profile PLUS single-JVM test-rig
+  *    accommodations that would be wrong on a real cluster: tiny
+  *    `maxPartitionBytes` so one-file parquet test tables still fan
+  *    out across local cores, ICU case mapping off (ASCII-identical
+  *    for the synthetic corpus; ICU's static init and per-char calls
+  *    dominate small benchmarks), and the UI off.
+  *
+  * Verify/Bench pick the profile from `SPARK_GRAFT_PROFILE`
+  * (`cluster` | default `bench`), so the oracle suite runs green under
+  * both.
   */
 object Sessions {
 
-  /** Apply graft's standard configuration to a builder. */
-  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+  /** Deployment-agnostic configuration — safe and intended for a real
+    * cluster. `shufflePartitions <= 0` leaves the default (on a
+    * cluster, size to 2-3× total cores and let AQE coalesce). */
+  def cluster(b: SparkSession.Builder, shufflePartitions: Int = 0): SparkSession.Builder = {
+    val base = b
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+    if (shufflePartitions > 0)
+      base.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    else base
+  }
+
+  /** Local single-JVM profile for tests and benchmarks: cluster
+    * settings + local fan-out/startup accommodations. */
+  def benchLocal(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    cluster(b, shufflePartitions)
       // single-parquet-file tables must still fan out across cores:
       // with the 128m default, a 20 MB file is ONE partition and every
       // scan-heavy stage runs on one thread
@@ -31,9 +54,19 @@ object Sessions {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
 
+  /** Back-compat alias for the local profile (existing mains/tests). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    benchLocal(b, shufflePartitions)
+
+  /** Profile from `SPARK_GRAFT_PROFILE`: `cluster` or (default) local. */
+  def fromEnv(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster"))
+      cluster(b, shufflePartitions)
+    else benchLocal(b, shufflePartitions)
+
   /** Standalone local session (tests / benchmarks). */
   def local(cores: Int = 32): SparkSession = {
-    val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+    val s = benchLocal(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

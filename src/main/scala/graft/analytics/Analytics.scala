@@ -42,8 +42,12 @@ object Analytics {
         count(lit(1)).as("n")
       )
 
-  /** TPC-H Q3-style: two fact joins + one broadcastable dim filter,
-    * deterministic top-10 (total order via revenue desc, orderkey). */
+  /** TPC-H Q3-style: two fact joins + a filtered customer join,
+    * deterministic top-10 (total order via revenue desc, orderkey).
+    * No forced broadcast: customer scales with the fact tables, so the
+    * hint that helps at sf0.1 OOMs the build side at 100×. AQE
+    * broadcasts at runtime whenever the filtered side is actually
+    * small. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
@@ -51,7 +55,7 @@ object Analytics {
         Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00")),
         col("l_orderkey") === col("o_orderkey"))
       .join(
-        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
         col("o_orderpriority"))
@@ -59,8 +63,12 @@ object Analytics {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5-style 6-way star join; all dims broadcast, the single
-    * fact-fact (orders ⋈ lineitem) join shuffles once on orderkey. */
+  /** TPC-H Q5-style 6-way star join. Only the constant-cardinality
+    * dims (region = 5 rows, nation = 25 rows at every SF) carry an
+    * explicit broadcast; customer and supplier SCALE with the data, so
+    * their joins are left to the planner — AQE broadcasts them when
+    * the runtime size is small and shuffles when it isn't, which is
+    * the only strategy that survives a 100× scale-up. */
   def q5SupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val nations = Tables.nation(s, dir)
@@ -71,8 +79,8 @@ object Analytics {
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
             col("o_orderdate") < ts("1997-01-01 00:00:00")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
 
 /** Vector math over `array<float>` embedding columns.
@@ -83,4 +83,73 @@ object VectorFunctions {
 
   /** Cosine similarity in double precision (native fused loop). */
   def cosine(a: Column, b: Column): Column = toColumn(CosineF32(toExpr(a), toExpr(b)))
+
+  /** [[CosineF32]]'s arithmetic against a plan-constant centroid —
+    * identical loop/accumulation order, so scores are bit-equal to the
+    * pairwise expression (required for oracle hash-match). */
+  def cosineVsConst(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b(i).toDouble
+      xy += x * y; xx += x * x; yy += y * y
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  /** Kernel for [[NearestCentroids]] (also called from generated
+    * code): ids of the `n` centroids nearest to `v` by (cosine desc,
+    * id asc — strict-greater keeps the first/lowest id on ties). */
+  def nearestCids(v: ArrayData, cents: Array[Array[Float]], cids: Array[Long],
+                  n: Int): GenericArrayData = {
+    val m = cents.length
+    val cos = new Array[Double](m)
+    var c = 0
+    while (c < m) { cos(c) = cosineVsConst(v, cents(c)); c += 1 }
+    val used = new Array[Boolean](m)
+    val picked = new Array[Long](n)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var i = 0
+      while (i < m) {
+        if (!used(i) && (best < 0 || cos(i) > cos(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      picked(r) = cids(best)
+      r += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  /** Ids of the `n` nearest centroids of a plan-constant codebook —
+    * the IVF coarse quantizer as a pure map-side expression. The
+    * codebook (an index artifact, built once) ships as a plan constant
+    * to every task, so inverted-list assignment of a 100 TB corpus
+    * never shuffles an embedding: the only per-row state that moves is
+    * the chosen list id. */
+  case class NearestCentroids(child: Expression, cents: Array[Array[Float]],
+                              cids: Array[Long], n: Int) extends UnaryExpression {
+    require(n >= 1 && n <= cents.length && cents.length == cids.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      nearestCids(v.asInstanceOf[ArrayData], cents, cids, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+        val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+        s"${ev.value} = graft.functions.VectorFunctions.nearestCids($c, $centsRef, $cidsRef, $n);"
+      })
+  }
+
+  def nearestCentroids(v: Column, cents: Array[Array[Float]], cids: Array[Long], n: Int): Column =
+    toColumn(NearestCentroids(toExpr(v), cents, cids, n))
 }

@@ -57,34 +57,36 @@ object Ann {
     * to its nearest centroid's inverted list, queries probe their
     * `nprobe` nearest lists and score only those candidates.
     *
-    * Scale shape: the codebook is tiny and broadcast everywhere; list
-    * assignment is one linear scan of the corpus (in production,
-    * materialized once as the index); each query scans ~nprobe/nlist
-    * of the corpus through an equi-join on list id — hash-partitioned,
-    * AQE-splittable, no pairwise blowup. */
+    * Scale shape: the codebook is an INDEX ARTIFACT — built once on
+    * the driver (a few KB; in production an offline k-means product)
+    * and shipped to tasks as a plan constant inside the codegen'd
+    * [[graft.functions.VectorFunctions.NearestCentroids]] expression.
+    * List assignment is therefore a pure map over the corpus: no
+    * exchange ever carries an embedding for assignment (the round-1/2
+    * plan shuffled every full vector through a groupBy to compute this
+    * argmax). Each query then scans ~nprobe/nlist of the corpus via a
+    * broadcast equi-join on list id — hash-probed, AQE-splittable, no
+    * pairwise blowup. */
   def ivfTopK(embeddings: DataFrame, nlist: Int = 16, nprobe: Int = 4,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val cent = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    // inverted-list assignment: nearest centroid per corpus vector
-    val assigned = embeddings
-      .crossJoin(broadcast(cent))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max_by(col("cid"), struct(col("c_cos"), -col("cid"))).as("list_id"))
-    // probe lists: each query's nprobe nearest centroids
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cid"))
+    val centRows = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    // inverted-list assignment: map-side argmax against the constant
+    // codebook — zero embedding bytes through any exchange
+    val assigned = embeddings.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("list_id"))
+    // probe lists: each query's nprobe nearest centroids, same kernel
     val probes = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cent))
-      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cid").as("list_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(nearestCentroids(col("embedding"), cents, cids, nprobe)).as("list_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes)
-      .join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("list_id")), Seq("list_id"))
+      .join(assigned, Seq("list_id"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(w))
