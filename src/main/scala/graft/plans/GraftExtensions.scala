@@ -25,6 +25,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Parameter args (hash counts, band shape) must be literals: the
+    * expression is shaped at plan time. A column arg used to NPE inside
+    * the builder (`eval()` on an unbound attribute); raise a proper
+    * analysis-time error instead. */
+  private def intLit(e: Expression, fn: String, param: String): Int = {
+    def fail(): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case n: Number => n.intValue()
+      case _ => fail()
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "graft_fingerprint(str) - 64-bit content fingerprint"),
@@ -38,12 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(arr[, n]) - MinHash signature (default 128 perms)"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 128)))
+        if (exprs.length > 1) intLit(exprs(1), "graft_minhash", "numHashes") else 128)))
     e.injectFunction((FunctionIdentifier("graft_bandhash"),
       info("graft_bandhash", "graft_bandhash(sig, bands, rowsPerBand) - LSH band hashes"),
       (exprs: Seq[Expression]) => BandHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+        intLit(exprs(1), "graft_bandhash", "bands"),
+        intLit(exprs(2), "graft_bandhash", "rowsPerBand"))))
     e.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect", "graft_sorted_intersect(a, b) - |a ∩ b| of sorted long arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))

@@ -27,14 +27,29 @@ import graft.streaming.ChangelogStream.Change
   * Versioned directories + a pointer file give atomic publish on any
   * filesystem with atomic small-file writes (on object stores you'd
   * swap the pointer for a manifest commit, e.g. a table format's
-  * transaction log — the merge plan itself is unchanged). State needed
-  * for exactly-once restart lives in the streaming checkpoint: replays
-  * of a committed batch are idempotent because the merge is
-  * last-writer-wins on (tbl, id, pos).
+  * transaction log — the merge plan itself is unchanged).
+  *
+  * Restart idempotence: the published batch id is recoverable from the
+  * pointer itself (`v<batchId>`). A crash after the pointer flip but
+  * before the streaming checkpoint commits makes the engine replay the
+  * batch — without the [[alreadyPublished]] guard that replay would
+  * read snapshot `v<batchId>` as input and `Overwrite` the very same
+  * directory, which Spark rejects, turning a clean recovery into a
+  * crash-loop. With the guard, a replayed batch that already published
+  * is a no-op (the batch contents are identical on replay — the
+  * checkpoint pins the offsets — so the published snapshot is exactly
+  * the merge result).
   */
 object UpsertSink {
 
   private val current = "_CURRENT"
+
+  /** True iff `v<batchId>` is already the published snapshot. */
+  private def alreadyPublished(tableDir: String, batchId: Long): Boolean = {
+    val ptr = Paths.get(tableDir, current)
+    Files.exists(ptr) &&
+      new String(Files.readAllBytes(ptr), "UTF-8").trim == s"v$batchId"
+  }
 
   /** Read the currently-published snapshot (empty frame if none). */
   def readCurrent(spark: SparkSession, tableDir: String): DataFrame = {
@@ -48,8 +63,11 @@ object UpsertSink {
     }
   }
 
-  /** Merge one batch of changes into the snapshot and publish. */
+  /** Merge one batch of changes into the snapshot and publish.
+    * Idempotent per batchId: a replay of an already-published batch
+    * (crash between pointer flip and checkpoint commit) is a no-op. */
   def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long): Unit = {
+    if (alreadyPublished(tableDir, batchId)) return
     val spark = batch.sparkSession
     val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)
     val folded = batch.toDF()

@@ -39,4 +39,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getInt(0)
     assert(si == 2)
   }
+
+  test("non-literal parameter args raise AnalysisException, not NPE") {
+    import spark.implicits._
+    val df = Seq((Array("a", "b", "c", "d"), 4)).toDF("toks", "n")
+    df.createOrReplaceTempView("gx_neg")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(graft_shingles3(toks), n) FROM gx_neg").collect()
+    }
+    assert(e1.getCondition == "NON_FOLDABLE_ARGUMENT", e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_bandhash(graft_minhash(graft_shingles3(toks)), n, 8) FROM gx_neg").collect()
+    }
+    assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getMessage)
+  }
 }

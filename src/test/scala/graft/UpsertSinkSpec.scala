@@ -39,4 +39,28 @@ class UpsertSinkSpec extends AnyFunSuite {
       .select("id", "value").as[(Long, Double)].collect().toSet
     assert(snap2 == Set((1L, 1.5), (3L, 3.0)))
   }
+
+  test("replay of an already-published batch recovers instead of crash-looping") {
+    val tableDir = Files.createTempDirectory("graft_sink_replay").toString
+    val b0 = Seq(
+      Change(1, "upsert", "t", 1, 1.0),
+      Change(2, "upsert", "t", 2, 2.0)).toDS()
+    UpsertSink.mergeBatch(b0, tableDir, 0L)
+    // crash between pointer flip and checkpoint commit ⇒ the engine
+    // re-invokes foreachBatch with the SAME batchId and contents.
+    // Before the published-batch guard this read v0 and Overwrote v0 —
+    // Spark rejects overwriting an input path, so recovery looped.
+    UpsertSink.mergeBatch(b0, tableDir, 0L) // must be a clean no-op
+    val snap0 = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(snap0 == Set((1L, 1.0), (2L, 2.0)))
+    // and the stream continues normally afterwards
+    val b1 = Seq(
+      Change(3, "delete", "t", 1, 0.0),
+      Change(4, "upsert", "t", 3, 3.0)).toDS()
+    UpsertSink.mergeBatch(b1, tableDir, 1L)
+    val snap1 = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(snap1 == Set((2L, 2.0), (3L, 3.0)))
+  }
 }
