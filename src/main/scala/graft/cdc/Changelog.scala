@@ -82,40 +82,51 @@ object Changelog {
     * does not scale, and a naive `r_pos <= pos` broadcast join is a
     * nested-loop O(|log|·|rotates|). Instead: rotates (a vanishing
     * fraction of the log) become disjoint `[start, end)` intervals,
-    * each interval is exploded onto fixed-size position buckets, and
-    * the log equi-joins on its own bucket — one hash join, linear in
-    * the log, no global ordering, AQE-splittable. The only window runs
-    * over the tiny rotate set itself.
+    * each interval is exploded onto position buckets, and the log
+    * equi-joins on its own bucket — one hash join, linear in the log,
+    * no global ordering, AQE-splittable. The only window runs over the
+    * tiny rotate set itself.
+    *
+    * Bucket width ADAPTS to the observed position range: width =
+    * range/2¹⁶, so the exploded control table is always ~2¹⁶ + R rows
+    * (R = rotate count) — a dense event-id log and a sparse 64-bit
+    * binlog byte-offset log both broadcast a few-MB table. (A fixed
+    * width needs range/width bucket rows: at realistic byte offsets
+    * that explodes by orders of magnitude and overflows `sequence()`.)
+    * The range stats are a 1-row aggregate cross-joined onto both
+    * sides — fully declarative, no driver action.
     */
-  def attachFile(log: DataFrame, bucketSize: Long = 4096L): DataFrame = {
+  def attachFile(log: DataFrame): DataFrame = {
     val rotates = log
       .filter(col("etype") === "signup")
       .select(col("pos").as("r_start"), rotateFile(col("id")).as("r_file"))
     // window over rotates only — the control stream is small by nature
     val w = Window.orderBy(col("r_start"))
-    val maxPos = log.agg(max(col("pos")).as("p_max"))
+    val stats = log.agg(min(col("pos")).as("p_min"), max(col("pos")).as("p_max"))
+      .withColumn("bsize", greatest(lit(1L), expr("(p_max - p_min + 1) div 65536")))
     val intervals = rotates
       .withColumn("r_end", lead(col("r_start"), 1).over(w))
       .unionByName(
         // sentinel interval: before the first rotate → default file
         rotates.agg(min(col("r_start")).as("r_end"))
           .select(lit(Long.MinValue).as("r_start"), lit(DefaultFile).as("r_file"), col("r_end")))
-      .crossJoin(maxPos)
+      .crossJoin(stats)
       .withColumn("r_end_eff", coalesce(col("r_end"), col("p_max") + 1))
     // explode each interval onto the position buckets it covers
     val byBucket = intervals
-      .withColumn("b_lo", expr(s"greatest(r_start, 0L) div $bucketSize"))
-      .withColumn("b_hi", expr(s"(r_end_eff - 1) div $bucketSize"))
+      .withColumn("b_lo", expr("(greatest(r_start, p_min) - p_min) div bsize"))
+      .withColumn("b_hi", expr("(r_end_eff - 1 - p_min) div bsize"))
       .withColumn("bucket", explode(sequence(col("b_lo"), greatest(col("b_lo"), col("b_hi")))))
       .select(col("bucket"), col("r_start"), col("r_end_eff"), col("r_file"))
     log
       .filter(col("etype") =!= "signup")
-      .withColumn("bucket", expr(s"pos div $bucketSize"))
+      .crossJoin(broadcast(stats.select(col("p_min"), col("bsize"))))
+      .withColumn("bucket", expr("(pos - p_min) div bsize"))
       .join(broadcast(byBucket), Seq("bucket"), "left")
       .filter(col("r_start").isNull ||
         (col("pos") >= col("r_start") && col("pos") < col("r_end_eff")))
       .withColumn("file", coalesce(col("r_file"), lit(DefaultFile)))
-      .drop("bucket", "r_start", "r_end_eff", "r_file", "p_max")
+      .drop("bucket", "r_start", "r_end_eff", "r_file", "p_min", "p_max", "bsize")
   }
 
   private def rotateFile(id: Column): Column =

@@ -50,6 +50,23 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out == Map(1L -> "bin.000000", 3L -> "bin.000003", 5L -> "bin.000005"))
   }
 
+  test("attachFile handles sparse 64-bit byte-offset ranges (adaptive bucketing)") {
+    // realistic binlog positions: byte offsets spread over ~10^12.
+    // A fixed 4096-wide bucket explode needs ~2.4·10^8 rows here (and
+    // overflows sequence() past 2^31 buckets); the adaptive width keeps
+    // the control table at ~2^16 rows regardless of range.
+    val l = log(
+      (3L, "upsert", "t", 1, 0, 1.0, "x"),
+      (500000000000L, "upsert", "t", 7, 0, 1.0, "signup"), // rotate → bin.000007
+      (500000000001L, "upsert", "t", 2, 0, 1.0, "x"),
+      (999999999999L, "upsert", "t", 4, 0, 1.0, "x"))
+    val out = Changelog.attachFile(l).select("pos", "file").as[(Long, String)].collect().toMap
+    assert(out == Map(
+      3L -> "bin.000000",
+      500000000001L -> "bin.000007",
+      999999999999L -> "bin.000007"))
+  }
+
   test("applyChangelog: log wins, final deletes drop snapshot rows") {
     val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
     val l = log(
