@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{Changelog, RowFormat}
+import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
 import graft.operators.{Ann, Dedup}
 import graft.functions.{Hashing, TextFunctions}
@@ -40,6 +40,8 @@ object SparkEntry {
         "customer")),
     "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
     "cdc_dlq" -> ((s, d) => RowFormat.deadLetter(ev(s, d))),
+    "cdc_schema_attach" -> ((s, d) =>
+      SchemaRegistry.attachDemo(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
     // ---- C. Analytics ----
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority _),
@@ -163,6 +165,31 @@ object SparkEntry {
         |       'k_out_of_range' AS reason
         |FROM events
         |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "cdc_schema_attach" -> (logCte +
+      """, alters AS (
+        |  SELECT tbl, pos, CAST(row_number() OVER (PARTITION BY tbl ORDER BY pos) AS INT) AS version
+        |  FROM committed WHERE etype = 'purchase' AND id % 10 = 3),
+        |vu AS (
+        |  SELECT b.tbl, 0 AS version, -1 AS from_pos FROM (VALUES ('customer'), ('orders')) b(tbl)
+        |  UNION ALL
+        |  SELECT tbl, version, pos AS from_pos FROM alters),
+        |vi AS (
+        |  SELECT tbl, version, from_pos,
+        |         coalesce(lead(from_pos) OVER (PARTITION BY tbl ORDER BY from_pos),
+        |                  9223372036854775807) AS until_pos
+        |  FROM vu),
+        |vc AS (
+        |  SELECT tbl, version, from_pos, until_pos,
+        |         (CASE WHEN tbl = 'customer' THEN ['c_id','c_name','c_acct','c_seg']
+        |               ELSE ['o_id','o_custkey','o_total','o_status'] END
+        |          || [('extra_' || CAST(i AS VARCHAR)) for i in range(1, version + 1)]) AS cols
+        |  FROM vi)
+        |SELECT l.pos, l.op, l.tbl, l.id, v.version AS schema_version,
+        |       CAST(len(v.cols) AS INT) AS n_cols,
+        |       array_to_string(v.cols, ',') AS cols_sig
+        |FROM committed l JOIN vc v
+        |  ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
+        |WHERE NOT (l.etype = 'purchase' AND l.id % 10 = 3)""".stripMargin),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,170 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned table-schema registry — the Spark-native analogue of the
+  * reference's schema pipeline (`src/dumpr/table_schema.clj:41-66`
+  * `load-schema`, `src/dumpr/stream.clj:197-212` `add-table-schema`):
+  *
+  *  - `load-schema` pulls per-table column metadata
+  *    (name/type/charset/PK) from `information_schema` → [[base]]
+  *    builds the same rows from caller-supplied [[ColSpec]]s (in
+  *    production they'd come through a JDBC `information_schema` read
+  *    à la [[graft.sources.JdbcSnapshot]]; the test env has no MySQL).
+  *  - The reference CACHES schemas and CLEARS the cache when an
+  *    ALTER TABLE event passes (`clear-schema-cache!`), so rows after
+  *    the ALTER see the reloaded schema. Declaratively that cache is a
+  *    VERSIONED registry: each ALTER closes the current version's
+  *    validity interval `[from_pos, until_pos)` and opens the next;
+  *    [[attach]] is an as-of join, so every row sees exactly the
+  *    schema in force at its binlog position — same observable
+  *    semantics, but replayable/deterministic and with no mutable
+  *    driver state.
+  *  - `convert-with-schema` (`stream.clj:214-268`) zips raw row values
+  *    with column names and decodes text-typed columns per their
+  *    column charset → [[convertWithSchema]].
+  *
+  * Scale shape: the registry is a control relation (tables × schema
+  * versions — thousands of rows, not billions). [[attach]] broadcasts
+  * it and equi-joins on `tbl` with an interval containment filter;
+  * validity intervals are disjoint, so each log row matches exactly
+  * one version and the log itself is never shuffled.
+  */
+object SchemaRegistry {
+
+  /** One column of a table schema — the reference's `Col`
+    * (`table_schema.clj:7-10`): name, type keyword, charset. */
+  case class ColSpec(name: String, ctype: String, charset: String = null)
+
+  private val TextTypes = Seq("tinytext", "text", "mediumtext", "longtext", "varchar", "char")
+
+  /** Registry rows at version 0 (pre-ALTER base schemas):
+    * `(tbl, version, from_pos, col_names, col_types, col_charsets)`.
+    * Parallel arrays keep the frame zipmap-friendly (and trivially
+    * portable to a SQL oracle). */
+  def base(spark: SparkSession, specs: Map[String, Seq[ColSpec]]): DataFrame = {
+    import spark.implicits._
+    specs.toSeq.sortBy(_._1)
+      .map { case (tbl, cols) =>
+        (tbl, 0, Long.MinValue,
+          cols.map(_.name), cols.map(_.ctype), cols.map(_.charset))
+      }
+      .toDF("tbl", "version", "from_pos", "col_names", "col_types", "col_charsets")
+  }
+
+  /** Apply ALTER events to the base registry: the n-th ALTER of a
+    * table opens version n, whose schema is the base plus appended
+    * columns `extra_1 … extra_n` (the deterministic demo DDL — a real
+    * binlog source would carry the parsed ALTER column change here).
+    * Output adds `until_pos` (validity interval end, exclusive),
+    * `n_cols` and `cols_sig` for cheap downstream checks.
+    *
+    * `alters`: (tbl, pos) — a control relation (ALTERs are rare). */
+  def withAlters(baseReg: DataFrame, alters: DataFrame): DataFrame = {
+    val vw = Window.partitionBy(col("tbl")).orderBy(col("pos"))
+    val alterVersions = alters
+      .select(col("tbl"), col("pos").as("from_pos"),
+        row_number().over(vw).as("version"))
+    val versioned = baseReg
+      .join(alterVersions.select(col("tbl"), col("from_pos"), col("version")),
+        Seq("tbl", "version", "from_pos"), "full_outer")
+      // carry the base arrays onto every version of the same table
+      .withColumn("col_names", first(col("col_names"), ignoreNulls = true)
+        .over(Window.partitionBy(col("tbl")).orderBy(col("version"))))
+      .withColumn("col_types", first(col("col_types"), ignoreNulls = true)
+        .over(Window.partitionBy(col("tbl")).orderBy(col("version"))))
+      .withColumn("col_charsets", first(col("col_charsets"), ignoreNulls = true)
+        .over(Window.partitionBy(col("tbl")).orderBy(col("version"))))
+      .withColumn("col_names",
+        concat(col("col_names"), extras(col("version"), i => concat(lit("extra_"), i))))
+      .withColumn("col_types",
+        concat(col("col_types"), extras(col("version"), _ => lit("bigint"))))
+      .withColumn("col_charsets",
+        concat(col("col_charsets"), extras(col("version"), _ => lit(null).cast("string"))))
+    versioned
+      .withColumn("until_pos",
+        coalesce(lead(col("from_pos"), 1).over(
+          Window.partitionBy(col("tbl")).orderBy(col("from_pos"))), lit(Long.MaxValue)))
+      .withColumn("n_cols", size(col("col_names")))
+      .withColumn("cols_sig", array_join(col("col_names"), ","))
+  }
+
+  /** `extra_1 … extra_v` style arrays; empty at version 0 (guarded —
+    * Spark's 2-arg `sequence(1, 0)` would count DOWN). Runs on the
+    * tiny registry only, never per log row. */
+  private def extras(version: Column, f: Column => Column): Column =
+    when(version === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), version), f))
+
+  /** As-of schema attach: each log row picks up the registry columns
+    * of the version in force at its position. Broadcast equi-join on
+    * `tbl` + disjoint-interval containment — exactly one match, log
+    * never shuffled. Rows of unregistered tables keep flowing with a
+    * NULL schema_version (route them to the DLQ like the reference's
+    * `:error` rows, `stream.clj:196-210`). */
+  def attach(log: DataFrame, registry: DataFrame): DataFrame = {
+    val reg = registry.select(
+      col("tbl"), col("version"), col("from_pos"), col("until_pos"),
+      col("col_names"), col("col_types"), col("col_charsets"),
+      col("n_cols"), col("cols_sig"))
+    log.join(broadcast(reg), Seq("tbl"), "left")
+      .filter(col("version").isNull ||
+        (col("pos") >= col("from_pos") && col("pos") < col("until_pos")))
+      .withColumnRenamed("version", "schema_version")
+      .drop("from_pos", "until_pos")
+  }
+
+  /** Driver-query wiring (`cdc_schema_attach`, SURVEY §3 synthetic
+    * rules): ALTER TABLE events are committed `purchase` rows with
+    * `id % 10 = 3` (routed to their row's table); base schemas are
+    * fixed 4-column specs per synthetic table. The ALTER rows
+    * themselves are removed from the output, exactly like the
+    * reference's `add-table-schema` filters `:alter-table` events
+    * after clearing the cache (`stream.clj:198-212`). */
+  def attachDemo(committed: DataFrame): DataFrame = {
+    val isAlter = col("etype") === "purchase" && col("id") % 10 === 3
+    val specs = Map(
+      "customer" -> Seq(ColSpec("c_id", "bigint"), ColSpec("c_name", "varchar", "utf8mb4"),
+        ColSpec("c_acct", "decimal"), ColSpec("c_seg", "char", "latin1")),
+      "orders" -> Seq(ColSpec("o_id", "bigint"), ColSpec("o_custkey", "bigint"),
+        ColSpec("o_total", "decimal"), ColSpec("o_status", "char", "latin1")))
+    val registry = withAlters(
+      base(committed.sparkSession, specs),
+      committed.filter(isAlter).select(col("tbl"), col("pos")))
+    attach(committed.filter(!isAlter), registry)
+      .select(col("pos"), col("op"), col("tbl"), col("id"),
+        col("schema_version"), col("n_cols"), col("cols_sig"))
+  }
+
+  /** MySQL charset → JVM charset, then decode. Mirrors the reference's
+    * finite `mysql-charset->charset` map (`stream.clj:218-223`):
+    * unmapped charsets fall through by name, unknown/null → UTF-8. */
+  private def decodePerCharset(raw: Column, cs: Column): Column =
+    when(cs === "latin1", decode(raw, "ISO-8859-1"))
+      .when(cs === "utf8mb4" || cs === "utf8mb3" || cs === "utf8", decode(raw, "UTF-8"))
+      .when(cs === "ascii", decode(raw, "US-ASCII"))
+      .otherwise(decode(raw, "UTF-8"))
+
+  /** `convert-with-schema`: zip a raw `vals: array<binary>` column
+    * with the attached column names into a row map, decoding text-ish
+    * columns per their column charset (the reference's
+    * `convert-text`, `stream.clj:225-241`) and rendering others as
+    * UTF-8. Pairs up to the shorter of names/values, like `zipmap`. */
+  def convertWithSchema(attached: DataFrame, valsCol: String): DataFrame = {
+    val n = least(size(col("col_names")), size(col(valsCol)))
+    val entries = transform(sequence(lit(1), n), i => {
+      val ctype = element_at(col("col_types"), i)
+      val cs = element_at(col("col_charsets"), i)
+      val raw = element_at(col(valsCol), i)
+      struct(
+        element_at(col("col_names"), i).as("key"),
+        when(ctype.isin(TextTypes: _*), decodePerCharset(raw, cs))
+          .otherwise(decode(raw, "UTF-8")).as("value"))
+    })
+    attached.withColumn("row_map",
+      when(n >= 1, map_from_entries(entries))
+        .otherwise(expr("map()").cast("map<string,string>")))
+  }
+}

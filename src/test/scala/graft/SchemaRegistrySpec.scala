@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cdc.SchemaRegistry
+import graft.cdc.SchemaRegistry.ColSpec
+
+/** Schema attach + ALTER invalidation + convert-with-schema — mirrors
+  * the reference's schema-change scenario (`core_test.clj`: rows
+  * written before an ALTER TABLE convert with the old schema, rows
+  * after with the new one) without any mutable cache. */
+class SchemaRegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val baseReg = SchemaRegistry.base(spark, Map(
+    "t" -> Seq(ColSpec("id", "bigint"), ColSpec("body", "text", "latin1")),
+    "u" -> Seq(ColSpec("id", "bigint"))))
+
+  test("ALTER closes the old schema version and opens the next (cache-invalidation analogue)") {
+    val log = Seq(
+      (1L, "upsert", "t", 1L),
+      (3L, "upsert", "t", 2L),
+      (5L, "alter", "t", 0L),
+      (7L, "upsert", "t", 3L),
+      (9L, "alter", "t", 0L),
+      (11L, "upsert", "t", 4L),
+      (2L, "upsert", "u", 9L) // other table: never altered, stays v0
+    ).toDF("pos", "op", "tbl", "id")
+    val reg = SchemaRegistry.withAlters(
+      baseReg, log.filter(col("op") === "alter").select(col("tbl"), col("pos")))
+    val out = SchemaRegistry.attach(log.filter(col("op") =!= "alter"), reg)
+      .select(col("pos"), col("schema_version"), col("n_cols"), col("cols_sig"))
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0, 2, "id,body")))
+    assert(out(3L) == ((0, 2, "id,body")))
+    assert(out(7L) == ((1, 3, "id,body,extra_1")))
+    assert(out(11L) == ((2, 4, "id,body,extra_1,extra_2")))
+    assert(out(2L) == ((0, 1, "id")))
+    assert(!out.contains(5L) && !out.contains(9L), "ALTER events are filtered out")
+  }
+
+  test("unregistered tables flow with NULL schema_version (DLQ-routable)") {
+    val log = Seq((1L, "upsert", "nope", 1L)).toDF("pos", "op", "tbl", "id")
+    val reg = SchemaRegistry.withAlters(baseReg, log.limit(0).select(col("tbl"), col("pos")))
+    val out = SchemaRegistry.attach(log, reg).select("pos", "schema_version").collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+
+  test("convertWithSchema zips values with column names and decodes per column charset") {
+    val cafeLatin1 = Array[Byte](99, 97, 102, 0xE9.toByte) // 'café' in ISO-8859-1
+    val log = Seq((1L, "upsert", "t", 1L, Seq("42".getBytes("UTF-8"), cafeLatin1)))
+      .toDF("pos", "op", "tbl", "id", "vals")
+    val reg = SchemaRegistry.withAlters(baseReg, log.limit(0).select(col("tbl"), col("pos")))
+    val out = SchemaRegistry.convertWithSchema(SchemaRegistry.attach(log, reg), "vals")
+      .select(col("row_map")).as[Map[String, String]].collect()(0)
+    assert(out == Map("id" -> "42", "body" -> "café"))
+  }
+
+  test("zipmap semantics: pairs up to the shorter side (pre-ALTER row, post-ALTER schema)") {
+    // a row written with 2 values read under a 3-column schema pairs 2
+    val log = Seq((7L, "upsert", "t", 1L, Seq("1".getBytes("UTF-8"), "x".getBytes("UTF-8"))))
+      .toDF("pos", "op", "tbl", "id", "vals")
+    val alters = Seq(("t", 5L)).toDF("tbl", "pos")
+    val reg = SchemaRegistry.withAlters(baseReg, alters)
+    val out = SchemaRegistry.convertWithSchema(SchemaRegistry.attach(log, reg), "vals")
+      .select(col("schema_version"), col("row_map"))
+      .as[(Int, Map[String, String])].collect()(0)
+    assert(out._1 == 1)
+    assert(out._2 == Map("id" -> "1", "body" -> "x"))
+  }
+}
