@@ -33,6 +33,22 @@ object SparkEntry {
     "cdc_next_position" -> ((s, d) => Changelog.nextPosition(Changelog.fromEvents(ev(s, d)))),
     "snapshot_load" -> ((s, d) =>
       Changelog.snapshotLoad(Tables.customer(s, d), "customer", "c_custkey")),
+    "cdc_snapshot_all" -> ((s, d) =>
+      Changelog.snapshotLoadAll(Seq(
+        Changelog.TableLoad(Tables.nation(s, d), "nation", "n_nationkey",
+          Seq("n_name", "n_regionkey")),
+        Changelog.TableLoad(Tables.region(s, d), "region", "r_regionkey", Seq("r_name")),
+        Changelog.TableLoad(Tables.customer(s, d), "customer", "c_custkey",
+          Seq("c_name", "c_nationkey", "c_mktsegment"))))),
+    "cdc_valid_pos" -> ((s, d) => {
+      val log = Changelog.fromEvents(ev(s, d))
+      val next = Changelog.nextPosition(log).select(col("file"), col("next_pos").as("pos"))
+      val bogus = s.range(1)
+        .select(lit("bin.999999").as("file"), lit(0L).as("pos"))
+        .unionByName(s.range(1)
+          .select(lit(Changelog.DefaultFile).as("file"), lit(999999999999L).as("pos")))
+      Changelog.validatePositions(Changelog.binlogPositions(log), next.unionByName(bogus))
+    }),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -139,6 +155,42 @@ object SparkEntry {
       """SELECT 'upsert' AS op, 'customer' AS tbl, c_custkey AS id,
         |       c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+    "cdc_snapshot_all" ->
+      """SELECT 0 AS load_order, 'upsert' AS op, 'nation' AS tbl, n_nationkey AS id,
+        |       concat_ws('|', n_name, CAST(n_regionkey AS VARCHAR)) AS content
+        |FROM nation
+        |UNION ALL
+        |SELECT 1, 'upsert', 'region', r_regionkey, concat_ws('|', r_name) FROM region
+        |UNION ALL
+        |SELECT 2, 'upsert', 'customer', c_custkey,
+        |       concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)
+        |FROM customer""".stripMargin,
+    "cdc_valid_pos" -> (logCte +
+      """, f AS (
+        |  SELECT pos, etype,
+        |         last_value(CASE WHEN etype = 'signup'
+        |                         THEN 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0') END IGNORE NULLS)
+        |           OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fraw
+        |  FROM log),
+        |att AS (SELECT pos, coalesce(fraw, 'bin.000000') AS file FROM f WHERE etype <> 'signup'),
+        |files AS (
+        |  SELECT file, max(file_size) AS file_size FROM (
+        |    SELECT file, max(pos) + 1 AS file_size FROM att GROUP BY file
+        |    UNION ALL
+        |    SELECT 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0') AS file, pos + 1 AS file_size
+        |    FROM log WHERE etype = 'signup'
+        |  ) u GROUP BY file),
+        |tokens AS (
+        |  SELECT coalesce((SELECT 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0')
+        |                   FROM log WHERE etype = 'signup'
+        |                   ORDER BY pos DESC LIMIT 1), 'bin.000000') AS file,
+        |         (SELECT max(pos) + 1 FROM log) AS pos
+        |  UNION ALL SELECT 'bin.999999', 0
+        |  UNION ALL SELECT 'bin.000000', 999999999999)
+        |SELECT t.file, t.pos,
+        |       CAST(CASE WHEN fl.file_size IS NOT NULL AND t.pos <= fl.file_size
+        |                 THEN 1 ELSE 0 END AS INT) AS valid
+        |FROM tokens t LEFT JOIN files fl ON t.file = fl.file""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,

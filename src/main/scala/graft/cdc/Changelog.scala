@@ -186,6 +186,64 @@ object Changelog {
         table.columns.filter(_ != idCol).map(col): _*
     )
 
+  /** One table of a multi-table snapshot load: the reference's
+    * `TableSpec` (`table_schema.clj:22-25`) — table plus optional id
+    * override (`id-fn`, used when the PK isn't a single column or the
+    * caller wants a constructed id; `core.clj:60-66`). `contentCols`
+    * picks the row-content rendering for the generic output. */
+  case class TableLoad(df: DataFrame, name: String, idCol: String,
+                       contentCols: Seq[String], idFn: Option[Column] = None)
+
+  /** Multi-table ordered snapshot load — `create-table-stream`
+    * (`core.clj:81-103`): "Loading happens in the order that tables
+    * were given. Results are returned strictly in the order that
+    * tables were given." A DataFrame is unordered by nature, so the
+    * caller order is materialized as a `load_order` column (total
+    * order = (load_order, tbl, id)); each table's rows wrap as upsert
+    * tuples with its own id-fn, exactly like [[snapshotLoad]].
+    *
+    * Scale: per-table scans stay independent (a union of narrow
+    * projections — no shuffle at all); heterogeneous schemas are
+    * normalized into a rendered `content` column, the generic-output
+    * analogue of the reference's row map. */
+  def snapshotLoadAll(tables: Seq[TableLoad]): DataFrame = {
+    require(tables.nonEmpty, "snapshotLoadAll needs at least one table")
+    tables.zipWithIndex.map { case (t, i) =>
+      t.df.select(
+        lit(i).as("load_order"),
+        lit("upsert").as("op"),
+        lit(t.name).as("tbl"),
+        t.idFn.getOrElse(col(t.idCol)).as("id"),
+        concat_ws("|", t.contentCols.map(c => col(c).cast("string")): _*).as("content"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Available binlog files with their sizes — the `SHOW BINARY LOGS`
+    * analogue (`query.clj:27-30`), derived from the changelog itself:
+    * a file's extent is bounded by its rotate and the events attached
+    * to it (file_size = max contained position + 1). */
+  def binlogPositions(log: DataFrame): DataFrame = {
+    val fromEvents = attachFile(log)
+      .groupBy(col("file")).agg((max(col("pos")) + 1).as("file_size"))
+    val fromRotates = log.filter(col("etype") === "signup")
+      .select(rotateFile(col("id")).as("file"), (col("pos") + 1).as("file_size"))
+    fromEvents.unionByName(fromRotates)
+      .groupBy(col("file")).agg(max(col("file_size")).as("file_size"))
+  }
+
+  /** Resume-token validation — `valid-binlog-pos?`
+    * (`core.clj:113-131`): a `(file, pos)` token is valid iff the file
+    * is still available and `pos <= file_size`. Same caveat as the
+    * reference: a position in the middle of an event can't be detected,
+    * but tokens produced by the lib ([[nextPosition]], the per-row
+    * metadata) never are. Returns tokens flagged `valid` 0/1; the
+    * `positions` frame is tiny (one row per binlog file) → broadcast. */
+  def validatePositions(positions: DataFrame, tokens: DataFrame): DataFrame =
+    tokens.join(broadcast(positions), Seq("file"), "left")
+      .select(col("file"), col("pos"),
+        when(col("file_size").isNotNull && col("pos") <= col("file_size"), lit(1))
+          .otherwise(lit(0)).as("valid"))
+
   /** Snapshot ⊎ changelog ⇒ current table state (the flagship op).
     *
     * This is the reference's end-to-end contract: initial load plus

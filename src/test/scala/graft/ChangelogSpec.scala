@@ -67,6 +67,46 @@ class ChangelogSpec extends AnyFunSuite {
       999999999999L -> "bin.000007"))
   }
 
+  test("snapshotLoadAll: caller order preserved, per-table id-fns (create-table-stream)") {
+    val widgets = Seq((1L, "w1", 10L), (2L, "w2", 20L)).toDF("w_id", "w_name", "w_qty")
+    val makers = Seq((7L, 1L, "m1")).toDF("m_region", "m_seq", "m_name")
+    val out = Changelog.snapshotLoadAll(Seq(
+      // deliberately non-alphabetical: widgets BEFORE makers
+      Changelog.TableLoad(widgets, "widgets", "w_id", Seq("w_name", "w_qty")),
+      Changelog.TableLoad(makers, "makers", "m_seq", Seq("m_name"),
+        // reference id-fn: constructed id when no single-column PK
+        idFn = Some(col("m_region") * 100 + col("m_seq")))))
+      .as[(Int, String, String, Long, String)].collect().toSet
+    assert(out == Set(
+      (0, "upsert", "widgets", 1L, "w1|10"),
+      (0, "upsert", "widgets", 2L, "w2|20"),
+      (1, "upsert", "makers", 701L, "m1")))
+    // strict caller order is recoverable from load_order
+    val orders = out.toSeq.groupBy(_._3).view.mapValues(_.head._1).toMap
+    assert(orders("widgets") < orders("makers"))
+  }
+
+  test("validatePositions: lib-produced resume tokens validate, bogus ones don't") {
+    val l = log(
+      (1, "upsert", "t", 7, 0, 1.0, "x"),
+      (2, "upsert", "t", 3, 0, 1.0, "signup"), // rotate → bin.000003
+      (3, "upsert", "t", 8, 0, 1.0, "x"),
+      (5, "upsert", "t", 9, 0, 1.0, "x"))
+    val positions = Changelog.binlogPositions(l)
+    val next = Changelog.nextPosition(l).select(col("file"), col("next_pos").as("pos"))
+    val tokens = next.unionByName(Seq(
+      ("bin.999999", 1L),     // unknown file
+      ("bin.000003", 99L),    // past the file's extent
+      ("bin.000000", 2L)      // within the pre-rotate file
+    ).toDF("file", "pos"))
+    val out = Changelog.validatePositions(positions, tokens)
+      .as[(String, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("bin.000003", 6L)) == 1, "nextPosition token must validate")
+    assert(out(("bin.999999", 1L)) == 0)
+    assert(out(("bin.000003", 99L)) == 0)
+    assert(out(("bin.000000", 2L)) == 1)
+  }
+
   test("applyChangelog: log wins, final deletes drop snapshot rows") {
     val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
     val l = log(
