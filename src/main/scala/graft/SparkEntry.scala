@@ -58,6 +58,23 @@ object SparkEntry {
     "cdc_dlq" -> ((s, d) => RowFormat.deadLetter(ev(s, d))),
     "cdc_schema_attach" -> ((s, d) =>
       SchemaRegistry.attachDemo(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
+    "cdc_group_table_maps" -> ((s, d) => {
+      // synthetic raw binlog: signup events play the table_map role
+      // (announcing db/tbl), error events are bare markers, the rest
+      // are row mutations; files split every 2500 positions
+      val raw = Changelog.fromEvents(ev(s, d)).select(
+        concat(lit("bf_"), expr("pos div 2500").cast("string")).as("file"),
+        col("pos"),
+        when(col("etype") === "signup", lit("table_map"))
+          .when(col("etype") === "error", lit("marker"))
+          .when(col("op") === "delete", lit("delete"))
+          .otherwise(lit("write")).as("kind"),
+        when(col("etype") === "signup",
+          when(col("id") % 3 === 0, lit("other")).otherwise(lit("app"))).as("db"),
+        when(col("etype") === "signup", col("tbl")).as("tbl"),
+        col("val"))
+      Changelog.groupTableMaps(raw)
+    }),
     // ---- C. Analytics ----
     "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority _),
@@ -242,6 +259,32 @@ object SparkEntry {
         |FROM committed l JOIN vc v
         |  ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
         |WHERE NOT (l.etype = 'purchase' AND l.id % 10 = 3)""".stripMargin),
+    "cdc_group_table_maps" -> (logCte +
+      """, raw AS (
+        |  SELECT 'bf_' || CAST(pos // 2500 AS VARCHAR) AS file, pos,
+        |         CASE WHEN etype = 'signup' THEN 'table_map'
+        |              WHEN etype = 'error' THEN 'marker'
+        |              WHEN op = 'delete' THEN 'delete'
+        |              ELSE 'write' END AS kind,
+        |         CASE WHEN etype = 'signup'
+        |              THEN CASE WHEN id % 3 = 0 THEN 'other' ELSE 'app' END END AS db,
+        |         CASE WHEN etype = 'signup' THEN tbl END AS tbl,
+        |         val
+        |  FROM log),
+        |g AS (
+        |  SELECT file, pos, kind, val,
+        |         last_value(CASE WHEN kind = 'table_map' THEN db END IGNORE NULLS)
+        |           OVER w AS tm_db,
+        |         last_value(CASE WHEN kind = 'table_map' THEN tbl END IGNORE NULLS)
+        |           OVER w AS tm_tbl
+        |  FROM raw
+        |  WINDOW w AS (PARTITION BY file ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT file, pos, kind,
+        |       CASE WHEN kind IN ('write', 'update', 'delete') THEN tm_db END AS db,
+        |       CASE WHEN kind IN ('write', 'update', 'delete') THEN tm_tbl END AS tbl,
+        |       val
+        |FROM g WHERE kind <> 'table_map'""".stripMargin),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

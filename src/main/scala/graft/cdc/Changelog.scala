@@ -140,6 +140,45 @@ object Changelog {
   def filterTables(log: DataFrame, tables: Set[String]): DataFrame =
     if (tables.isEmpty) log else log.filter(col("tbl").isin(tables.toSeq: _*))
 
+  /** Keep only events of one database — `filter-database`
+    * (`src/dumpr/stream.clj:108-112`); rows without db info drop, as
+    * in the reference. */
+  def filterDatabase(log: DataFrame, db: String): DataFrame =
+    log.filter(col("db") === db)
+
+  /** Pair each row mutation with the table-map metadata event that
+    * announced its (db, table) — `group-table-maps`
+    * (`src/dumpr/stream.clj:76-97`): a table-map event is delayed and
+    * its (db, tbl) attaches to the write/update/delete events that
+    * follow it; other events pass through alone; the table-map rows
+    * themselves are removed. A real binlog source needs this because
+    * row events don't carry table names.
+    *
+    * Scale shape: unlike rotates or ALTERs, table maps are NOT rare —
+    * MySQL emits one per statement — so no broadcast trick applies.
+    * The pairing is inherently sequential WITHIN a binlog file, and
+    * binlog files are bounded (`max_binlog_size`, 1 GB default), so
+    * the window partitions by `file`: per-file passes run in parallel
+    * across the cluster and no partition exceeds one file's events.
+    *
+    * `raw`: (file, pos, kind, db, tbl, …) with db/tbl set only on
+    * `kind = 'table_map'` rows. Mutations before any table map in
+    * their file flow with NULL db/tbl (DLQ-routable, like the
+    * reference's `::none` sentinel pair). */
+  def groupTableMaps(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("file")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isMut = col("kind").isin("write", "update", "delete")
+    raw
+      .withColumn("tm",
+        last(when(col("kind") === "table_map", struct(col("db"), col("tbl"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") =!= "table_map")
+      .withColumn("db", when(isMut, col("tm.db")))
+      .withColumn("tbl", when(isMut, col("tm.tbl")))
+      .drop("tm")
+  }
+
   /** Last op per (tbl, id) — `rn = 1` over pos-desc within key. */
   private def lastOpPerKey(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)

@@ -53,4 +53,18 @@ object JdbcSnapshot {
 
   def load(spark: SparkSession, c: Conf): DataFrame =
     spark.read.format("jdbc").options(options(c)).load()
+
+  /** [[load]] behind the reference's connection retry policy
+    * (`utils.clj` retry, exponential backoff): Spark's JDBC `load()`
+    * connects eagerly to resolve the schema, so a down database
+    * surfaces here — retry it like the reference retries its
+    * connects. Throws once `shouldRetry` vetoes. */
+  def loadWithRetry(spark: SparkSession, c: Conf,
+                    shouldRetry: () => Boolean = () => true,
+                    maxWaitMs: Long = 120000L,
+                    startWaitMs: Long = 1000L): DataFrame =
+    Retry.retry(() => load(spark, c),
+        shouldRetry = shouldRetry, maxWaitMs = maxWaitMs, startWaitMs = startWaitMs)
+      .getOrElse(throw new IllegalStateException(
+        s"JDBC snapshot load of ${c.table} aborted after retries"))
 }

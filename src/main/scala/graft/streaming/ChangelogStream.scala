@@ -117,4 +117,43 @@ object ChangelogStream {
   def positionTracking(changes: Dataset[Change]): DataFrame =
     changes.agg(max(col("pos")).as("max_pos"))
       .select((col("max_pos") + 1).as("next_pos"))
+
+  /** Raw binlog event for the table-map pairing operator: db/tbl are
+    * set only on `kind = 'table_map'` rows. */
+  case class RawEvent(file: String, pos: Long, kind: String,
+                      db: String, tbl: String, value: Double)
+
+  /** State of [[groupTableMaps]]: the current table map of one file. */
+  case class TableMapState(db: String, tbl: String, pos: Long)
+
+  /** B8: `group-table-maps` on a live stream
+    * (`src/dumpr/stream.clj:76-97`): each write/update/delete inherits
+    * the (db, tbl) of the latest preceding table-map event of its
+    * binlog file; table-map rows are swallowed; other events pass
+    * alone. State (current table map per file) lives in the
+    * checkpointed store, so a table map at the tail of one micro-batch
+    * governs mutations at the head of the next — the property a real
+    * binlog source needs, since batch boundaries fall anywhere.
+    * Events are ordered by pos within each (file, batch) group before
+    * pairing (binlog order; groups are bounded by one file's share of
+    * a micro-batch). */
+  def groupTableMaps(raw: Dataset[RawEvent]): Dataset[RawEvent] = {
+    import raw.sparkSession.implicits._
+    val mutations = Set("write", "update", "delete")
+    raw.groupByKey(_.file)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[RawEvent], state: GroupState[TableMapState]) => {
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[RawEvent]
+          rows.toSeq.sortBy(_.pos).foreach { e =>
+            if (e.kind == "table_map") cur = TableMapState(e.db, e.tbl, e.pos)
+            else if (mutations(e.kind))
+              out += (if (cur != null) e.copy(db = cur.db, tbl = cur.tbl)
+                      else e.copy(db = null, tbl = null))
+            else out += e.copy(db = null, tbl = null)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
 }

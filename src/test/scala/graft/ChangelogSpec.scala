@@ -107,6 +107,35 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out(("bin.000000", 2L)) == 1)
   }
 
+  test("groupTableMaps: mutations inherit the latest preceding table map per file") {
+    val raw = Seq(
+      // file A: map(app, t1) → writes; later map(app, t2) → delete
+      ("A", 1L, "table_map", "app", "t1", 0.0),
+      ("A", 2L, "write", null, null, 1.0),
+      ("A", 3L, "marker", null, null, 0.0),
+      ("A", 4L, "write", null, null, 2.0),
+      ("A", 5L, "table_map", "app", "t2", 0.0),
+      ("A", 6L, "delete", null, null, 0.0),
+      // file B: mutation BEFORE any table map → null (DLQ-routable);
+      // file A's map must not leak across files
+      ("B", 1L, "write", null, null, 9.0),
+      ("B", 2L, "table_map", "oth", "t9", 0.0),
+      ("B", 3L, "update", null, null, 8.0)
+    ).toDF("file", "pos", "kind", "db", "tbl", "value")
+    val out = Changelog.groupTableMaps(raw)
+      .select("file", "pos", "kind", "db", "tbl")
+      .as[(String, Long, String, String, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("A", 2L)) == (("write", "app", "t1")))
+    assert(out(("A", 4L)) == (("write", "app", "t1")))
+    assert(out(("A", 6L)) == (("delete", "app", "t2")))
+    assert(out(("A", 3L)) == (("marker", null, null))) // passes alone
+    assert(out(("B", 1L)) == (("write", null, null))) // no map yet
+    assert(out(("B", 3L)) == (("update", "oth", "t9")))
+    assert(!out.keySet.exists(k => out(k)._1 == "table_map"), "maps removed")
+    assert(out.size == 6)
+  }
+
   test("applyChangelog: log wins, final deletes drop snapshot rows") {
     val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "val")
     val l = log(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.ChangelogStream
-import graft.streaming.ChangelogStream.{Change, Entity, TxEvent}
+import graft.streaming.ChangelogStream.{Change, Entity, RawEvent, TxEvent}
 import graft.streaming.EventStreams
 
 /** Streaming semantics (SURVEY §2 B1-B5), driven through MemoryStream
@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     drain(q)
     val out = spark.table("b4").select("pos").as[Long].collect().sorted.toSeq
     assert(out == Seq(1L, 3L))
+  }
+
+  test("B8: group-table-maps pairs across micro-batch boundaries (per-file state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangelogStream.groupTableMaps(in.toDS())
+      .writeStream.format("memory").queryName("b8").outputMode("append").start()
+    in.addData(
+      RawEvent("A", 1, "table_map", "app", "t1", 0.0),
+      RawEvent("A", 2, "write", null, null, 1.0),
+      RawEvent("B", 1, "write", null, null, 9.0)) // no map yet in file B
+    q.processAllAvailable()
+    in.addData(
+      // batch 2: file A's map from batch 1 must still govern
+      RawEvent("A", 3, "update", null, null, 2.0),
+      RawEvent("A", 4, "table_map", "app", "t2", 0.0),
+      RawEvent("A", 5, "delete", null, null, 0.0),
+      RawEvent("B", 2, "table_map", "oth", "t9", 0.0),
+      RawEvent("B", 3, "write", null, null, 8.0))
+    drain(q)
+    val out = spark.table("b8").as[RawEvent].collect()
+      .map(e => (e.file, e.pos) -> ((e.kind, e.db, e.tbl))).toMap
+    assert(out(("A", 2L)) == (("write", "app", "t1")))
+    assert(out(("A", 3L)) == (("update", "app", "t1"))) // cross-batch inherit
+    assert(out(("A", 5L)) == (("delete", "app", "t2")))
+    assert(out(("B", 1L)) == (("write", null, null))) // pre-map mutation
+    assert(out(("B", 3L)) == (("write", "oth", "t9")))
+    assert(out.size == 5, "table_map rows are swallowed")
   }
 
   test("B5: snapshot→stream handoff equals full-history fold (reference streaming test)") {
