@@ -101,19 +101,22 @@ object SparkEntry {
     }),
     "quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = TextFunctions.tokens(col("text"))
-      docs.select(col("doc_id"),
-        size(toks).as("n_tok"),
-        (TextFunctions.tokenCount(toks, "the") + TextFunctions.tokenCount(toks, "a")).as("n_stop"),
-        TextFunctions.qualityScore(col("text"), col("n_chars")).as("score"))
+      docs.select(col("doc_id"), col("n_chars"),
+          TextFunctions.tokenStats(TextFunctions.tokens(col("text"))).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tok").as("n_tok"),
+          (col("st.n_the") + col("st.n_a")).as("n_stop"),
+          TextFunctions.qualityFromCounts(col("st.n_tok"),
+            col("st.n_the") + col("st.n_a"), col("n_chars")).as("score"))
     }),
     "token_count" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = TextFunctions.tokens(col("text"))
-      docs.select(col("doc_id"),
-        size(toks).as("n_ws"),
-        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
-        TextFunctions.bpeishCount(toks).as("n_bpe"))
+      docs.select(col("doc_id"), col("text"),
+          TextFunctions.tokenStats(TextFunctions.tokens(col("text"))).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tok").as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
+          col("st.n_bpe").as("n_bpe"))
     }),
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp")))

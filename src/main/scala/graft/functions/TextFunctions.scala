@@ -1,21 +1,84 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
 
 /** Text-analysis building blocks for the training-data pipeline
-  * operators (SURVEY §2 D8-D11). Pure `functions._` compositions —
-  * codegen-friendly, engine-portable (each has an exact DuckDB
-  * counterpart used by the oracles).
+  * operators (SURVEY §2 D8-D11), each with an exact DuckDB
+  * counterpart used by the oracles.
+  *
+  * The hot path is [[TokenStats]]: higher-order functions
+  * (`filter`/`transform`/`aggregate`) evaluate their lambdas
+  * INTERPRETED per element, so the old formulation made 4-6 boxed
+  * passes over every token array per row — the engine's worst
+  * interpreted loop (SURVEY §8.4). TokenStats is one codegen'd pass
+  * producing every per-token statistic the text operators consume
+  * (token count, stopword counts, BPE-ish piece count); `lang_id`,
+  * `quality_score` and `token_count` all read its struct fields.
   */
 object TextFunctions {
 
   /** Whitespace tokens (keeps empties, same as DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Occurrences of exactly `word` among tokens. */
+  /** Occurrences of exactly `word` among tokens. (HOF reference
+    * formulation — use [[tokenStats]] in hot paths.) */
   def tokenCount(toks: Column, word: String): Column =
     size(filter(toks, _ === word))
+
+  private val TokThe = UTF8String.fromString("the")
+  private val TokA = UTF8String.fromString("a")
+  private val TokData = UTF8String.fromString("data")
+  private val TokJoin = UTF8String.fromString("join")
+
+  /** One-pass kernel (also called from generated code): token count,
+    * per-stopword counts, BPE-ish piece sum `Σ ⌈len/4⌉`. */
+  def tokenStatsKernel(arr: ArrayData): GenericInternalRow = {
+    val n = arr.numElements()
+    var nThe = 0; var nA = 0; var nData = 0; var nJoin = 0
+    var bpe = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t.equals(TokThe)) nThe += 1
+      else if (t.equals(TokA)) nA += 1
+      else if (t.equals(TokData)) nData += 1
+      else if (t.equals(TokJoin)) nJoin += 1
+      bpe += (t.numChars() + 3) / 4
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, nThe, nA, nData, nJoin, bpe))
+  }
+
+  /** All token statistics the text operators need, in ONE codegen'd
+    * pass over the token array (vs 4-6 interpreted HOF passes). */
+  case class TokenStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("n_the", IntegerType, nullable = false),
+      StructField("n_a", IntegerType, nullable = false),
+      StructField("n_data", IntegerType, nullable = false),
+      StructField("n_join", IntegerType, nullable = false),
+      StructField("n_bpe", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      tokenStatsKernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextFunctions.tokenStatsKernel($c);")
+  }
+
+  def tokenStats(toks: Column): Column = toColumn(TokenStats(toExpr(toks)))
 
   /** Distinct word 3-gram shingles, `w_i '_' w_i+1 '_' w_i+2`.
     * 1-based positions mirror DuckDB list indexing so the oracle SQL is
@@ -35,24 +98,26 @@ object TextFunctions {
     i / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
-  /** Heuristic language ID from stopword densities (deterministic
+  /** Heuristic language ID from a [[TokenStats]] struct (deterministic
     * integer cross-multiplications; SURVEY §2 D8). */
-  def langId(toks: Column): Column = {
-    val n = size(toks)
-    when(tokenCount(toks, "the") * 12 >= n, "en")
-      .when(tokenCount(toks, "a") * 12 >= n, "fr")
-      .when(tokenCount(toks, "data") * 15 >= n, "de")
-      .when(tokenCount(toks, "join") * 15 >= n, "es")
+  def langIdFromStats(st: Column): Column = {
+    val n = st.getField("n_tok")
+    when(st.getField("n_the") * 12 >= n, "en")
+      .when(st.getField("n_a") * 12 >= n, "fr")
+      .when(st.getField("n_data") * 15 >= n, "de")
+      .when(st.getField("n_join") * 15 >= n, "es")
       .otherwise("zh")
   }
 
-  /** Composite quality score in [0,1]: length, stopword ratio, mean
-    * word length (SURVEY §2 D9). Fixed evaluation order for
-    * reproducibility. */
-  def qualityScore(text: Column, nChars: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val nStop = tokenCount(toks, "the") + tokenCount(toks, "a")
+  /** Heuristic language ID over a token array — one TokenStats pass
+    * (codegen'd subexpression elimination dedupes the field reads). */
+  def langId(toks: Column): Column = langIdFromStats(tokenStats(toks))
+
+  /** Composite quality score in [0,1] from pre-computed counts:
+    * length, stopword ratio, mean word length (SURVEY §2 D9). Fixed
+    * evaluation order for reproducibility — term order and float ops
+    * must not change (oracle hash-matches). */
+  def qualityFromCounts(nTok: Column, nStop: Column, nChars: Column): Column = {
     val meanWl = (nChars - (nTok - 1)).cast("double") / nTok
     round(
       least(nTok, lit(300)).cast("double") / 300.0 * 0.4 +
@@ -61,7 +126,16 @@ object TextFunctions {
       6)
   }
 
-  /** BPE-ish piece count: ⌈len/4⌉ per whitespace token (SURVEY D10). */
+  /** Composite quality score of a text — one TokenStats pass. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val st = tokenStats(tokens(text))
+    qualityFromCounts(st.getField("n_tok"),
+      st.getField("n_the") + st.getField("n_a"), nChars)
+  }
+
+  /** BPE-ish piece count: ⌈len/4⌉ per whitespace token (SURVEY D10).
+    * HOF reference formulation — hot paths read `n_bpe` from
+    * [[tokenStats]] instead. */
   def bpeishCount(toks: Column): Column =
     aggregate(
       transform(toks, t => ((length(t) + 3) / 4).cast("long")),
