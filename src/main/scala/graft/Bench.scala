@@ -9,8 +9,22 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune most of a projection-only plan and
   * under-report; noop executes the full plan and discards rows, which
   * is the honest single-node throughput number.
+  *
+  * Noise handling (this host has multi-minute phases where JVM threads
+  * starve — identical code swings 6 s ↔ 40 s): every query runs TWO
+  * samples; if they disagree beyond tolerance a third breaks the tie,
+  * and the headline per query is the MEDIAN of its samples. All raw
+  * samples and a per-query ok/failed status are emitted so a regression
+  * can't hide behind a lucky sample and a broken query can't "pass" by
+  * being timed while throwing.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,27 +37,51 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // one timed execution; Left(error) on failure
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
-      }
+      val r =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
+        }
       // drop caches/broadcasts between queries so one operator's
       // working set can't GC-starve the next measurement
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      r.map(_ => (System.nanoTime() - t0) / 1e9)
     }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = runOnce(name, fn)
-      // single-JVM timings here are exposed to host noise phases; a
-      // surprisingly slow query gets one retry and reports the min
-      val best = if (first > 15.0) math.min(first, runOnce(name, fn)) else first
-      name -> best
+      runOnce(name, fn) match {
+        case Left(err) => (name, Seq.empty[Double], Some(err))
+        case Right(s1) =>
+          runOnce(name, fn) match {
+            case Left(err) => (name, Seq(s1), Some(err))
+            case Right(s2) =>
+              val disagree = math.abs(s1 - s2) > math.max(2.0, 0.5 * math.min(s1, s2))
+              val samples =
+                if (!disagree) Seq(s1, s2)
+                else runOnce(name, fn).fold(_ => Seq(s1, s2), s3 => Seq(s1, s2, s3))
+              (name, samples, None)
+          }
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jnum(d: Double): String = f"$d%.3f"
+    val ok = results.collect { case (n, ss, None) => n -> median(ss) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val samples = results.collect { case (n, ss, _) if ss.nonEmpty =>
+      "\"" + n + "\":[" + ss.map(jnum).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val status = results.map { case (n, _, err) =>
+      "\"" + n + "\":\"" + err.fold("ok")(e => "failed: " + e.replaceAll("[\"\\\\\\n\\r\\t]", " ")) + "\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""samples":$samples,"status":$status,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

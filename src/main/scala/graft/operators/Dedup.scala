@@ -244,16 +244,20 @@ object Dedup {
     val bandsDf = groups
       .select(col("gid"), col("sh64"), posexplode(bandArr).as(Seq("ci", "cv")))
       .persist()
+    // dup is decided inline per matched band row (sh64 is functionally
+    // dependent on gid, so every copy of a pair agrees); the group-pair
+    // dedup is then a groupBy on the two 8-byte gids with map-side
+    // combine — half the shuffle width of a distinct() carrying both
+    // signatures, and partial aggregation collapses the ~C(chunks,2)
+    // copies per pair before the exchange
     val verified = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"),
-        col("a.sh64").as("a_sh"), col("b.sh64").as("b_sh"))
-      .distinct()
-      .withColumn("dup",
-        (bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming).cast("int"))
-      .select(col("a_gid"), col("b_gid"), col("dup"))
+        (bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))) <= maxHamming)
+          .cast("int").as("dup"))
+      .groupBy(col("a_gid"), col("b_gid")).agg(max(col("dup")).as("dup"))
     rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq("sh64"))
   }
 
