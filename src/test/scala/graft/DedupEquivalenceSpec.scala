@@ -2,7 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
+import graft.functions.Hashing
 import graft.operators.Dedup
 
 /** Equivalence + scale-hazard tests for the near-dup operators:
@@ -92,6 +94,82 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     // the real dup pair still collapses and rolls up
     assert(out(10L) == ((10L, 1L, 1L, 1)))
     assert(out(11L) == ((11L, 1L, 1L, 0)))
+  }
+
+  // driver-side naive reference of the FULL minhash pipeline (same
+  // Hashing kernels, no collapse/rollup arithmetic) — guards the
+  // group-level reconstruction against corpus shapes the sf data
+  // doesn't contain (the ADVICE-high failure class)
+  private def naiveMinhash(docs: Seq[(Long, String)], numHashes: Int = 128,
+                           bands: Int = 16, threshold: Double = 0.5)
+      : Map[Long, (Long, Long, Int)] = {
+    val rows = numHashes / bands
+    def shingles(text: String): Array[Long] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Array.emptyLongArray
+      else (0 to w.length - 3)
+        .map(i => Hashing.hash64(s"${w(i)}_${w(i + 1)}_${w(i + 2)}".getBytes("UTF-8"), 3L))
+        .distinct.sorted.toArray
+    }
+    def sig(sh: Array[Long]): Array[Long] = {
+      val s = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { g =>
+        val h1 = Hashing.hashLong(g, 0L); val h2 = Hashing.hashLong(g, 1L)
+        var j = 0
+        while (j < numHashes) { val hv = h1 + j * h2; if (hv < s(j)) s(j) = hv; j += 1 }
+      }
+      s
+    }
+    def bandKeys(s: Array[Long]): Set[(Int, Long)] = (0 until bands).map { b =>
+      var acc = 17L
+      (0 until rows).foreach(r => acc = acc * 31 + s(b * rows + r))
+      (b, acc)
+    }.toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val bnd = docs.collect { case (id, _) if sh(id).nonEmpty => id -> bandKeys(sig(sh(id))) }.toMap
+    val ids = docs.map(_._1).toArray
+    val nCand = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val nDup = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val minDup = collection.mutable.Map[Long, Long]()
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
+      if bnd.contains(a) && bnd.contains(b) && bnd(a).intersect(bnd(b)).nonEmpty
+    } {
+      nCand(a) += 1; nCand(b) += 1
+      val inter = sh(a).toSet.intersect(sh(b).toSet).size
+      val jac = inter.toDouble / (sh(a).length + sh(b).length - inter)
+      if (jac >= threshold) {
+        nDup(a) += 1; nDup(b) += 1
+        minDup.updateWith(b)(m => Some(m.fold(a)(math.min(_, a))))
+      }
+    }
+    docs.map { case (id, _) =>
+      id -> ((nCand(id), nDup(id), if (minDup.contains(id)) 0 else 1))
+    }.toMap
+  }
+
+  test("minhashLsh equals the naive pipeline on arbitrary corpora (scalacheck)") {
+    // tiny vocab + short lengths → dup groups, near-dups, and <3-token
+    // docs all occur with high probability
+    val genDocs: Gen[List[String]] = Gen.listOfN(22,
+      Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+          .map(_.mkString(" "))))
+    val p = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      val got = Dedup.minhashLsh(df).as[(Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = naiveMinhash(docs)
+      if (got != want) {
+        println(s"texts=$texts\ngot =$got\nwant=$want")
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
   }
 
   test("simhash mega-bucket: identical docs collapse with exact rollup") {
