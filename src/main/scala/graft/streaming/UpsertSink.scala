@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -63,10 +65,30 @@ object UpsertSink {
     }
   }
 
+  /** Delete all but the newest `retain` published version dirs. The
+    * current and previous versions are always kept (readers that
+    * resolved the pointer just before a flip may still be scanning the
+    * previous snapshot); older ones are eligible. On an object store
+    * you'd defer this to a table format's vacuum with a reader lease —
+    * same policy, different mechanism. */
+  def pruneVersions(tableDir: String, retain: Int): Unit = {
+    val dir = Paths.get(tableDir)
+    if (!Files.isDirectory(dir)) return
+    val versions = Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+"))
+      .toSeq.sortBy(p => p.getFileName.toString.drop(1).toLong)
+    versions.dropRight(math.max(retain, 2)).foreach { old =>
+      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Merge one batch of changes into the snapshot and publish.
     * Idempotent per batchId: a replay of an already-published batch
-    * (crash between pointer flip and checkpoint commit) is a no-op. */
-  def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long): Unit = {
+    * (crash between pointer flip and checkpoint commit) is a no-op.
+    * `retainVersions` bounds on-disk history (min 2: current +
+    * previous). */
+  def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long,
+                 retainVersions: Int = 2): Unit = {
     if (alreadyPublished(tableDir, batchId)) return
     val spark = batch.sparkSession
     val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)
@@ -89,6 +111,7 @@ object UpsertSink {
     Files.write(tmp, version.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(tableDir, current),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    pruneVersions(tableDir, retainVersions)
   }
 
   /** Start materializing a changelog stream into `tableDir`. */

@@ -63,4 +63,18 @@ class UpsertSinkSpec extends AnyFunSuite {
       .select("id", "value").as[(Long, Double)].collect().toSet
     assert(snap1 == Set((2L, 2.0), (3L, 3.0)))
   }
+
+  test("version retention keeps current + previous, prunes older") {
+    val tableDir = Files.createTempDirectory("graft_sink_retain").toString
+    def dirs() = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSet
+    (0 to 3).foreach { b =>
+      UpsertSink.mergeBatch(
+        Seq(Change(b.toLong, "upsert", "t", b.toLong, b.toDouble)).toDS(), tableDir, b.toLong)
+    }
+    assert(dirs() == Set("v2", "v3"), s"got ${dirs()}")
+    val cur = UpsertSink.readCurrent(spark, tableDir)
+      .select("id").as[Long].collect().toSet
+    assert(cur == Set(0L, 1L, 2L, 3L)) // history intact in the snapshot
+  }
 }
