@@ -107,6 +107,16 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out(("bin.000000", 2L)) == 1)
   }
 
+  test("filterDatabase keeps one db's events, drops rows without db info") {
+    val raw = Seq(
+      (1L, "write", "app", "t1"),
+      (2L, "write", "other", "t2"),
+      (3L, "marker", null, null)
+    ).toDF("pos", "kind", "db", "tbl")
+    val keep = Changelog.filterDatabase(raw, "app").select("pos").as[Long].collect()
+    assert(keep.toSeq == Seq(1L))
+  }
+
   test("groupTableMaps: mutations inherit the latest preceding table map per file") {
     val raw = Seq(
       // file A: map(app, t1) → writes; later map(app, t2) → delete
