@@ -61,7 +61,11 @@ object SchemaRegistry {
     * Output adds `until_pos` (validity interval end, exclusive),
     * `n_cols` and `cols_sig` for cheap downstream checks.
     *
-    * `alters`: (tbl, pos) — a control relation (ALTERs are rare). */
+    * `alters`: (tbl, pos) — a control relation (ALTERs are rare).
+    * ALTERs of a table absent from the base registry version forward
+    * with NULL column arrays — downstream treats them like any other
+    * schema-load failure (DLQ), mirroring the reference's error row
+    * on a failed schema load (`stream.clj:180-193`). */
   def withAlters(baseReg: DataFrame, alters: DataFrame): DataFrame = {
     val vw = Window.partitionBy(col("tbl")).orderBy(col("pos"))
     val alterVersions = alters

@@ -2,8 +2,6 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -72,14 +70,15 @@ object UpsertSink {
     * you'd defer this to a table format's vacuum with a reader lease —
     * same policy, different mechanism. */
   def pruneVersions(tableDir: String, retain: Int): Unit = {
-    val dir = Paths.get(tableDir)
-    if (!Files.isDirectory(dir)) return
-    val versions = Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+"))
-      .toSeq.sortBy(p => p.getFileName.toString.drop(1).toLong)
-    versions.dropRight(math.max(retain, 2)).foreach { old =>
-      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
     }
+    val versions = Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toLong)
+    versions.dropRight(math.max(retain, 2)).foreach(deleteRec)
   }
 
   /** Merge one batch of changes into the snapshot and publish.
