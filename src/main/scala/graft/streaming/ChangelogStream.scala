@@ -118,6 +118,20 @@ object ChangelogStream {
     changes.agg(max(col("pos")).as("max_pos"))
       .select((col("max_pos") + 1).as("next_pos"))
 
+  /** B9: schema attach on a live stream — the reference runs
+    * `add-table-schema` INSIDE the binlog pipeline
+    * (`stream.clj:197-212`); here the versioned registry
+    * ([[graft.cdc.SchemaRegistry]]) is a STATIC control frame and the
+    * attach is a stream-static broadcast join re-planned per
+    * micro-batch: each streamed row picks up the schema version in
+    * force at its position. Rows whose table has no registry entry
+    * flow with NULL `schema_version` — filter them to a dead-letter
+    * sink, the streaming analogue of the reference's `:error` rows
+    * (`stream.clj:180-196`). Requires the stream to expose
+    * `(tbl, pos)`. */
+  def attachSchema(stream: DataFrame, registry: DataFrame): DataFrame =
+    graft.cdc.SchemaRegistry.attach(stream, registry)
+
   /** Raw binlog event for the table-map pairing operator: db/tbl are
     * set only on `kind = 'table_map'` rows. */
   case class RawEvent(file: String, pos: Long, kind: String,

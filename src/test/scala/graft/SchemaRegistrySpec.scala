@@ -59,6 +59,27 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(out == Map("id" -> "42", "body" -> "café"))
   }
 
+  test("streaming schema attach: stream-static join attaches versions, DLQ-routes unknowns") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val alters = Seq(("t", 5L)).toDF("tbl", "pos")
+    val reg = SchemaRegistry.withAlters(baseReg, alters)
+    val in = MemoryStream[(Long, String, String, Long)]
+    val stream = in.toDF().toDF("pos", "op", "tbl", "id")
+    val q = graft.streaming.ChangelogStream.attachSchema(stream, reg)
+      .select(col("pos"), col("tbl"), col("schema_version"), col("n_cols"))
+      .writeStream.format("memory").queryName("b9").outputMode("append").start()
+    in.addData((1L, "upsert", "t", 1L), (2L, "upsert", "nope", 9L))
+    q.processAllAvailable()
+    in.addData((7L, "upsert", "t", 2L)) // post-ALTER row in a later batch
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("b9").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (if (r.isNullAt(2)) None else Some((r.getInt(2), r.getInt(3))))).toMap
+    assert(out((1L, "t")) == Some((0, 2)))
+    assert(out((7L, "t")) == Some((1, 3)))
+    assert(out((2L, "nope")).isEmpty, "unknown table → NULL version (DLQ-routable)")
+  }
+
   test("zipmap semantics: pairs up to the shorter side (pre-ALTER row, post-ALTER schema)") {
     // a row written with 2 values read under a 3-column schema pairs 2
     val log = Seq((7L, "upsert", "t", 1L, Seq("1".getBytes("UTF-8"), "x".getBytes("UTF-8"))))
