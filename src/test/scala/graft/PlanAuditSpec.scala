@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Automated plan audits: the scale properties the engine promises
+  * (pushdown, pruning, broadcast strategies, no embedding bytes
+  * through a shuffle, single-exchange windows) asserted against the
+  * formatted physical plan, so a refactor can't silently regress them.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  /** `Input [n]: [...]` attribute lists of every `(k) Exchange` node
+    * (shuffles only — BroadcastExchange nodes are named differently). */
+  private def shuffleInputs(plan: String): Seq[String] = {
+    val nodeIds = raw"\((\d+)\) Exchange\b".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    nodeIds.toSeq.flatMap { id =>
+      raw"(?s)\($id\) Exchange\n(.*?)\n\n".r.findFirstMatchIn(plan).map(_.group(1))
+    }
+  }
+
+  test("q1: shipdate predicate pushed to the scan, unused columns pruned") {
+    val p = formatted("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate filter must reach the parquet scan")
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "scan must prune columns the query never touches")
+  }
+
+  test("ann_ivf: no shuffle exchange carries an embedding column") {
+    val p = formatted("ann_ivf")
+    val bad = shuffleInputs(p).filter(in => in.contains("emb"))
+    assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
+    assert(p.contains("BroadcastHashJoin"), "probe join must be broadcast")
+  }
+
+  test("cdc_group_table_maps: exactly one shuffle (the per-file window)") {
+    val p = formatted("cdc_group_table_maps")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 shuffle exchange, plan has $n")
+  }
+
+  test("cdc_schema_attach: registry attaches via broadcast join, log side never sorted/shuffled whole") {
+    val p = formatted("cdc_schema_attach")
+    assert(p.contains("BroadcastHashJoin"), "as-of attach must be a broadcast hash join")
+    // the full log rows (with val/us columns) must not pass through a
+    // shuffle — only control relations (tx ids, registry versions) may
+    val bad = shuffleInputs(p).filter(in => in.contains("val") || in.contains("us"))
+    assert(bad.isEmpty, s"log-carrying shuffle(s): $bad")
+  }
+
+  test("cdc_entity_state: rolled-back txs filtered via broadcast anti-join") {
+    val p = formatted("cdc_entity_state")
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"),
+      "tx filter must be a broadcast anti-join, not a shuffle join")
+  }
+}
