@@ -39,13 +39,14 @@ object Dedup {
 
   /** Exact dedup: keeper id + multiplicity per distinct text.
     *
-    * Groups by the 64-bit content fingerprint, not the text itself —
-    * at 100 TB the shuffle carries 8 bytes per row instead of whole
-    * document bodies (collision odds ~1e-15 per pair make the
-    * fingerprint a safe group key; pair it with a within-group verify
-    * if the corpus is adversarial). */
+    * Groups by TWO independent 64-bit content hashes, not the text
+    * itself — at 100 TB the shuffle carries 16 bytes per row instead
+    * of whole document bodies, and a false merge now needs a
+    * simultaneous collision in both families (~2^-128 per pair —
+    * negligible at any corpus size, including adversarial birthday
+    * regimes where a single 64-bit key would no longer be). */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(Hashing.fingerprint(col("text")).as("fp"))
+    docs.groupBy(Hashing.fingerprint(col("text")).as("fp"), xxhash64(col("text")).as("fp2"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
