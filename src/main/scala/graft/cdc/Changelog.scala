@@ -225,6 +225,19 @@ object Changelog {
         table.columns.filter(_ != idCol).map(col): _*
     )
 
+  /** Fan a multi-row mutation event out to per-row tuples. A query
+    * like `UPDATE … WHERE id <= n` arrives as ONE binlog event
+    * carrying n rows; the reference's `convert-with-schema` returns
+    * one row tuple per contained row (`stream.clj:243-268`, asserted
+    * by `core_test.clj` `streaming-multirow-updates`). Declaratively:
+    * posexplode of the rows array — `(pos, row_idx)` totally orders
+    * the per-row tuples, and each keeps the parent event's metadata.
+    * Pure map-side (generate), no shuffle. */
+  def fanOutRows(events: DataFrame, rowsCol: String = "rows"): DataFrame =
+    events
+      .select(col("*"), posexplode(col(rowsCol)).as(Seq("row_idx", "vals")))
+      .drop(rowsCol)
+
   /** One table of a multi-table snapshot load: the reference's
     * `TableSpec` (`table_schema.clj:22-25`) — table plus optional id
     * override (`id-fn`, used when the PK isn't a single column or the

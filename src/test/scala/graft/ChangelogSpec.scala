@@ -107,6 +107,22 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out(("bin.000000", 2L)) == 1)
   }
 
+  test("multi-row mutations fan out to per-row events (streaming-multirow-updates)") {
+    val events = Seq(
+      (1L, "upsert", "t", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))), // multi-row insert
+      (2L, "upsert", "t", Seq((1L, 9.0), (2L, 9.0))),            // one UPDATE, two rows
+      (3L, "delete", "t", Seq((3L, 0.0)))                        // delete
+    ).toDF("pos", "op", "tbl", "rows")
+    val perRow = Changelog.fanOutRows(events)
+      .select((col("pos") * 1000 + col("row_idx")).as("pos"), col("op"), col("tbl"),
+        col("vals._1").as("id"), col("vals._2").as("val"))
+    assert(perRow.count() == 6, "one tuple per contained row")
+    // the fold over fanned-out tuples equals the statement-level intent
+    val state = Changelog.entityState(perRow)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(state == Map(1L -> 9.0, 2L -> 9.0))
+  }
+
   test("filterDatabase keeps one db's events, drops rows without db info") {
     val raw = Seq(
       (1L, "write", "app", "t1"),
