@@ -61,16 +61,21 @@ object Bench {
             case Left(err) => (name, Seq(s1), Some(err))
             case Right(s2) =>
               val disagree = math.abs(s1 - s2) > math.max(2.0, 0.5 * math.min(s1, s2))
-              val samples =
-                if (!disagree) Seq(s1, s2)
-                else runOnce(name, fn).fold(_ => Seq(s1, s2), s3 => Seq(s1, s2, s3))
-              (name, samples, None)
+              if (!disagree) (name, Seq(s1, s2), None)
+              else runOnce(name, fn) match {
+                // a failed tie-breaker is a real failure signal, not a
+                // fallback to "ok" — surface it in status/failed
+                case Left(err) => (name, Seq(s1, s2), Some(err))
+                case Right(s3) => (name, Seq(s1, s2, s3), None)
+              }
           }
       }
     }
 
     def jnum(d: Double): String = f"$d%.3f"
-    val ok = results.collect { case (n, ss, None) => n -> median(ss) }
+    // any successful samples still contribute a median (keeps the total
+    // honest); the error, if any, shows in status + failed regardless
+    val ok = results.collect { case (n, ss, _) if ss.nonEmpty => n -> median(ss) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val samples = results.collect { case (n, ss, _) if ss.nonEmpty =>
       "\"" + n + "\":[" + ss.map(jnum).mkString(",") + "]"

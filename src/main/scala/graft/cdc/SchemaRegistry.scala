@@ -88,9 +88,13 @@ object SchemaRegistry {
       .withColumn("col_charsets",
         concat(col("col_charsets"), extras(col("version"), _ => lit(null).cast("string"))))
     versioned
+      // tie-break by version: two ALTERs of one table at the same pos
+      // must deterministically give the earlier version the empty
+      // [from_pos, until_pos) interval
       .withColumn("until_pos",
         coalesce(lead(col("from_pos"), 1).over(
-          Window.partitionBy(col("tbl")).orderBy(col("from_pos"))), lit(Long.MaxValue)))
+          Window.partitionBy(col("tbl")).orderBy(col("from_pos"), col("version"))),
+          lit(Long.MaxValue)))
       .withColumn("n_cols", size(col("col_names")))
       .withColumn("cols_sig", array_join(col("col_names"), ","))
   }

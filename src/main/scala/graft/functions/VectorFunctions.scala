@@ -102,7 +102,13 @@ object VectorFunctions {
 
   /** Kernel for [[NearestCentroids]] (also called from generated
     * code): ids of the `n` centroids nearest to `v` by (cosine desc,
-    * id asc — strict-greater keeps the first/lowest id on ties). */
+    * id asc — strict-greater keeps the first/lowest id on ties).
+    *
+    * Zero-norm vectors: a zero-norm `v` (or centroid) yields NaN
+    * cosines, and `NaN > x` is false for every x — so NaN-scored
+    * centroids lose every comparison and are picked last, in codebook
+    * id order. Deterministic, no special-casing needed; an all-zero
+    * `v` degrades to "first n centroid ids". */
   def nearestCids(v: ArrayData, cents: Array[Array[Float]], cids: Array[Long],
                   n: Int): GenericArrayData = {
     val m = cents.length
@@ -134,7 +140,10 @@ object VectorFunctions {
     * the chosen list id. */
   case class NearestCentroids(child: Expression, cents: Array[Array[Float]],
                               cids: Array[Long], n: Int) extends UnaryExpression {
-    require(n >= 1 && n <= cents.length && cents.length == cids.length)
+    require(cents.length == cids.length,
+      s"codebook mismatch: ${cents.length} centroids vs ${cids.length} ids")
+    require(n >= 1 && n <= cents.length,
+      s"nprobe/n=$n must be in [1, ${cents.length}] (codebook size)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)

@@ -73,8 +73,13 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .sortBy(_.getLong(0))
+    require(centRows.nonEmpty,
+      s"ivfTopK: no rows with vec_id < nlist=$nlist to seed the codebook")
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
+    // a sparse corpus can yield fewer than nlist centroids; probing
+    // more lists than exist is just "probe them all"
+    val probeN = math.min(nprobe, cids.length)
     // inverted-list assignment: map-side argmax against the constant
     // codebook — zero embedding bytes through any exchange
     val assigned = embeddings.select(
@@ -83,7 +88,7 @@ object Ann {
     // probe lists: each query's nprobe nearest centroids, same kernel
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(nearestCentroids(col("embedding"), cents, cids, nprobe)).as("list_id"))
+        explode(nearestCentroids(col("embedding"), cents, cids, probeN)).as("list_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes)
       .join(assigned, Seq("list_id"))

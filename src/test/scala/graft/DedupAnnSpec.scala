@@ -69,6 +69,31 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK on a corpus sparser than nlist clamps nprobe instead of crashing") {
+    val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val out = Ann.ivfTopK(tiny, nlist = 16, nprobe = 4, nQueries = 2, k = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty, "3-vector corpus still answers (probe-all degenerate case)")
+    assert(out.forall(r => r._1 != r._2))
+  }
+
+  test("ivfTopK with an empty codebook raises a descriptive error") {
+    val none = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfTopK(none, nlist = 4)
+    }
+    assert(e.getMessage.contains("codebook"))
+  }
+
+  test("NearestCentroids rejects n outside the codebook size with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.NearestCentroids(
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        Array(Array(1.0f)), Array(0L), n = 2)
+    }
+    assert(e.getMessage.contains("codebook size"))
+  }
+
   test("lshTopK returns subsets of true neighbors ranked consistently") {
     val out = Ann.lshTopK(Tables.embeddings(spark, sf), nQueries = 10)
       .as[(Long, Long, Int)].collect()

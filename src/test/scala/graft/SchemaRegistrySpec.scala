@@ -80,6 +80,28 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(out((2L, "nope")).isEmpty, "unknown table → NULL version (DLQ-routable)")
   }
 
+  test("two ALTERs at the same pos: deterministic tie-break, later version wins the interval") {
+    val alters = Seq(("t", 5L), ("t", 5L)).toDF("tbl", "pos")
+    val reg = SchemaRegistry.withAlters(baseReg, alters)
+    // the tied ALTERs open versions 1 and 2 both from pos 5; ordering
+    // until_pos by (from_pos, version) pins the empty interval on v1
+    val intervals = reg.filter(col("tbl") === "t")
+      .select(col("version"), col("from_pos"), col("until_pos"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(intervals.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(intervals(1) == ((1, 5L, 5L)), "earlier tied version gets the empty interval")
+    assert(intervals(2)._2 == 5L && intervals(2)._3 == Long.MaxValue)
+    val log = Seq((5L, "upsert", "t", 1L), (9L, "upsert", "t", 2L))
+      .toDF("pos", "op", "tbl", "id")
+    val out = SchemaRegistry.attach(log, reg)
+      .select(col("pos"), col("schema_version"), col("n_cols"))
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == 2, "disjoint intervals ⇒ exactly one schema per row")
+    val byPos = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byPos(5L) == ((2, 4)), "row at the tied pos sees the last ALTER's schema")
+    assert(byPos(9L) == ((2, 4)))
+  }
+
   test("zipmap semantics: pairs up to the shorter side (pre-ALTER row, post-ALTER schema)") {
     // a row written with 2 values read under a 3-column schema pairs 2
     val log = Seq((7L, "upsert", "t", 1L, Seq("1".getBytes("UTF-8"), "x".getBytes("UTF-8"))))
