@@ -68,6 +68,17 @@ object DuckSql {
        |  (SELECT $carry, ${mulmod(s"xor($outCol, $outCol // 1073741824)", K2)} AS $outCol FROM
        |   (SELECT $carry, (($inCol) + $K1) % $M AS $outCol FROM $src))))""".stripMargin
 
+  /** Replay of [[graft.functions.Hashing.hashLong]] (splitmix64 of
+    * `v ⊕ seed`) as a relation wrapper: `src` must expose `inExpr` as
+    * a signed BIGINT; result keeps `carry` columns plus `outCol`
+    * (unsigned HUGEINT — wrap in [[signed]] to compare with Spark, or
+    * derive buckets with `(outCol // 2) % B`, which equals Spark's
+    * `shiftrightunsigned(h, 1) % B`). */
+  def hashLongCtes(src: String, carry: String, inExpr: String, seed: Long,
+                   outCol: String): String =
+    finalize(s"(SELECT $carry, xor(${unsigned(inExpr)}, ${seed}::HUGEINT) AS __h0 FROM $src)",
+      carry, "__h0", outCol)
+
   /** Oracle for `doc_fingerprint`: hash64(text, seed=3) per doc. */
   def fingerprintOracle: String =
     s"""SELECT doc_id, ${signed("h")} AS fp

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Corpus, Dedup, Sampling}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -119,7 +119,26 @@ object SparkEntry {
           col("st.n_bpe").as("n_bpe"))
     }),
     "doc_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp")))
+      Tables.documents(s, d).select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp"))),
+    // ---- D. corpus hygiene + sampling (D13-D19) ----
+    "decontaminate" -> ((s, d) =>
+      Corpus.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
+    "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
+    "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
+    "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
+    "stratified_sample" -> ((s, d) => {
+      // demo per-source rate: 10..66% keyed off the source index
+      val rate = lit(10) +
+        (regexp_replace(col("source"), "^src", "").cast("int") * 7) % 60
+      Sampling.stratified(Tables.documents(s, d), col("doc_id"), rate)
+        .select(col("doc_id"), col("source"), col("bucket"))
+    }),
+    "train_test_split" -> ((s, d) =>
+      Sampling.trainTestSplit(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+    "domain_mix" -> ((s, d) =>
+      Sampling.domainMix(Tables.documents(s, d), col("doc_id"), col("source"), 15)
+        .select(col("doc_id"), col("source"), col("rk")))
   )
 
   /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
@@ -435,6 +454,87 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(string_split(text, ' '),
         |                                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                                  for i in range(1, len(w) - 1)])
+        |              ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shl WHERE doc_id % 97 = 0),
+        |x AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |         unnest(CASE WHEN len(sh) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE sh END) AS g
+        |  FROM shl WHERE doc_id % 97 <> 0),
+        |m AS (
+        |  SELECT x.doc_id, x.n_sh, CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM x LEFT JOIN bench b ON x.g = b.g)
+        |SELECT doc_id, CAST(max(n_sh) AS INT) AS n_sh, CAST(sum(hit) AS BIGINT) AS n_hit,
+        |       CAST(CASE WHEN sum(hit) >= 5 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM m GROUP BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, n_chars, CAST(len(w) AS INT) AS n_tok,
+        |             CAST(len(list_filter(w, x -> x = 'the')) +
+        |                  len(list_filter(w, x -> x = 'a')) AS INT) AS n_stop
+        |      FROM d),
+        |r AS (SELECT doc_id, n_tok,
+        |             (CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN n_tok > 1000 THEN 2 ELSE 0 END)
+        |             + (CASE WHEN n_stop = 0 THEN 4 ELSE 0 END)
+        |             + (CASE WHEN n_chars - n_tok + 1 > n_tok * 8 THEN 8 ELSE 0 END) AS reasons
+        |      FROM c)
+        |SELECT doc_id, n_tok, CAST(reasons AS INT) AS reasons,
+        |       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM r""".stripMargin,
+    "doc_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |             CAST(len(w) AS INT) AS n_tok,
+        |             CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+        |             CAST(list_max(list_transform(list_distinct(w),
+        |                    x -> len(list_filter(w, y -> y = x)))) AS INT) AS top_n,
+        |             CAST(len(list_distinct(CASE WHEN len(w) >= 2
+        |                    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |                    ELSE CAST([] AS VARCHAR[]) END)) AS INT) AS n_uniq_bi
+        |      FROM d)
+        |SELECT doc_id, n_tok, n_uniq, top_n, n_uniq_bi,
+        |       round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 6) AS tok_rep,
+        |       CASE WHEN n_tok > 1
+        |            THEN round(1.0 - CAST(n_uniq_bi AS DOUBLE) / (n_tok - 1), 6)
+        |            ELSE 0.0 END AS bi_rep,
+        |       CAST(CASE WHEN top_n * 5 >= n_tok THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM c""".stripMargin,
+    "top_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
+        |             THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |             ELSE CAST([] AS VARCHAR[]) END)) AS ngram
+        |      FROM d)
+        |SELECT ngram, count(*) AS df FROM b
+        |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH h AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, source", "doc_id", 11L, "hh")} hx),
+         |b AS (SELECT doc_id, source, CAST((hh // 2) % 100 AS INT) AS bucket FROM h)
+         |SELECT doc_id, source, bucket FROM b
+         |WHERE bucket < 10 + (CAST(regexp_replace(source, '^src', '') AS INT) * 7) % 60""".stripMargin,
+    "train_test_split" ->
+      s"""WITH h AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id", "doc_id", 13L, "hh")} hx),
+         |b AS (SELECT doc_id, CAST((hh // 2) % 100 AS INT) AS bucket FROM h)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "domain_mix" ->
+      s"""WITH h AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, source", "doc_id", 17L, "hh")} hx),
+         |r AS (SELECT doc_id, source,
+         |             CAST(row_number() OVER (PARTITION BY source
+         |                    ORDER BY ${DuckSql.signed("hh")}, doc_id) AS INT) AS rk
+         |      FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 15""".stripMargin,
     // hash-pipeline oracles: bit-exact DuckDB replays of the custom
     // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
     "doc_fingerprint" -> DuckSql.fingerprintOracle,

@@ -336,6 +336,25 @@ object Hashing {
       })
   }
 
+  /** splitmix64 of a long column with a compile-time seed — the
+    * deterministic row-assignment hash behind sampling / split / mix
+    * operators. Unlike `rand()`, the same row lands in the same bucket
+    * on every run, every partitioning, and every engine (DuckDB replay
+    * in [[graft.DuckSql.hashLongCtes]]), so samples are reproducible
+    * and join-stable (a doc keeps its split across pipeline stages). */
+  case class HashLong64(child: Expression, seed: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): HashLong64 = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(hashLong(v.asInstanceOf[Long], seed))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Hashing.hashLong($c, ${seed}L);")
+  }
+
   // Column-API wrappers (Spark 4: Column ↔ Expression via the bridge)
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
   def minhash(shingles: Column, numHashes: Int = 128): Column =
@@ -348,4 +367,5 @@ object Hashing {
   def hashedShingles3Col(words: Column): Column =
     toColumn(HashedShingles3(toExpr(words)))
   def fingerprint(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
+  def hashLong64(v: Column, seed: Long): Column = toColumn(HashLong64(toExpr(v), seed))
 }

@@ -141,4 +141,55 @@ object TextFunctions {
       transform(toks, t => ((length(t) + 3) / 4).cast("long")),
       lit(0L),
       (acc, v) => acc + v)
+
+  /** One-pass repetition kernel (also called from generated code):
+    * token count, distinct-token count, max single-token frequency,
+    * distinct adjacent-bigram count. Per-row maps only — the operator
+    * built on this is entirely map-side, no shuffle. Bigram identity
+    * is the literal `"tok_i tok_{i+1}"` string (tokens are
+    * space-split, so the separator is unambiguous), matching the
+    * DuckDB oracle's list semantics exactly. */
+  def repStatsKernel(arr: ArrayData): GenericInternalRow = {
+    val n = arr.numElements()
+    val freq = new java.util.HashMap[UTF8String, Int](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val c = freq.merge(t, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String](if (n > 1) (n - 1) * 2 else 4)
+    i = 0
+    while (i < n - 1) {
+      bigrams.add(arr.getUTF8String(i).toString + " " + arr.getUTF8String(i + 1).toString)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, freq.size(), top, bigrams.size()))
+  }
+
+  /** Within-document repetition statistics in ONE codegen'd pass
+    * (SURVEY §2 D16) — the Gopher-style repetition signals (duplicate
+    * token fraction, dominant-token fraction, duplicate-bigram
+    * fraction) all derive from this struct with integer-exact
+    * arithmetic. */
+  case class RepStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("n_uniq", IntegerType, nullable = false),
+      StructField("top_n", IntegerType, nullable = false),
+      StructField("n_uniq_bi", IntegerType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      repStatsKernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextFunctions.repStatsKernel($c);")
+  }
+
+  def repStats(toks: Column): Column = toColumn(RepStats(toExpr(toks)))
 }

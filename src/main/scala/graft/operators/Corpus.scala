@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Corpus-hygiene operators for training-data pipelines
+  * (SURVEY §2 D16-D19): benchmark decontamination, rule-based quality
+  * filtering, within-document repetition signals, and corpus-level
+  * n-gram statistics. These are the "beyond the reference" operators a
+  * pretraining pipeline runs between raw ingestion and dedup.
+  */
+object Corpus {
+
+  /** Train/eval contamination check: for every corpus document, count
+    * how many of its distinct word 3-gram shingles also occur in the
+    * benchmark/eval set (`benchPred` rows), and flag docs at or above
+    * `minHits` shared shingles.
+    *
+    * Scale shape: the eval set is dim-sized by construction (benchmarks
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle set broadcasts; the corpus is scanned ONCE — shingles are
+    * computed in one codegen'd pass ([[Hashing.HashedShingles3]], 8-byte
+    * hashed keys so the probe carries no strings), exploded, probed
+    * against the broadcast, and re-aggregated by doc in a single
+    * narrow-row exchange. Hashed-shingle matching equals string
+    * matching barring 64-bit collisions (same argument as the MinHash
+    * pipeline, Dedup.scala). */
+  def decontaminate(docs: DataFrame, benchPred: Column, minHits: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), benchPred.as("is_bench"),
+      Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+    val bench = sh.where(col("is_bench"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    // explode_outer keeps shingle-less docs (n_tok < 3) in the output
+    sh.where(!col("is_bench"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contaminated", (col("n_hit") >= minHits).cast("int"))
+  }
+
+  /** C4-style rule filter: a reasons bitmask per doc (0 = keep).
+    * Bit 0 too short, bit 1 too long, bit 2 no stopwords, bit 3
+    * implausible mean word length. All comparisons are integer-exact
+    * (mean-word-length > 8 is tested as `n_chars - n_tok + 1 >
+    * 8·n_tok`), so the oracle matches bit-for-bit. One TokenStats
+    * pass, map-only. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val st = TextFunctions.tokenStats(TextFunctions.tokens(col("text")))
+    val withStats = docs.select(col("doc_id"), col("n_chars"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"),
+        (col("st.n_the") + col("st.n_a")).as("n_stop"),
+        col("n_chars"))
+    val reasons =
+      when(col("n_tok") < 10, 1).otherwise(0) +
+        when(col("n_tok") > 1000, 2).otherwise(0) +
+        when(col("n_stop") === 0, 4).otherwise(0) +
+        when(col("n_chars") - col("n_tok") + 1 > col("n_tok") * 8, 8).otherwise(0)
+    withStats
+      .withColumn("reasons", reasons.cast("int"))
+      .withColumn("kept", (col("reasons") === 0).cast("int"))
+      .drop("n_stop", "n_chars")
+  }
+
+  /** Gopher-style repetition signals per doc, from ONE codegen'd pass
+    * ([[TextFunctions.RepStats]]): duplicate-token fraction,
+    * dominant-token fraction gate, duplicate-bigram fraction. Entirely
+    * map-side — repetition is a within-row property, so there is no
+    * shuffle at any scale. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val st = TextFunctions.repStats(TextFunctions.tokens(col("text")))
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"),
+        col("st.n_uniq").as("n_uniq"),
+        col("st.top_n").as("top_n"),
+        col("st.n_uniq_bi").as("n_uniq_bi"))
+      .withColumn("tok_rep",
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_tok"), 6))
+      .withColumn("bi_rep",
+        when(col("n_tok") > 1,
+          round(lit(1.0) - col("n_uniq_bi").cast("double") / (col("n_tok") - 1), 6))
+          .otherwise(0.0))
+      .withColumn("flagged", (col("top_n") * 5 >= col("n_tok")).cast("int"))
+  }
+
+  /** Corpus-level top-k adjacent bigrams by document frequency
+    * (boilerplate / template discovery). Distinct-per-doc bigrams
+    * explode into one narrow `(ngram)` exchange with map-side combine;
+    * the global top-k is a TakeOrdered (no single-partition window).
+    * Total (df desc, ngram asc) order makes the k-boundary unique, so
+    * the result SET is deterministic. */
+  def topNgrams(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic corpus sampling / splitting / mixing for
+  * training-data pipelines (SURVEY §2 D13-D15).
+  *
+  * Everything here keys off [[Hashing.hashLong64]] (splitmix64 of the
+  * row id with a per-operator seed) instead of `rand()`: the same row
+  * lands in the same bucket on every run, every partitioning, and in
+  * the DuckDB oracle — which is what a 100 TB pipeline actually needs
+  * (re-runs must not reshuffle the eval split, and a doc's split must
+  * survive being joined from another stage). All three operators are
+  * MAP-ONLY on the corpus except [[domainMix]], which needs one
+  * hash-partitioned window per stratum — no global sort, no collect.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 100): unsigned-shift the hash so the
+    * modulo is sign-free (DuckDB replay: `(h // 2) % 100`). */
+  def bucket(id: Column, seed: Long): Column =
+    (shiftrightunsigned(Hashing.hashLong64(id, seed), 1) % 100).cast("int")
+
+  /** Per-stratum deterministic downsample: keep rows whose bucket
+    * falls under the stratum's sampling percentage. `ratePct` is any
+    * column expression in [0,100] — a literal, a joined-in rates
+    * column, or a rule over the stratum key. Map-only: no shuffle, no
+    * state, reproducible. */
+  def stratified(df: DataFrame, id: Column, ratePct: Column, seed: Long = 11L): DataFrame =
+    df.withColumn("bucket", bucket(id, seed)).where(col("bucket") < ratePct)
+
+  /** Hash-based train/valid/test assignment (98/1/1-style fractions
+    * given as cumulative percentage cut points). Map-only; the split
+    * is a pure function of the id, so any stage can recompute it
+    * without a join against a split table. */
+  def trainTestSplit(df: DataFrame, id: Column, trainPct: Int = 90,
+                     validPct: Int = 5, seed: Long = 13L): DataFrame = {
+    val b = bucket(id, seed)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
+  /** Balanced domain mix: at most `perStratum` rows from each stratum,
+    * picked by hash rank (deterministic, not first-k-by-position — so
+    * the sample is unbiased w.r.t. input order). One window per
+    * stratum, hash-partitioned on the stratum key; at 100 TB this is a
+    * single exchange and AQE splits skewed strata. */
+  def domainMix(df: DataFrame, id: Column, stratum: Column, perStratum: Int,
+                seed: Long = 17L): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(Hashing.hashLong64(id, seed), id)
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= perStratum)
+  }
+}

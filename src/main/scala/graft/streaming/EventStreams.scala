@@ -19,4 +19,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+
+  /** Streaming exact dedup on document content (SURVEY §2 B10): the
+    * ingest-time twin of [[graft.operators.Dedup.exact]]. State is
+    * keyed by the 8-byte content fingerprint, NOT the text —
+    * `dropDuplicates` state stores the dedup columns, so keying on the
+    * fingerprint keeps the state store at ~16 bytes/doc instead of
+    * whole bodies (the same body-never-shuffles rule the batch dedup
+    * follows). The event-time watermark bounds state: a duplicate
+    * arriving later than `watermark` after the original may pass —
+    * that's the documented at-scale trade (unbounded streaming dedup
+    * state is a 100 TB non-starter); the batch MinHash/exact pass
+    * downstream catches stragglers. */
+  def dedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.Hashing.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

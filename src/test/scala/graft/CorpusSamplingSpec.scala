@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Sampling}
+
+/** Corpus-hygiene + deterministic-sampling operators (SURVEY §2
+  * D13-D19, B10). */
+class CorpusSamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample is deterministic and respects the per-stratum rate") {
+    val docs = Tables.documents(spark, sf)
+    val out1 = Sampling.stratified(docs, col("doc_id"), lit(30))
+      .select("doc_id").as[Long].collect().toSet
+    val out2 = Sampling.stratified(docs, col("doc_id"), lit(30))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out1 == out2, "same seed ⇒ same sample on every run")
+    val n = docs.count()
+    assert(out1.size > n * 0.15 && out1.size < n * 0.45, s"~30% expected, got ${out1.size}/$n")
+    // rate 0 keeps nothing; rate 100 keeps everything
+    assert(Sampling.stratified(docs, col("doc_id"), lit(0)).count() == 0)
+    assert(Sampling.stratified(docs, col("doc_id"), lit(100)).count() == n)
+  }
+
+  test("train/test split is total, disjoint, and a pure function of the id") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.trainTestSplit(docs, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.length == docs.count(), "every doc gets exactly one split")
+    val bySplit = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit("train") > out.length * 0.8)
+    // recomputation from ids alone agrees (no split table needed)
+    val again = Sampling.trainTestSplit(docs.select("doc_id"), col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => again(id) == s })
+  }
+
+  test("domain mix caps every stratum and picks by hash rank, not input order") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.domainMix(docs, col("doc_id"), col("source"), 5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val perSource = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ <= 5))
+    // hash rank ≠ id order: at least one source's picks aren't its 5 smallest ids
+    val smallest = docs.select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(5).toSet).toMap
+    assert(out.groupBy(_._1).exists { case (s, rows) => rows.map(_._2).toSet != smallest(s) })
+  }
+
+  test("decontaminate flags a planted copy of a benchmark doc and not unrelated docs") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, bench),                                         // 0 % 97 == 0 → benchmark set
+      (1L, bench),                                         // verbatim leak
+      (2L, "totally different words with no shared phrases at all here"),
+      (3L, "alpha beta gamma " + "unrelated tail of text goes here now") // partial overlap
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, col("doc_id") % 97 === 0, minHits = 5)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(0L), "benchmark docs are not in the scored output")
+    assert(out(1L)._1 == 8 && out(1L)._2 == 1, "verbatim copy shares all 8 shingles")
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L)._1 == 1 && out(3L)._2 == 0, "one shared shingle is below the threshold")
+  }
+
+  test("quality filter sets one reason bit per violated rule") {
+    val docs = Seq(
+      (1L, ("the word list is long enough to pass every single rule " +
+        Seq.fill(4)("the a word").mkString(" ")), 100L),
+      (2L, "too short", 9L),                               // bit 0
+      (3L, Seq.fill(1200)("the").mkString(" "), 4799L),    // bit 1
+      (4L, "zz qq ww ee rr tt yy uu ii oo pp ll kk jj hh", 44L), // bit 2 (no stopwords)
+      (5L, ("the a " + Seq.fill(10)("supercalifragilistic").mkString(" ")), 215L) // bit 3
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Corpus.qualityFilter(docs)
+      .select("doc_id", "reasons", "kept").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0, 1)))
+    assert((out(2L)._1 & 1) == 1 && out(2L)._2 == 0)
+    assert((out(3L)._1 & 2) == 2)
+    assert((out(4L)._1 & 4) == 4)
+    assert((out(5L)._1 & 8) == 8)
+  }
+
+  test("repetition stats match hand-computed values") {
+    val docs = Seq(
+      (1L, "a a b"),          // toks 3, uniq 2, top 2, bigrams {a a, a b} = 2
+      (2L, "x x x x"),        // toks 4, uniq 1, top 4, bigrams {x x} = 1
+      (3L, "p q r s t u v w x y") // all distinct, long enough to clear the flag gate
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetition(docs)
+      .select("doc_id", "n_tok", "n_uniq", "top_n", "n_uniq_bi", "flagged")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((3, 2, 2, 2, 1)), "top 2 of 3 toks ⇒ flagged (2*5 >= 3)")
+    assert(out(2L) == ((4, 1, 4, 1, 1)))
+    assert(out(3L) == ((10, 10, 1, 9, 0)), "all-distinct doc: top 1 of 10 ⇒ not flagged")
+  }
+
+  test("top ngrams ranks by document frequency with deterministic ties") {
+    val docs = Seq(
+      (1L, "big data big data"),   // distinct-per-doc: {big data, data big}
+      (2L, "big data rules"),
+      (3L, "small data rules")
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(docs, k = 3).as[(String, Long)].collect()
+    assert(out.head == (("big data", 2L)))
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.distinct)
+    assert(out.length == 3)
+  }
+
+  test("streaming dedup drops in-watermark duplicate bodies, state keyed by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.EventStreams.dedupDocs(stream)
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("b10").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    in.addData((1L, "same body", t0), (2L, "same body", t0), (3L, "other body", t0))
+    q.processAllAvailable()
+    in.addData((4L, "same body", t1)) // still inside the watermark → dropped
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("b10").select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 1, "exactly one of the first dup pair survives")
+    assert(kept.contains(3L))
+    assert(!kept.contains(4L), "later in-watermark duplicate is dropped by state")
+  }
+}
