@@ -95,15 +95,10 @@ object Corpus {
     * the global top-k is a TakeOrdered (no single-partition window).
     * Total (df desc, ngram asc) order makes the k-boundary unique, so
     * the result SET is deterministic. */
-  def topNgrams(docs: DataFrame, k: Int = 100): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      array_distinct(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(explode(bigrams).as("ngram"))
+  def topNgrams(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(
+        TextFunctions.distinctBigrams(TextFunctions.tokens(col("text")))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
-  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.Hashing._
+import graft.functions.TextFunctions.{RepStats, TokenStats}
 import graft.functions.VectorFunctions.CosineF32
 
 /** SQL surface for graft's native expressions.
@@ -67,5 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors"),
       (exprs: Seq[Expression]) => CosineF32(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_token_stats"),
+      info("graft_token_stats", "graft_token_stats(array<string>) - one-pass token statistics struct"),
+      (exprs: Seq[Expression]) => TokenStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      info("graft_rep_stats", "graft_rep_stats(array<string>) - one-pass repetition statistics struct"),
+      (exprs: Seq[Expression]) => RepStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_hashlong"),
+      info("graft_hashlong", "graft_hashlong(v, seed) - splitmix64 of a long with a literal seed"),
+      (exprs: Seq[Expression]) => HashLong64(exprs.head,
+        intLit(exprs(1), "graft_hashlong", "seed").toLong)))
   }
 }

@@ -40,6 +40,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(si == 2)
   }
 
+  test("round-4 functions: token/rep stats structs and seeded long hash") {
+    val ts = spark.sql(
+      "SELECT graft_token_stats(split('the a the data', ' ')).n_the AS n").collect()(0).getInt(0)
+    assert(ts == 2)
+    val rs = spark.sql(
+      "SELECT graft_rep_stats(split('x x y', ' ')).top_n AS t").collect()(0).getInt(0)
+    assert(rs == 2)
+    val h = spark.sql("SELECT graft_hashlong(42L, 13) AS h").collect()(0).getLong(0)
+    assert(h == graft.functions.Hashing.hashLong(42L, 13L))
+  }
+
   test("non-literal parameter args raise AnalysisException, not NPE") {
     import spark.implicits._
     val df = Seq((Array("a", "b", "c", "d"), 4)).toDF("toks", "n")
