@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, Corpus, Dedup, Sampling}
+import graft.operators.{Ann, AsOf, Corpus, Dedup, Sampling}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -83,6 +83,24 @@ object SparkEntry {
     "sessionize" -> (Analytics.sessionize _),
     "event_windowed_agg" -> (Analytics.eventWindowedAgg _),
     "user_funnel" -> (Analytics.userFunnel _),
+    "asof_join" -> ((s, d) => {
+      // each purchase picks up the user's latest view at-or-before it
+      val log = Changelog.fromEvents(ev(s, d))
+      val l = log.filter(col("etype") === "purchase").select(col("id"), col("pos"), col("val"))
+      val r = log.filter(col("etype") === "view")
+        .select(col("id"), col("pos").as("vpos"), col("val").as("vval"))
+      AsOf.join(l, r, Seq("id"), "pos", "vpos")
+    }),
+    "rolling_agg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("roll3"))
+    }),
     // ---- D. LLM-pipeline operators ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -454,6 +472,19 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(string_split(text, ' '),
         |                                    x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "asof_join" -> (logCte +
+      """SELECT l.id, l.pos, l.val, r.vpos AS asof_vpos, r.vval AS asof_vval
+        |FROM (SELECT id, pos, val FROM log WHERE etype = 'purchase') l
+        |ASOF LEFT JOIN (SELECT id, pos AS vpos, val AS vval
+        |                FROM log WHERE etype = 'view') r
+        |  ON l.id = r.id AND l.pos >= r.vpos""".stripMargin),
+    "rolling_agg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3
+        |FROM orders""".stripMargin,
     "decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shl AS (
