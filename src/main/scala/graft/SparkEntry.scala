@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Corpus, Dedup, Sampling}
+import graft.operators.{Ann, AsOf, Corpus, Dedup, RangeJoin, Sampling}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -100,6 +100,15 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
             .cast("double").as("roll3"))
+    }),
+    "range_join" -> ((s, d) => {
+      // error events matched to every signup-anchored [pos, pos+100) window
+      val log = Changelog.fromEvents(ev(s, d))
+      val iv = log.filter(col("etype") === "signup")
+        .select(col("id").as("iv_id"), col("pos").as("lo"), (col("pos") + 100).as("hi"))
+      val pts = log.filter(col("etype") === "error").select(col("pos"))
+      RangeJoin.pointInInterval(pts, "pos", iv, "lo", "hi")
+        .select(col("pos"), col("iv_id"), col("lo"))
     }),
     // ---- D. LLM-pipeline operators ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -478,6 +487,12 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT id, pos AS vpos, val AS vval
         |                FROM log WHERE etype = 'view') r
         |  ON l.id = r.id AND l.pos >= r.vpos""".stripMargin),
+    "range_join" -> (logCte +
+      """, iv AS (SELECT id AS iv_id, pos AS lo, pos + 100 AS hi
+        |        FROM log WHERE etype = 'signup'),
+        |pts AS (SELECT pos FROM log WHERE etype = 'error')
+        |SELECT p.pos, iv.iv_id, iv.lo
+        |FROM pts p JOIN iv ON p.pos >= iv.lo AND p.pos < iv.hi""".stripMargin),
     "rolling_agg" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic point-in-interval range join (SURVEY §2 C10) — the
+  * reusable form of the adaptive-bucket technique proven in
+  * [[graft.cdc.Changelog.attachFile]] and
+  * [[graft.cdc.SchemaRegistry.attach]].
+  *
+  * A naive `p >= lo AND p < hi` theta-join is a broadcast
+  * nested-loop: O(|points|·|intervals|) comparisons. Instead the
+  * observed point range is cut into ~2¹⁶ equal buckets (width adapts
+  * to the data — dense event ids and sparse 64-bit byte offsets both
+  * produce ~2¹⁶ control rows), each interval explodes onto the
+  * buckets it covers, and points equi-join on their own bucket — one
+  * hash join, linear in the points, AQE-splittable. The exploded
+  * interval table stays a few MB and broadcasts.
+  *
+  * Intervals are `[lo, hi)` and MAY overlap — every containing
+  * interval matches (inner-join semantics; intervals are control
+  * relations: rotate sets, schema versions, maintenance windows,
+  * IP-geo ranges). Range stats come from a 1-row aggregate
+  * cross-joined onto both sides — fully declarative, no driver
+  * action, no collect. */
+object RangeJoin {
+
+  /** Inner join: each `points` row × each interval containing
+    * `points(pointCol)`. Interval columns pass through; intervals
+    * entirely outside the observed point range are pruned before the
+    * explode. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    val stats = points.agg(
+        min(col(pointCol)).as("__p_min"), max(col(pointCol)).as("__p_max"))
+      .withColumn("__bsize",
+        greatest(lit(1L), expr(s"(__p_max - __p_min + 1) div 65536")))
+    val byBucket = intervals
+      .crossJoin(broadcast(stats))
+      // intervals that cannot contain any observed point never explode
+      .filter(col(hiCol) > col("__p_min") && col(loCol) <= col("__p_max"))
+      // integer `div`, never `/`: double division loses precision past
+      // 2^53 and mis-buckets realistic 64-bit byte offsets
+      .withColumn("__b_lo",
+        expr(s"(greatest($loCol, __p_min) - __p_min) div __bsize"))
+      .withColumn("__b_hi",
+        expr(s"(least($hiCol - 1, __p_max) - __p_min) div __bsize"))
+      .withColumn("__bucket", explode(sequence(col("__b_lo"), col("__b_hi"))))
+      .drop("__b_lo", "__b_hi", "__p_min", "__p_max", "__bsize")
+    points
+      .crossJoin(broadcast(stats))
+      .withColumn("__bucket", expr(s"($pointCol - __p_min) div __bsize"))
+      .join(broadcast(byBucket), Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket", "__p_min", "__p_max", "__bsize")
+  }
+}
