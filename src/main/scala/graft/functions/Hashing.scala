@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -336,6 +336,59 @@ object Hashing {
       })
   }
 
+  /** Kernel for [[SimHashFirstBand]] (also called from generated
+    * code): index of the FIRST chunk-pair band (same `(i,j)` i<j
+    * lexicographic enumeration as the banding in
+    * [[graft.operators.Dedup.simhash]]) where both chunks of the two
+    * signatures agree; -1 when no band matches. A colliding signature
+    * pair matches in every band whose two chunks are undamaged — so
+    * keeping only the `ci == firstBand` row deduplicates the pair
+    * MAP-SIDE, with no groupBy/distinct exchange at all. */
+  def simhashFirstBand(au: Long, bu: Long, maxHamming: Int): Int = {
+    val nChunks = maxHamming + 2
+    val diff = au ^ bu
+    // per-chunk agreement under the same (64*i)/nChunks bounds
+    val agree = new Array[Boolean](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val lo = (64 * c) / nChunks
+      val hi = (64 * (c + 1)) / nChunks
+      val w = hi - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      agree(c) = ((diff >>> lo) & mask) == 0L
+      c += 1
+    }
+    var idx = 0
+    var i = 0
+    while (i < nChunks - 1) {
+      var j = i + 1
+      while (j < nChunks) {
+        if (agree(i) && agree(j)) return idx
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** First matching chunk-pair band of two SimHash signatures. */
+  case class SimHashFirstBand(left: Expression, right: Expression, maxHamming: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHashFirstBand =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Integer.valueOf(
+        simhashFirstBand(a.asInstanceOf[Long], b.asInstanceOf[Long], maxHamming))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Hashing.simhashFirstBand($a, $b, $maxHamming);")
+  }
+
   /** splitmix64 of a long column with a compile-time seed — the
     * deterministic row-assignment hash behind sampling / split / mix
     * operators. Unlike `rand()`, the same row lands in the same bucket
@@ -368,4 +421,6 @@ object Hashing {
     toColumn(HashedShingles3(toExpr(words)))
   def fingerprint(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
   def hashLong64(v: Column, seed: Long): Column = toColumn(HashLong64(toExpr(v), seed))
+  def simhashFirstBandCol(a: Column, b: Column, maxHamming: Int): Column =
+    toColumn(SimHashFirstBand(toExpr(a), toExpr(b), maxHamming))
 }

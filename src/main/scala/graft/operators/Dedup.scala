@@ -245,20 +245,21 @@ object Dedup {
     val bandsDf = groups
       .select(col("gid"), col("sh64"), posexplode(bandArr).as(Seq("ci", "cv")))
       .persist()
-    // dup is decided inline per matched band row (sh64 is functionally
-    // dependent on gid, so every copy of a pair agrees); the group-pair
-    // dedup is then a groupBy on the two 8-byte gids with map-side
-    // combine — half the shuffle width of a distinct() carrying both
-    // signatures, and partial aggregation collapses the ~C(chunks,2)
-    // copies per pair before the exchange
+    // pair dedup is MAP-SIDE: a colliding pair matches in every band
+    // whose two chunks are intact, and both signatures sit in the
+    // joined row — so keep only the row of the FIRST matching band
+    // (one codegen'd integer kernel) instead of shuffling ~C(chunks,2)
+    // copies of every pair through a groupBy. dup is decided inline
+    // (sh64 is functionally dependent on gid, so any copy agrees).
     val verified = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.gid") < col("b.gid"))
+      .where(col("a.ci") ===
+        Hashing.simhashFirstBandCol(col("a.sh64"), col("b.sh64"), maxHamming))
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"),
         (bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))) <= maxHamming)
           .cast("int").as("dup"))
-      .groupBy(col("a_gid"), col("b_gid")).agg(max(col("dup")).as("dup"))
     rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq("sh64"))
   }
 

@@ -39,6 +39,16 @@ class HashingSpec extends AnyFunSuite {
     assert(ham(m(1L), m(3L)) > 20)
   }
 
+  test("simhashFirstBand enumerates chunk pairs like the banding and spots the first intact pair") {
+    // identical signatures agree in every chunk → band 0 (pair 0,1)
+    assert(Hashing.simhashFirstBand(0x1234L, 0x1234L, 6) == 0)
+    // flip one bit in chunk 0 (bits 0..7 for nChunks=8): chunks 1..7
+    // intact → first pair without chunk 0 is (1,2) = index 7
+    assert(Hashing.simhashFirstBand(0x1234L, 0x1234L ^ 1L, 6) == 7)
+    // all chunks damaged → no band
+    assert(Hashing.simhashFirstBand(0L, -1L, 6) == -1)
+  }
+
   test("fingerprint distinguishes texts; codegen and interpreted agree") {
     val df = Seq((1L, "alpha beta"), (2L, "alpha betb")).toDF("id", "text")
     val viaPlan = df.select(col("id"), Hashing.fingerprint(col("text")).as("fp"))
