@@ -36,4 +36,37 @@ object EventStreams {
       .withColumn("fp", graft.functions.Hashing.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming gap-based sessionization (SURVEY §2 B11) — the live
+    * twin of the batch `sessionize` query (C5), via Spark's native
+    * `session_window` (merging event-time windows with a gap timeout):
+    * no hand-rolled state, watermark-bounded, append-mode — a session
+    * row emits exactly once, when the watermark passes its close. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+
+  /** Watermarked stream-stream interval join (SURVEY §2 B12): each
+    * purchase pairs with the same user's views from the preceding
+    * hour. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions — that's what lets Spark expire
+    * join state instead of buffering either stream forever (the
+    * unbounded-state trap of naive stream joins). */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_val"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .drop(v("user_id"))
+  }
 }

@@ -67,6 +67,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("click", 2L, 3.0)))
   }
 
+  test("B11: streaming session windows merge by gap and emit once closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionize(df, gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b11").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then one 2h later
+    in.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),
+      (t("2024-01-01 12:00:00"), 1L))
+    q.processAllAvailable()
+    in.addData((t("2024-01-02 00:00:00"), 99L)) // advance watermark, close all
+    drain(q)
+    val rows = spark.table("b11").select("user_id", "n_events")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(rows(1L) == Seq(1L, 2L), "gap merge: 2-event session + 1-event session")
+  }
+
+  test("B12: stream-stream interval join pairs purchases with preceding views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val views = vIn.toDF().toDF("ts", "user_id")
+    val purchases = pIn.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.purchaseViewJoin(views, purchases)
+      .writeStream.format("memory").queryName("b12").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    vIn.addData((t("2024-01-01 10:00:00"), 1L),  // in window
+      (t("2024-01-01 08:00:00"), 1L),            // too old (> 1h before)
+      (t("2024-01-01 10:40:00"), 1L),            // AFTER the purchase → no match
+      (t("2024-01-01 10:00:00"), 2L))            // other user
+    pIn.addData((t("2024-01-01 10:30:00"), 1L, 9.5))
+    q.processAllAvailable()
+    vIn.addData((t("2024-01-02 00:00:00"), 99L)) // advance watermarks
+    pIn.addData((t("2024-01-02 00:00:00"), 99L, 0.0))
+    drain(q)
+    val rows = spark.table("b12")
+      .select("user_id", "view_ts", "purchase_val")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    assert(rows.contains((1L, t("2024-01-01 10:00:00"), 9.5)))
+    assert(rows.forall { case (u, vt, _) => u != 1L || vt == t("2024-01-01 10:00:00") },
+      "only the in-window preceding view joins")
+  }
+
   test("B4: tx buffering — commit releases in order, rollback drops, markers stripped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxEvent]
