@@ -111,6 +111,24 @@ class StreamingSpec extends AnyFunSuite {
       "only the in-window preceding view joins")
   }
 
+  test("A19: file changelog source tails a directory and feeds the standard pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clog").toString
+    val batch1 = Seq((1L, "upsert", "t", 10L, 0L, 1.0, 0L, "purchase"))
+      .toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+    batch1.write.mode("append").parquet(dir)
+    val q = graft.sources.ChangelogFiles.stream(spark, dir)
+      .writeStream.format("memory").queryName("a19").outputMode("append").start()
+    q.processAllAvailable()
+    // a file landing later is picked up by a later micro-batch
+    Seq((2L, "delete", "t", 10L, 0L, 2.0, 5L, "error"))
+      .toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("a19").select("pos", "op", "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "upsert", 10L), (2L, "delete", 10L)))
+  }
+
   test("B4: tx buffering — commit releases in order, rollback drops, markers stripped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxEvent]
