@@ -31,6 +31,10 @@ object SparkEntry {
     "cdc_entity_state" -> ((s, d) =>
       Changelog.entityState(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
     "cdc_next_position" -> ((s, d) => Changelog.nextPosition(Changelog.fromEvents(ev(s, d)))),
+    "cdc_state_at" -> ((s, d) =>
+      // point-in-time state at the median position (deterministic cut)
+      Changelog.entityStateAt(
+        Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))), 5000L)),
     "snapshot_load" -> ((s, d) =>
       Changelog.snapshotLoad(Tables.customer(s, d), "customer", "c_custkey")),
     "cdc_snapshot_all" -> ((s, d) =>
@@ -211,6 +215,12 @@ object SparkEntry {
         |  SELECT tbl, id, val, pos, op,
         |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
         |  FROM committed)
+        |SELECT tbl, id, val, pos AS last_pos FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+    "cdc_state_at" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, pos, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed WHERE pos <= 5000)
         |SELECT tbl, id, val, pos AS last_pos FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin),
     "cdc_next_position" -> (logCte +
       """SELECT coalesce((SELECT 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0')

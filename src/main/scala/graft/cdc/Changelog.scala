@@ -198,6 +198,15 @@ object Changelog {
       .filter(col("op") === "upsert")
       .select(col("tbl"), col("id"), col("val"), col("pos").as("last_pos"))
 
+  /** Entity state AS OF a position: the fold replayed only over ops
+    * with `pos <= atPos` — point-in-time recovery / debugging of a
+    * live view ("what did the table look like when the resume token
+    * was X"). The position predicate lands on the scan (parquet
+    * min/max pruning skips whole files of later log segments), then
+    * it is the same single-shuffle fold as [[entityState]]. */
+  def entityStateAt(log: DataFrame, atPos: Long): DataFrame =
+    entityState(log.filter(col("pos") <= atPos))
+
   /** The binlog position to continue streaming from, as a 1-row frame
     * `(file, next_pos)`. Reference: `next-position`
     * (`src/dumpr/core.clj:107-113`) and the `:next-position` metadata.

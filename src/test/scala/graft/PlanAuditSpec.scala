@@ -62,4 +62,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"),
       "tx filter must be a broadcast anti-join, not a shuffle join")
   }
+
+  test("sampling/split/repetition/quality operators are map-only (zero exchanges)") {
+    Seq("stratified_sample", "train_test_split", "doc_repetition", "quality_filter")
+      .foreach { q =>
+        val n = raw"\(\d+\) Exchange\b".r.findAllIn(formatted(q)).size
+        assert(n == 0, s"$q must not shuffle, found $n exchange(s)")
+      }
+  }
+
+  test("cdc_state_at: position predicate reaches the parquet scan") {
+    val p = formatted("cdc_state_at")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(event_id"),
+      "pos <= cut must push down (pos = event_id at the scan)")
+  }
+
+  test("decontaminate: benchmark set broadcasts; no shuffle carries text or shingles") {
+    val p = formatted("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench probe must be a broadcast join")
+    val bad = shuffleInputs(p).filter(in => in.contains("text") || in.contains("sh#"))
+    assert(bad.isEmpty, s"corpus-body-carrying shuffle(s): $bad")
+  }
+
+  test("domain_mix: per-stratum cap applied map-side before the exchange") {
+    val p = formatted("domain_mix")
+    assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expect partial (pre-shuffle) + final WindowGroupLimit")
+  }
+
+  test("dedup_simhash: no groupBy/distinct exchange for pair dedup (map-side first-band)") {
+    val p = formatted("dedup_simhash")
+    // pair dedup used to be a groupBy(a_gid, b_gid); now only the
+    // collapse, member join and rollup exchanges remain
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n <= 6, s"unexpected extra exchange(s): $n")
+    assert(p.contains("simhashfirstband") || p.contains("SimHashFirstBand"),
+      "first-band filter must be in the plan")
+  }
 }
