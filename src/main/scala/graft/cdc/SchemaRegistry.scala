@@ -54,6 +54,40 @@ object SchemaRegistry {
       .toDF("tbl", "version", "from_pos", "col_names", "col_types", "col_charsets")
   }
 
+  /** The `information_schema.columns` pull behind the registry in
+    * production — the reference's `load-schema`
+    * (`table_schema.clj:41-66`) does one query per table per cache
+    * miss; here ONE range-partitionable JDBC read covers the whole
+    * configured table set. Use as Spark's JDBC `dbtable` subquery via
+    * [[graft.sources.JdbcSnapshot]]. */
+  def informationSchemaQuery(db: String, tables: Seq[String]): String = {
+    val tblIn = tables.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""(SELECT table_name, ordinal_position, column_name, data_type,
+       |        character_set_name, column_key
+       | FROM information_schema.columns
+       | WHERE table_schema = '${db.replace("'", "''")}'
+       |   AND table_name IN ($tblIn)) isc""".stripMargin
+  }
+
+  /** Fold an `information_schema.columns` frame (the result of
+    * [[informationSchemaQuery]]) into version-0 registry rows — same
+    * shape as [[base]], so [[withAlters]]/[[attach]] work unchanged.
+    * Ordinal sort inside the aggregate keeps column order exact
+    * regardless of row arrival order. */
+  def baseFromColumns(cols: DataFrame): DataFrame =
+    cols.select(
+        col("table_name").as("tbl"),
+        col("ordinal_position").cast("int").as("ord"),
+        col("column_name").as("cn"),
+        col("data_type").as("ct"),
+        col("character_set_name").as("cs"))
+      .groupBy(col("tbl"))
+      .agg(array_sort(collect_list(struct(col("ord"), col("cn"), col("ct"), col("cs")))).as("a"))
+      .select(col("tbl"), lit(0).as("version"), lit(Long.MinValue).as("from_pos"),
+        expr("transform(a, x -> x.cn)").as("col_names"),
+        expr("transform(a, x -> x.ct)").as("col_types"),
+        expr("transform(a, x -> x.cs)").as("col_charsets"))
+
   /** Apply ALTER events to the base registry: the n-th ALTER of a
     * table opens version n, whose schema is the base plus appended
     * columns `extra_1 … extra_n` (the deterministic demo DDL — a real

@@ -78,5 +78,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hashlong", "graft_hashlong(v, seed) - splitmix64 of a long with a literal seed"),
       (exprs: Seq[Expression]) => HashLong64(exprs.head,
         intLit(exprs(1), "graft_hashlong", "seed").toLong)))
+    e.injectFunction((FunctionIdentifier("graft_bigrams"),
+      info("graft_bigrams", "graft_bigrams(array<string>) - distinct adjacent bigrams"),
+      (exprs: Seq[Expression]) => graft.functions.TextFunctions.DistinctBigrams(exprs.head)))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Sampling}
+
+/** End-to-end training-data pipeline composition: the operators must
+  * CHAIN — quality filter → exact dedup keepers → near-dup keepers →
+  * decontamination → deterministic split/mix — as one declarative
+  * plan over the documents table, with sane row accounting at every
+  * stage. This is the "a user of the reference could run their whole
+  * pipeline here" claim, exercised as a single program. */
+class PipelineE2ESpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("filter → dedup → decontaminate → split composes and conserves rows") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = docs.count()
+
+    // 1. rule filter
+    val kept = Corpus.qualityFilter(docs).where(col("kept") === 1).select("doc_id")
+    val docsKept = docs.join(kept, "doc_id")
+    val nKept = docsKept.count()
+    assert(nKept > 0 && nKept <= total)
+
+    // 2. exact dedup → keep group representatives
+    val reps = Dedup.exact(docsKept).select(col("keep_id").as("doc_id"))
+    val docsUnique = docsKept.join(reps, "doc_id")
+    val nUnique = docsUnique.count()
+    assert(nUnique <= nKept)
+
+    // 3. near-dup dedup (minhash) → keep flagged survivors
+    val survivors = Dedup.minhashLsh(docsUnique).where(col("keep") === 1).select("doc_id")
+    val docsDeduped = docsUnique.join(survivors, "doc_id")
+    val nDeduped = docsDeduped.count()
+    assert(nDeduped <= nUnique && nDeduped > 0)
+
+    // 4. decontaminate vs the held-out benchmark slice
+    val clean = Corpus.decontaminate(docsDeduped, col("doc_id") % 97 === 0)
+      .where(col("contaminated") === 0).select("doc_id")
+    val docsClean = docsDeduped.join(clean, "doc_id")
+    val nClean = docsClean.count()
+    assert(nClean <= nDeduped)
+
+    // 5. deterministic split: total, disjoint, reproducible
+    val split = Sampling.trainTestSplit(docsClean, col("doc_id"))
+    assert(split.count() == nClean)
+    val bySplit = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == nClean)
+    assert(bySplit.getOrElse("train", 0L) >= (nClean * 0.7).toLong,
+      s"train split should dominate: $bySplit of $nClean")
+
+    // the whole chain is ONE plan — it must also execute as such
+    assert(split.queryExecution.executedPlan != null)
+  }
+}

@@ -102,6 +102,27 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(byPos(9L) == ((2, 4)))
   }
 
+  test("baseFromColumns folds an information_schema frame into the exact base() shape") {
+    // rows deliberately out of ordinal order — the aggregate must sort
+    val isc = Seq(
+      ("t", 2L, "body", "text", "latin1", ""),
+      ("t", 1L, "id", "bigint", null, "PRI"),
+      ("u", 1L, "id", "bigint", null, "PRI")
+    ).toDF("table_name", "ordinal_position", "column_name", "data_type",
+      "character_set_name", "column_key")
+    val viaIsc = SchemaRegistry.baseFromColumns(isc)
+      .select("tbl", "version", "from_pos", "col_names", "col_types", "col_charsets")
+      .as[(String, Int, Long, Seq[String], Seq[String], Seq[String])].collect().toSet
+    val viaSpecs = baseReg
+      .select("tbl", "version", "from_pos", "col_names", "col_types", "col_charsets")
+      .as[(String, Int, Long, Seq[String], Seq[String], Seq[String])].collect().toSet
+    assert(viaIsc == viaSpecs)
+    // the production pull is one pushdown-able subquery over all tables
+    val q = SchemaRegistry.informationSchemaQuery("mydb", Seq("t", "u"))
+    assert(q.contains("information_schema.columns") && q.contains("'t', 'u'")
+      && q.contains("table_schema = 'mydb'"))
+  }
+
   test("zipmap semantics: pairs up to the shorter side (pre-ALTER row, post-ALTER schema)") {
     // a row written with 2 values read under a 3-column schema pairs 2
     val log = Seq((7L, "upsert", "t", 1L, Seq("1".getBytes("UTF-8"), "x".getBytes("UTF-8"))))
