@@ -37,6 +37,20 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    // Fixed-work noise canary: this host has multi-minute phases where
+    // JVM threads starve and identical code runs 10-100× slower. One
+    // canary per query timestamps those phases inside the artifact —
+    // a slow query next to a slow canary is the host, not the plan.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadAvg()
+
     // one timed execution; Left(error) on failure
     def runOnce(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
@@ -54,19 +68,20 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cy = canary()
       runOnce(name, fn) match {
-        case Left(err) => (name, Seq.empty[Double], Some(err))
+        case Left(err) => (name, Seq.empty[Double], Some(err), cy)
         case Right(s1) =>
           runOnce(name, fn) match {
-            case Left(err) => (name, Seq(s1), Some(err))
+            case Left(err) => (name, Seq(s1), Some(err), cy)
             case Right(s2) =>
               val disagree = math.abs(s1 - s2) > math.max(2.0, 0.5 * math.min(s1, s2))
-              if (!disagree) (name, Seq(s1, s2), None)
+              if (!disagree) (name, Seq(s1, s2), None, cy)
               else runOnce(name, fn) match {
                 // a failed tie-breaker is a real failure signal, not a
                 // fallback to "ok" — surface it in status/failed
-                case Left(err) => (name, Seq(s1, s2), Some(err))
-                case Right(s3) => (name, Seq(s1, s2, s3), None)
+                case Left(err) => (name, Seq(s1, s2), Some(err), cy)
+                case Right(s3) => (name, Seq(s1, s2, s3), None, cy)
               }
           }
       }
@@ -75,18 +90,22 @@ object Bench {
     def jnum(d: Double): String = f"$d%.3f"
     // any successful samples still contribute a median (keeps the total
     // honest); the error, if any, shows in status + failed regardless
-    val ok = results.collect { case (n, ss, _) if ss.nonEmpty => n -> median(ss) }
+    val ok = results.collect { case (n, ss, _, _) if ss.nonEmpty => n -> median(ss) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val samples = results.collect { case (n, ss, _) if ss.nonEmpty =>
+    val samples = results.collect { case (n, ss, _, _) if ss.nonEmpty =>
       "\"" + n + "\":[" + ss.map(jnum).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val status = results.map { case (n, _, err) =>
+    val status = results.map { case (n, _, err, _) =>
       "\"" + n + "\":\"" + err.fold("ok")(e => "failed: " + e.replaceAll("[\"\\\\\\n\\r\\t]", " ")) + "\""
+    }.mkString("{", ",", "}")
+    val canaries = results.map { case (n, _, _, cy) =>
+      "\"" + n + "\":" + jnum(cy)
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
-      s""""samples":$samples,"status":$status,"failed":$nFailed,"sf":"$sfDir"}""")
+      s""""samples":$samples,"status":$status,"canary":$canaries,""" +
+      s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
