@@ -58,6 +58,17 @@ class SkewBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin left_semi/left_anti match their plain counterparts") {
+    val factsMiss = facts.withColumn("k", col("k") + 60) // some keys miss dims
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = factsMiss.join(dims, Seq("k"), jt)
+        .select("f_id").as[Long].collect().toSet
+      val salted = Skew.saltedJoin(factsMiss, dims, Seq("k"), col("f_id"), 8, jt)
+        .select("f_id").as[Long].collect().toSet
+      assert(salted == plain, s"$jt mismatch")
+    }
+  }
+
   test("saltedJoin rejects join types the replication would corrupt") {
     val e = intercept[IllegalArgumentException] {
       Skew.saltedJoin(facts, dims, Seq("k"), col("f_id"), 8, "full_outer")
