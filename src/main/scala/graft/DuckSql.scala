@@ -219,6 +219,62 @@ object DuckSql {
       s"(acc, v) -> acc + v)"
   }
 
+  /** Left-to-right double fold of `Σ f(a[i], b[i])` over `dim`
+    * elements — one independent accumulator of
+    * [[graft.functions.VectorFunctions.cosineVsConst]]'s fused loop
+    * (independent accumulators in one loop ≡ separate l2r folds). */
+  private def fold2(f: (String, String) => String, a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"[${f(s"CAST($a[i] AS DOUBLE)", s"CAST($b[i] AS DOUBLE)")} for i in range(1, ${dim + 1})]), " +
+      s"(acc, v) -> acc + v)"
+
+  /** Bit-exact replay of the engine's cosine between two list columns
+    * (same op order as `cosineVsConst`: xy / (√xx · √yy)). */
+  private def cosCols(a: String, b: String, dim: Int): String =
+    s"(${fold2((x, y) => s"$x * $y", a, b, dim)} / " +
+      s"(sqrt(${fold2((x, _) => s"$x * $x", a, a, dim)}) * " +
+      s"sqrt(${fold2((_, y) => s"$y * $y", b, b, dim)})))"
+
+  /** Oracle for `kmeans_assign`: full replay of
+    * [[graft.operators.Cluster.kmeansAssign]] — init = first k
+    * vectors, per-iteration nearest-centroid assignment (cos desc,
+    * cid asc) and per-dim DECIMAL(25,7)-summed centroid update
+    * rounded once to FLOAT (empty clusters keep the previous
+    * centroid), then the final assignment under the trained codebook.
+    * Decimal sums are order-independent and both engines cast
+    * double→decimal round-to-nearest (exact ties are impossible for
+    * binary doubles at scale 7), so centroids match bit-for-bit. */
+  def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(sums: String, next: String, assign: String, prev: String): String =
+      s"""$sums AS (
+         |  SELECT a.cid, i.i AS d,
+         |         sum(CAST(e.embedding[i.i] AS DECIMAL(25,7))) AS s
+         |  FROM e JOIN $assign a USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
+         |  GROUP BY a.cid, i.i),
+         |$next AS (
+         |  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(CAST(s AS FLOAT) ORDER BY d) AS cvec
+         |    FROM $sums GROUP BY cid) u USING (cid))""".stripMargin
+    val iterCtes = (0 until iters).map { it =>
+      assignCte(s"a$it", s"c$it") + ",\n" + updateCte(s"s$it", s"c${it + 1}", s"a$it", s"c$it")
+    }
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < $k),
+       |${iterCtes.mkString(",\n")},
+       |${assignCte("afin", s"c$iters")}
+       |SELECT vec_id, cid FROM afin""".stripMargin
+  }
+
   /** Oracle for `ann_lsh`: sign-bucket from literal hyperplanes (same
     * deterministic planes as [[graft.operators.Ann.hyperplanes]]),
     * bucket equi-join, cosine top-k. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Corpus, Dedup, RangeJoin, Sampling}
+import graft.operators.{Ann, AsOf, Cluster, Corpus, Dedup, RangeJoin, Sampling}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -123,6 +123,8 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    "kmeans_assign" -> ((s, d) =>
+      Cluster.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
     "lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"),
@@ -597,6 +599,7 @@ object SparkEntry {
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5),
-    "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5)
+    "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
+    "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64)
   )
 }

@@ -103,6 +103,42 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans is deterministic and monotonically improves the spherical objective") {
+    import graft.operators.Cluster
+    val emb = Tables.embeddings(spark, sf)
+    val (cids, c2a) = Cluster.kmeansCentroids(emb, k = 8, iters = 2)
+    val (_, c2b) = Cluster.kmeansCentroids(emb, k = 8, iters = 2)
+    assert(c2a.zip(c2b).forall { case (x, y) => x.sameElements(y) },
+      "identical codebooks on every run — no rand() anywhere")
+    assert(cids.length == 8)
+    // spherical k-means objective Σ cos(x, assigned) must not decrease
+    val (_, c0) = Cluster.kmeansCentroids(emb, k = 8, iters = 0)
+    def objective(cents: Array[Array[Float]]): Double = {
+      val rows = emb.select("embedding").as[Seq[Float]].collect()
+      rows.map { v =>
+        cents.map { c =>
+          val n = math.min(v.length, c.length)
+          var xy = 0.0; var xx = 0.0; var yy = 0.0
+          var i = 0
+          while (i < n) { xy += v(i) * c(i); xx += v(i) * v(i); yy += c(i) * c(i); i += 1 }
+          xy / (math.sqrt(xx) * math.sqrt(yy))
+        }.max
+      }.sum
+    }
+    assert(objective(c2a) >= objective(c0) - 1e-9,
+      "training must not worsen the cosine objective")
+    // assignment frame is total
+    assert(Cluster.kmeansAssign(emb, 8, 2).count() == emb.count())
+  }
+
+  test("kmeans keeps previous centroids for empty clusters and clamps to available seeds") {
+    import graft.operators.Cluster
+    val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val (cids, cents) = Cluster.kmeansCentroids(tiny, k = 8, iters = 2)
+    assert(cids.length == 3 && cents.length == 3, "3 seeds available → 3 clusters")
+    assert(Cluster.kmeansAssign(tiny, 8, 2).count() == 3)
+  }
+
   test("exact dedup groups by full text") {
     val docs = Seq((1L, "same text", 9L), (2L, "same text", 9L), (3L, "other", 5L))
       .toDF("doc_id", "text", "n_chars")
