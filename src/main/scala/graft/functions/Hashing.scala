@@ -71,22 +71,35 @@ object Hashing {
 
   /** Shared kernel for [[HashedShingles3]] (called from generated
     * code): hash each 3-gram window, sort, dedupe adjacent. */
-  def hashedShingles3(words: ArrayData): Array[Long] = {
+  def hashedShingles3(words: ArrayData): Array[Long] = hashedShinglesN(words, 3)
+
+  /** Generalized n-gram shingle kernel (also called from generated
+    * code): hash each `ng`-word window (`w1_w2_…_wng`, same `_`
+    * joining and seed as the 3-gram form), sort, dedupe adjacent.
+    * `ng = 13` is the common train/eval decontamination width. */
+  def hashedShinglesN(words: ArrayData, ng: Int): Array[Long] = {
     val n = words.numElements()
-    if (n < 3) return Array.emptyLongArray
-    val m = n - 2
-    val hs = new Array[Long](m)
+    if (n < ng) return Array.emptyLongArray
+    val m = n - ng + 1
+    val bytes = new Array[Array[Byte]](n)
     var i = 0
+    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val hs = new Array[Long](m)
+    i = 0
     while (i < m) {
-      val b0 = words.getUTF8String(i).getBytes
-      val b1 = words.getUTF8String(i + 1).getBytes
-      val b2 = words.getUTF8String(i + 2).getBytes
-      val buf = new Array[Byte](b0.length + b1.length + b2.length + 2)
-      System.arraycopy(b0, 0, buf, 0, b0.length)
-      buf(b0.length) = '_'
-      System.arraycopy(b1, 0, buf, b0.length + 1, b1.length)
-      buf(b0.length + b1.length + 1) = '_'
-      System.arraycopy(b2, 0, buf, b0.length + b1.length + 2, b2.length)
+      var len = ng - 1
+      var j = 0
+      while (j < ng) { len += bytes(i + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < ng) {
+        val b = bytes(i + j)
+        System.arraycopy(b, 0, buf, off, b.length)
+        off += b.length
+        if (j < ng - 1) { buf(off) = '_'; off += 1 }
+        j += 1
+      }
       hs(i) = hash64(buf, 3L)
       i += 1
     }
@@ -99,6 +112,22 @@ object Hashing {
       i += 1
     }
     if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** [[HashedShingles3]] generalized to `ng`-word windows. */
+  case class HashedShinglesN(child: Expression, ng: Int) extends UnaryExpression {
+    require(ng >= 1, s"shingle width must be >= 1, got $ng")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): HashedShinglesN = copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(Hashing.hashedShinglesN(v.asInstanceOf[ArrayData], ng))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.Hashing.hashedShinglesN($c, $ng));""".stripMargin)
   }
 
   /** MinHash signature of a string or long array: `numHashes`
@@ -419,6 +448,8 @@ object Hashing {
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def hashedShingles3Col(words: Column): Column =
     toColumn(HashedShingles3(toExpr(words)))
+  def hashedShinglesNCol(words: Column, ng: Int): Column =
+    toColumn(HashedShinglesN(toExpr(words), ng))
   def fingerprint(text: Column): Column = toColumn(Fingerprint64(toExpr(text)))
   def hashLong64(v: Column, seed: Long): Column = toColumn(HashLong64(toExpr(v), seed))
   def simhashFirstBandCol(a: Column, b: Column, maxHamming: Int): Column =

@@ -26,10 +26,16 @@ object Corpus {
     * against the broadcast, and re-aggregated by doc in a single
     * narrow-row exchange. Hashed-shingle matching equals string
     * matching barring 64-bit collisions (same argument as the MinHash
-    * pipeline, Dedup.scala). */
-  def decontaminate(docs: DataFrame, benchPred: Column, minHits: Int = 5): DataFrame = {
+    * pipeline, Dedup.scala).
+    *
+    * `ngram` controls the window width: 3 matches the engine's
+    * shingle family (and the driver oracle); production
+    * decontamination typically runs 13-grams — identical plan, just a
+    * wider codegen'd window. */
+  def decontaminate(docs: DataFrame, benchPred: Column, minHits: Int = 5,
+                    ngram: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"), benchPred.as("is_bench"),
-      Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      Hashing.hashedShinglesNCol(TextFunctions.tokens(col("text")), ngram).as("sh"))
     val bench = sh.where(col("is_bench"))
       .select(explode(col("sh")).as("g")).distinct()
       .withColumn("hit", lit(1))

@@ -70,6 +70,27 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(out(3L)._1 == 1 && out(3L)._2 == 0, "one shared shingle is below the threshold")
   }
 
+  test("decontaminate at 13-gram width flags verbatim leaks, not paraphrases") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val paraphrase = (1 to 30).map(i => if (i % 7 == 0) s"x$i" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, words),       // benchmark
+      (1L, words),       // verbatim: 18 shared 13-grams
+      (2L, paraphrase)   // a change every 7 words leaves no intact 13-gram
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, col("doc_id") % 97 === 0, minHits = 5, ngram = 13)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((18L, 1)), "30 words → 18 13-gram windows, all shared")
+    assert(out(2L) == ((0L, 0)))
+    // n-gram kernel parity with the fixed 3-gram expression
+    val via3 = Corpus.decontaminate(docs, col("doc_id") % 97 === 0, ngram = 3)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    val viaOld = Corpus.decontaminate(docs, col("doc_id") % 97 === 0)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(via3 == viaOld)
+  }
+
   test("quality filter sets one reason bit per violated rule") {
     val docs = Seq(
       (1L, ("the word list is long enough to pass every single rule " +
