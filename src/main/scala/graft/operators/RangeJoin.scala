@@ -31,10 +31,22 @@ object RangeJoin {
     * explode. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    // Bucket width adapts to BOTH spreads: the point range (so sparse
+    // 64-bit offsets never explode) AND the summed interval coverage
+    // (so many wide overlapping intervals don't — each interval emits
+    // ~width/bsize rows, so capping coverage/bsize at ~2^16 bounds the
+    // exploded control table at ~2^16 + |intervals| rows regardless
+    // of interval shape). Both stats are 1-row aggregates of control
+    // relations — still fully declarative.
+    val coverage = intervals
+      .agg(coalesce(sum(col(hiCol) - col(loCol)), lit(0L)).as("__cov"))
     val stats = points.agg(
         min(col(pointCol)).as("__p_min"), max(col(pointCol)).as("__p_max"))
+      .crossJoin(broadcast(coverage))
       .withColumn("__bsize",
-        greatest(lit(1L), expr(s"(__p_max - __p_min + 1) div 65536")))
+        greatest(lit(1L), expr(s"(__p_max - __p_min + 1) div 65536"),
+          expr(s"__cov div 65536")))
+      .drop("__cov")
     val byBucket = intervals
       .crossJoin(broadcast(stats))
       // intervals that cannot contain any observed point never explode
