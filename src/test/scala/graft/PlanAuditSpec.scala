@@ -27,6 +27,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("every driver query ships with a SQL oracle (no silent rows-only regressions)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+  }
+
   test("q1: shipdate predicate pushed to the scan, unused columns pruned") {
     val p = formatted("q1_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
