@@ -296,6 +296,31 @@ object DuckSql {
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Oracle for `dedup_embedding_lsh`: replay of
+    * [[graft.operators.Dedup.embeddingPairsLsh]] — per-band sign
+    * buckets from the same literal hyperplanes, band-bucket self-join
+    * for candidates (DISTINCT here ≡ the engine's map-side
+    * first-matching-band dedup), exact-cosine verify. */
+  def embeddingLshOracle(planes: Array[Array[Double]], bands: Int, planesPerBand: Int,
+                         threshold: Double): String = {
+    val bandExprs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        s"(CASE WHEN ${dotLit(planes(b * planesPerBand + i))} > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    s"""WITH e AS (SELECT vec_id, [${bandExprs.mkString(",\n  ")}] AS bks FROM embeddings),
+       |bb AS (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM e),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id
+       |FROM cand
+       |JOIN embeddings x ON x.vec_id = a_id
+       |JOIN embeddings y ON y.vec_id = b_id
+       |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                             CAST(y.embedding AS DOUBLE[])) >= $threshold""".stripMargin
+  }
+
   /** Oracle for `ann_ivf`: centroids = first `nlist` vectors, nearest-
     * centroid assignment (cos desc, cid asc), `nprobe` probe lists per
     * query, cosine top-k within probed lists. */

@@ -53,6 +53,20 @@ object SparkEntry {
           .select(lit(Changelog.DefaultFile).as("file"), lit(999999999999L).as("pos")))
       Changelog.validatePositions(Changelog.binlogPositions(log), next.unionByName(bogus))
     }),
+    "cdc_update_images" -> ((s, d) => {
+      // purchases become UPDATE events with before/after images; ids
+      // ending in 3 change their primary key (id + 1000000, parity —
+      // and so tbl routing — preserved). Old keys must tombstone.
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val imaged = log
+        .withColumn("old_id", when(col("etype") === "purchase", col("id")))
+        .withColumn("id",
+          when(col("etype") === "purchase" && col("id") % 10 === 3, col("id") + 1000000)
+            .otherwise(col("id")))
+        .withColumn("op",
+          when(col("etype") === "purchase", lit("update")).otherwise(col("op")))
+      Changelog.entityState(Changelog.expandUpdateImages(imaged))
+    }),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -120,6 +134,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
@@ -269,6 +285,26 @@ object SparkEntry {
         |       CAST(CASE WHEN fl.file_size IS NOT NULL AND t.pos <= fl.file_size
         |                 THEN 1 ELSE 0 END AS INT) AS valid
         |FROM tokens t LEFT JOIN files fl ON t.file = fl.file""".stripMargin),
+    "cdc_update_images" -> (logCte +
+      """, u AS (
+        |  SELECT pos,
+        |         CASE WHEN etype = 'purchase' THEN 'update' ELSE op END AS op,
+        |         tbl,
+        |         CASE WHEN etype = 'purchase' THEN id END AS old_id,
+        |         CASE WHEN etype = 'purchase' AND id % 10 = 3 THEN id + 1000000 ELSE id END AS id,
+        |         val
+        |  FROM committed),
+        |prim AS (
+        |  SELECT pos, op, tbl, id, val, 1 AS img FROM u WHERE op <> 'update'
+        |  UNION ALL
+        |  SELECT pos, 'delete', tbl, old_id, NULL, 0 FROM u WHERE op = 'update' AND old_id <> id
+        |  UNION ALL
+        |  SELECT pos, 'upsert', tbl, id, val, 1 FROM u WHERE op = 'update'),
+        |r AS (
+        |  SELECT tbl, id, val, pos, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC, img DESC) AS rn
+        |  FROM prim)
+        |SELECT tbl, id, val, pos AS last_pos FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,
@@ -599,6 +635,8 @@ object SparkEntry {
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5),
+    "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
+      Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
     "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64)
   )

@@ -21,7 +21,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist() intermediates (dedup groups/bands); release
-      // them so cached partitions don't accumulate across the 29 queries
+      // them so cached partitions don't accumulate across the queries
+      // (SparkEntry.queries.size of them — see SURVEY §2)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

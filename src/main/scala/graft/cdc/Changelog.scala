@@ -179,10 +179,52 @@ object Changelog {
       .drop("tm")
   }
 
-  /** Last op per (tbl, id) — `rn = 1` over pos-desc within key. */
+  /** Last op per (tbl, id) — `rn = 1` over pos-desc within key. A log
+    * that went through [[expandUpdateImages]] carries an `img`
+    * sub-order: at one binlog position the before-image tombstone
+    * (img 0) applies before the after-image upsert (img 1), so a PK
+    * swap inside one multi-row UPDATE resolves to the upsert. */
   private def lastOpPerKey(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)
+    val ord =
+      if (log.columns.contains("img")) Seq(col("pos").desc, col("img").desc)
+      else Seq(col("pos").desc)
+    val w = Window.partitionBy(col("tbl"), col("id")).orderBy(ord: _*)
     log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Expand update events carrying BEFORE/AFTER row images into
+    * primitive upsert/delete ops.
+    *
+    * A binlog UPDATE row event carries (before, after) image PAIRS per
+    * row (`UpdateRowsEventData.getRows`). The reference's
+    * `update-parser` keeps only the after image (destructuring `[_ v]`,
+    * `src/dumpr/events.clj:99-101`) and `->row-format` derives the row
+    * id from that single image (`src/dumpr/stream.clj:236-245`) — so an
+    * UPDATE that CHANGES the primary key leaves the old key's entity
+    * alive in every downstream fold. Carrying both images closes that:
+    * a PK-changing update becomes a tombstone of the before-image key
+    * plus an upsert of the after-image key, atomically at the same
+    * position; a PK-stable update stays a single upsert.
+    *
+    * Input: canonical changelog where `op = 'update'` rows also carry
+    * `old_id` (the before-image id; `id` is the after-image id).
+    * Output: op ∈ {upsert, delete} plus an `img` sub-order column
+    * (0 = before-image tombstone, 1 = after-image upsert) which
+    * [[entityState]]'s fold uses to order images within one position.
+    * Pure map-side (filter + union of projections) — no shuffle. */
+  def expandUpdateImages(log: DataFrame): DataFrame = {
+    require(log.columns.contains("old_id"),
+      "expandUpdateImages: log must carry old_id (the before-image id) on update rows")
+    val valType = log.schema("val").dataType
+    val nonUpd = log.filter(col("op") =!= "update").withColumn("img", lit(1))
+    val upd = log.filter(col("op") === "update")
+    val tomb = upd.filter(col("old_id") =!= col("id"))
+      .withColumn("op", lit("delete"))
+      .withColumn("id", col("old_id"))
+      .withColumn("val", lit(null).cast(valType))
+      .withColumn("img", lit(0))
+    val ups = upd.withColumn("op", lit("upsert")).withColumn("img", lit(1))
+    nonUpd.unionByName(tomb).unionByName(ups).drop("old_id")
   }
 
   /** Fold the op stream into current entity state: later ops win,

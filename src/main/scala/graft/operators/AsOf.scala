@@ -36,7 +36,18 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            prefix: String = "asof_"): DataFrame = {
+    // The union+window plumbing reserves __t/__r/__rv/__m; an input that
+    // already carries one would alias-collide (analysis error or a
+    // silently wrong window). Fail loudly instead, like the other
+    // operators' defensive requires.
+    val reserved = Set("__t", "__r", "__rv", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"AsOf.join: input column(s) ${clash.mkString(", ")} collide with reserved internal names")
     val rvCols = right.columns.filterNot(keys.contains).toSeq
+    val prefClash = left.columns.toSet.intersect(rvCols.map(prefix + _).toSet)
+    require(prefClash.isEmpty,
+      s"AsOf.join: left column(s) ${prefClash.mkString(", ")} collide with prefixed right outputs")
     val rStruct = struct(rvCols.map(c => col(c).as(prefix + c)): _*)
     val rvType = right.select(rStruct).schema.head.dataType
 

@@ -264,12 +264,69 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs (ids only; cosine in strict
-    * double, see [[graft.functions.VectorFunctions.cosine]]). */
+    * double, see [[graft.functions.VectorFunctions.cosine]]).
+    *
+    * All-pairs O(n²) — the correctness BASELINE for
+    * [[embeddingPairsLsh]], exactly as [[jaccardPairs]] is the baseline
+    * for [[minhashLsh]]. Unusable past ~10⁵ vectors. */
   def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .where(graft.functions.VectorFunctions.cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Bucketed embedding pair-mining — the SCALE path for
+    * [[embeddingPairs]]: random-hyperplane LSH with `bands`
+    * independent bands of `planesPerBand` sign bits each
+    * (deterministic planes, [[Ann.hyperplanes]]). Two vectors become a
+    * candidate pair iff they share a full sign bucket in ≥ 1 band;
+    * candidates are verified with exact [[graft.functions.
+    * VectorFunctions.cosine]]. Returns (a_id, b_id) — a subset of the
+    * all-pairs result with recall set by the band shape (sign-LSH
+    * collision prob per plane is 1 − θ/π; with the 8×6 default a
+    * cos ≥ 0.9 pair survives with ~98% probability, and precision is
+    * exact thanks to the verify).
+    *
+    * Execution shape mirrors [[minhashLsh]]: the candidate self-join
+    * shuffles only (vec_id, band, bucket) rows plus a `bands`-int
+    * signature array — never an embedding. Cross-band pair dedup is
+    * MAP-SIDE: both rows of a colliding pair carry the full per-band
+    * bucket arrays, so each pair is kept only in the FIRST band where
+    * the buckets agree (`array_position` over a `zip_with` — a
+    * bands-element integer scan) instead of a (a_id, b_id) distinct
+    * exchange. Embeddings re-attach to the surviving candidates by
+    * equi-join on id for the verify — the same attach-late shape as
+    * the shingle arrays in [[minhashLsh]]. */
+  def embeddingPairsLsh(embeddings: DataFrame, threshold: Double,
+                        bands: Int = 8, planesPerBand: Int = 6,
+                        dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, dot}
+    val planes = Ann.hyperplanes(bands * planesPerBand, dim)
+    val bandBuckets = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        when(dot(col("embedding"), typedlit(planes(b * planesPerBand + i).toSeq)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val base = embeddings
+      .select(col("vec_id"), col("embedding"), array(bandBuckets: _*).as("bks"))
+      .persist() // scanned by the band explode and both verify attaches
+    val bb = base.select(col("vec_id"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bk")))
+    val cand = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      // first-matching-band filter: exactly one surviving copy per pair
+      .where(col("a.band") ===
+        expr("array_position(zip_with(a.bks, b.bks, (x, y) -> x = y), true) - 1"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
       .select(col("a_id"), col("b_id"))
   }
 }

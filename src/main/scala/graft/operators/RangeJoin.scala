@@ -49,8 +49,13 @@ object RangeJoin {
       .drop("__cov")
     val byBucket = intervals
       .crossJoin(broadcast(stats))
-      // intervals that cannot contain any observed point never explode
-      .filter(col(hiCol) > col("__p_min") && col(loCol) <= col("__p_max"))
+      // intervals that cannot contain any observed point never explode;
+      // hi > lo also drops empty/inverted intervals — otherwise
+      // __b_hi < __b_lo and sequence() would emit a DESCENDING run of
+      // up to ~2^16 spurious bucket rows per degenerate interval
+      // (correct after the containment filter, but unbounded work)
+      .filter(col(hiCol) > col(loCol) &&
+        col(hiCol) > col("__p_min") && col(loCol) <= col("__p_max"))
       // integer `div`, never `/`: double division loses precision past
       // 2^53 and mis-buckets realistic 64-bit byte offsets
       .withColumn("__b_lo",

@@ -38,8 +38,14 @@ object Skew {
     require(buckets >= 2, s"buckets=$buckets: salting needs >= 2 buckets")
     require(SupportedJoins.contains(joinType.toLowerCase.replace("_", "")),
       s"joinType=$joinType not salt-safe (replicated side would leak into the output)")
+    // A NULL distributor (or a failed long cast under non-ANSI mode)
+    // must not lose the row: HashLong64 is null-intolerant, and a NULL
+    // salt never equi-matches — an inner join would silently drop the
+    // row, breaking the result-equivalence contract above. Any constant
+    // fallback keeps determinism; such rows just share bucket hash(0).
     val salted = skewed.withColumn("__salt",
-      pmod(Hashing.hashLong64(distributor.cast("long"), 23L), lit(buckets)).cast("int"))
+      pmod(Hashing.hashLong64(coalesce(distributor.cast("long"), lit(0L)), 23L),
+        lit(buckets)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -43,6 +43,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** Like [[intLit]] but for 64-bit parameters (seeds): accepts any
+    * integral literal without narrowing, and reports BIGINT in the
+    * analysis error. */
+  private def longLit(e: Expression, fn: String, param: String): Long = {
+    def fail(): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"BIGINT\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case _ => fail()
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "graft_fingerprint(str) - 64-bit content fingerprint"),
@@ -77,7 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_hashlong"),
       info("graft_hashlong", "graft_hashlong(v, seed) - splitmix64 of a long with a literal seed"),
       (exprs: Seq[Expression]) => HashLong64(exprs.head,
-        intLit(exprs(1), "graft_hashlong", "seed").toLong)))
+        longLit(exprs(1), "graft_hashlong", "seed"))))
     e.injectFunction((FunctionIdentifier("graft_bigrams"),
       info("graft_bigrams", "graft_bigrams(array<string>) - distinct adjacent bigrams"),
       (exprs: Seq[Expression]) => graft.functions.TextFunctions.DistinctBigrams(exprs.head)))

@@ -38,6 +38,31 @@ object ChangelogStream {
     * `kind` ∈ begin | data | commit | rollback. */
   case class TxEvent(tx: Long, seq: Long, kind: String, change: Change)
 
+  /** Changelog row whose update ops carry BOTH row images (`oldId` =
+    * before-image key, `id` = after-image key) — the streaming twin of
+    * [[graft.cdc.Changelog.expandUpdateImages]]'s input. */
+  case class ImagedChange(pos: Long, op: String, tbl: String,
+                          oldId: Long, id: Long, value: Double)
+
+  /** Expand update events into primitive changes: a PK-changing update
+    * (oldId ≠ id) becomes tombstone(oldId) + upsert(id) at the same
+    * position; a PK-stable update is a single upsert. Stateless map —
+    * runs before any keyed fold so [[entityState]] and
+    * [[UpsertSink.materialize]] see only primitive ops. Within one
+    * position the fold applies deletes before upserts (see
+    * [[entityState]]), so PK swaps inside one multi-row UPDATE
+    * resolve exactly like the batch path. */
+  def expandUpdates(changes: Dataset[ImagedChange]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes.flatMap { c =>
+      if (c.op != "update") Seq(Change(c.pos, c.op, c.tbl, c.id, c.value))
+      else if (c.oldId != c.id)
+        Seq(Change(c.pos, "delete", c.tbl, c.oldId, 0.0),
+            Change(c.pos, "upsert", c.tbl, c.id, c.value))
+      else Seq(Change(c.pos, "upsert", c.tbl, c.id, c.value))
+    }
+  }
+
   /** B1: fold a changelog stream into live entity state (update mode).
     * Later positions win; a delete tombstones the entity (emitted with
     * `live = false` so downstream sinks can remove it — the streaming
@@ -55,10 +80,16 @@ object ChangelogStream {
     val grouped = changes.groupByKey(c => (c.tbl, c.id))
 
     def fold(key: (String, Long), rows: Iterator[Change], state: GroupState[Entity]): Iterator[Entity] = {
-      val sorted = rows.toSeq.sortBy(_.pos)
+      // within one position, deletes apply before upserts: a PK swap
+      // expanded by [[expandUpdates]] puts a tombstone and an upsert of
+      // the SAME key at the same pos, and the upsert must win. The >=
+      // guard makes the same-pos pair apply (and makes at-least-once
+      // re-delivery of the current position a harmless no-op — replayed
+      // content is identical, the checkpoint pins the offsets).
+      val sorted = rows.toSeq.sortBy(c => (c.pos, c.op == "upsert"))
       var cur = state.getOption.orNull
       sorted.foreach { c =>
-        if (cur == null || c.pos > cur.lastPos) {
+        if (cur == null || c.pos >= cur.lastPos) {
           cur = Entity(key._1, key._2, c.value, c.pos, live = c.op == "upsert")
         }
       }

@@ -15,97 +15,186 @@ import graft.streaming.ChangelogStream.Change
   * "building live views of data for caching or analytics", reference
   * `README.md`).
   *
+  * == Bucket-incremental layout ==
+  *
+  * The snapshot is hash-partitioned into `numBuckets` key-buckets
+  * (`pmod(xxhash64(tbl, id), numBuckets)` — the same write-once
+  * co-location idea as [[graft.sources.Bucketed]]). On disk:
+  *
+  * {{{
+  *   tableDir/
+  *     v12/__bucket=3/part-*.parquet   bucket 3 as of batch 12
+  *     v17/__bucket=3/part-*.parquet   bucket 3 rewritten by batch 17
+  *     v17.manifest                    "3 v17/__bucket=3\n5 v12/__bucket=5\n…"
+  *     _CURRENT                        "v17"
+  * }}}
+  *
   * Per micro-batch (`foreachBatch`):
   *  1. fold the batch to its last op per (tbl, id) — one shuffle on
   *     the batch only;
-  *  2. full-outer merge with the current snapshot (batch wins,
-  *     deletes drop rows) — the incremental form of
-  *     [[graft.cdc.Changelog.applyChangelog]];
-  *  3. publish a new snapshot version directory and flip the
-  *     `_CURRENT` pointer file.
+  *  2. merge ONLY the buckets containing batch keys with their batch
+  *     slice (the incremental form of
+  *     [[graft.cdc.Changelog.applyChangelog]]; batch wins, deletes
+  *     drop rows) and write them under `v<batchId>/`;
+  *  3. publish a manifest that points touched buckets at the new
+  *     directories and untouched buckets at their previous ones, then
+  *     flip the `_CURRENT` pointer file.
   *
-  * Versioned directories + a pointer file give atomic publish on any
-  * filesystem with atomic small-file writes (on object stores you'd
-  * swap the pointer for a manifest commit, e.g. a table format's
-  * transaction log — the merge plan itself is unchanged).
+  * This makes a micro-batch cost O(batch + touched-bucket data), not
+  * O(table): a 1 GB batch against a 100 TB / 4096-bucket snapshot
+  * reads and rewrites only the ~25 GB of buckets it actually touches
+  * — the previous full-outer-merge-the-world design re-read and
+  * re-wrote all 100 TB every batch. Untouched buckets are shared
+  * structurally between versions via the manifest (no copy, no read).
+  *
+  * Versioned bucket directories + a manifest + a pointer file give
+  * atomic publish on any filesystem with atomic small-file writes (on
+  * object stores you'd swap the pointer for a table-format transaction
+  * log commit — the merge plan itself is unchanged).
   *
   * Restart idempotence: the published batch id is recoverable from the
   * pointer itself (`v<batchId>`). A crash after the pointer flip but
   * before the streaming checkpoint commits makes the engine replay the
-  * batch — without the [[alreadyPublished]] guard that replay would
-  * read snapshot `v<batchId>` as input and `Overwrite` the very same
-  * directory, which Spark rejects, turning a clean recovery into a
-  * crash-loop. With the guard, a replayed batch that already published
-  * is a no-op (the batch contents are identical on replay — the
-  * checkpoint pins the offsets — so the published snapshot is exactly
-  * the merge result).
+  * batch — with the [[alreadyPublished]] guard the replay is a no-op
+  * (the batch contents are identical on replay — the checkpoint pins
+  * the offsets — so the published snapshot is exactly the merge
+  * result). A crash BEFORE the flip leaves orphan `v<batchId>` bucket
+  * dirs that no manifest references; the replay Overwrites them (they
+  * are never also read: the still-current manifest predates them) and
+  * [[pruneVersions]] collects any stragglers.
   */
 object UpsertSink {
 
   private val current = "_CURRENT"
 
   /** True iff `v<batchId>` is already the published snapshot. */
-  private def alreadyPublished(tableDir: String, batchId: Long): Boolean = {
+  private def alreadyPublished(tableDir: String, batchId: Long): Boolean =
+    currentVersion(tableDir).contains(s"v$batchId")
+
+  private def currentVersion(tableDir: String): Option[String] = {
     val ptr = Paths.get(tableDir, current)
-    Files.exists(ptr) &&
-      new String(Files.readAllBytes(ptr), "UTF-8").trim == s"v$batchId"
+    if (Files.exists(ptr)) Some(new String(Files.readAllBytes(ptr), "UTF-8").trim)
+    else None
+  }
+
+  /** Manifest for `version`: bucket id → table-relative data dir. */
+  private def readManifest(tableDir: String, version: String): Map[Int, String] = {
+    val p = Paths.get(tableDir, s"$version.manifest")
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(b, dir) = line.split(" ", 2)
+        b.toInt -> dir
+      }.toMap
+  }
+
+  private def emptySnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Double, Long)].toDF("tbl", "id", "value", "lastPos")
   }
 
   /** Read the currently-published snapshot (empty frame if none). */
-  def readCurrent(spark: SparkSession, tableDir: String): DataFrame = {
-    val ptr = Paths.get(tableDir, current)
-    if (Files.exists(ptr)) {
-      val v = new String(Files.readAllBytes(ptr), "UTF-8").trim
-      spark.read.parquet(s"$tableDir/$v")
-    } else {
-      import spark.implicits._
-      Seq.empty[(String, Long, Double, Long)].toDF("tbl", "id", "value", "lastPos")
+  def readCurrent(spark: SparkSession, tableDir: String): DataFrame =
+    currentVersion(tableDir) match {
+      case Some(v) =>
+        val dirs = readManifest(tableDir, v).values.toSeq.sorted
+        if (dirs.isEmpty) emptySnapshot(spark)
+        else spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+      case None => emptySnapshot(spark)
     }
-  }
 
-  /** Delete all but the newest `retain` published version dirs. The
-    * current and previous versions are always kept (readers that
+  /** Delete manifests beyond the newest `retain` (min 2: readers that
     * resolved the pointer just before a flip may still be scanning the
-    * previous snapshot); older ones are eligible. On an object store
-    * you'd defer this to a table format's vacuum with a reader lease —
-    * same policy, different mechanism. */
+    * previous snapshot) and any version directory none of the retained
+    * manifests reference — including orphans from a crash before a
+    * pointer flip. On an object store you'd defer this to a table
+    * format's vacuum with a reader lease — same policy, different
+    * mechanism. */
   def pruneVersions(tableDir: String, retain: Int): Unit = {
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()
     }
-    val versions = Option(new java.io.File(tableDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(_.getName.drop(1).toLong)
-    versions.dropRight(math.max(retain, 2)).foreach(deleteRec)
+    val root = new java.io.File(tableDir)
+    val manifests = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
+      .sortBy(_.getName.stripSuffix(".manifest").drop(1).toLong)
+    val (dead, retained) = manifests.splitAt(manifests.length - math.max(retain, 2))
+    // live = every version dir a retained manifest still points into
+    val live = retained.map(_.getName.stripSuffix(".manifest"))
+      .flatMap(v => readManifest(tableDir, v).values)
+      .map(_.split("/", 2).head).toSet
+    dead.foreach(_.delete())
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !live.contains(f.getName))
+      .foreach(deleteRec)
   }
 
   /** Merge one batch of changes into the snapshot and publish.
     * Idempotent per batchId: a replay of an already-published batch
     * (crash between pointer flip and checkpoint commit) is a no-op.
+    * `numBuckets` fixes the table's key-bucket count (size it so one
+    * bucket is a few executor-partitions of data at the target scale);
     * `retainVersions` bounds on-disk history (min 2: current +
     * previous). */
   def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long,
-                 retainVersions: Int = 2): Unit = {
+                 numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
     if (alreadyPublished(tableDir, batchId)) return
     val spark = batch.sparkSession
-    val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos").desc)
+    // op desc tie-break: a PK swap expanded by ChangelogStream
+    // .expandUpdates puts a tombstone and an upsert of the same key at
+    // one position — the upsert ("upsert" > "delete") must win, matching
+    // the entity fold's delete-before-upsert image order
+    val w = Window.partitionBy(col("tbl"), col("id"))
+      .orderBy(col("pos").desc, col("op").desc)
     val folded = batch.toDF()
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("tbl"), col("id"), col("value"), col("op"), col("pos"))
-    val cur = readCurrent(spark, tableDir)
-    val merged = cur.as("c")
-      .join(folded.as("b"), col("c.tbl") === col("b.tbl") && col("c.id") === col("b.id"),
-        "full_outer")
-      .filter(coalesce(col("b.op"), lit("upsert")) === "upsert")
-      .select(
-        coalesce(col("b.tbl"), col("c.tbl")).as("tbl"),
-        coalesce(col("b.id"), col("c.id")).as("id"),
-        when(col("b.id").isNotNull, col("b.value")).otherwise(col("c.value")).as("value"),
-        when(col("b.id").isNotNull, col("b.pos")).otherwise(col("c.lastPos")).as("lastPos"))
+      .withColumn("__bucket", pmod(xxhash64(col("tbl"), col("id")), lit(numBuckets)))
+    // The touched-bucket set is at most numBuckets ints — driver-sized
+    // by construction, like the ANN codebooks.
+    val touched = folded.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prior = currentVersion(tableDir)
+      .map(v => readManifest(tableDir, v)).getOrElse(Map.empty)
     val version = s"v$batchId"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$version")
+
+    if (touched.nonEmpty) {
+      val curDirs = prior.filter { case (b, _) => touched.contains(b.toLong) }
+        .values.toSeq.sorted.map(d => s"$tableDir/$d")
+      val cur = (if (curDirs.isEmpty) emptySnapshot(spark)
+                 else spark.read.parquet(curDirs: _*))
+        .withColumn("__bucket", pmod(xxhash64(col("tbl"), col("id")), lit(numBuckets)))
+      val merged = cur.as("c")
+        .join(folded.as("b"),
+          col("c.tbl") === col("b.tbl") && col("c.id") === col("b.id"), "full_outer")
+        .filter(coalesce(col("b.op"), lit("upsert")) === "upsert")
+        .select(
+          coalesce(col("b.tbl"), col("c.tbl")).as("tbl"),
+          coalesce(col("b.id"), col("c.id")).as("id"),
+          when(col("b.id").isNotNull, col("b.value")).otherwise(col("c.value")).as("value"),
+          when(col("b.id").isNotNull, col("b.pos")).otherwise(col("c.lastPos")).as("lastPos"),
+          coalesce(col("b.__bucket"), col("c.__bucket")).as("__bucket"))
+      // one output file set per bucket; the repartition shuffles only
+      // the touched buckets' rows, never the whole table
+      merged.repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$tableDir/$version")
+    }
+
+    // A touched bucket may come back EMPTY (every key deleted) — then
+    // no __bucket=<b> dir materializes and the bucket simply leaves
+    // the manifest. Untouched buckets keep their previous dirs.
+    val written = Option(new java.io.File(s"$tableDir/$version").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(f => f.getName.stripPrefix("__bucket=").toInt -> s"$version/${f.getName}")
+      .toMap
+    val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
+    val manifestBody = manifest.toSeq.sortBy(_._1)
+      .map { case (b, dir) => s"$b $dir" }.mkString("\n")
+    Files.write(Paths.get(tableDir, s"$version.manifest"),
+      manifestBody.getBytes("UTF-8"))
     val tmp = Paths.get(tableDir, s".$current.tmp")
     Files.write(tmp, version.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(tableDir, current),
@@ -115,10 +204,10 @@ object UpsertSink {
 
   /** Start materializing a changelog stream into `tableDir`. */
   def materialize(changes: Dataset[Change], tableDir: String,
-                  checkpointDir: String): StreamingQuery =
+                  checkpointDir: String, numBuckets: Int = 64): StreamingQuery =
     changes.writeStream
       .foreachBatch((batch: Dataset[Change], batchId: Long) =>
-        mergeBatch(batch, tableDir, batchId))
+        mergeBatch(batch, tableDir, batchId, numBuckets))
       .option("checkpointLocation", checkpointDir)
       .start()
 }

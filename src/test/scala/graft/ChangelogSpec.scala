@@ -29,6 +29,36 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2.0))
   }
 
+  test("expandUpdateImages: PK-changing update tombstones the old key, swap resolves") {
+    // (pos, op, tbl, old_id, id, val) — update rows carry both images
+    val l = Seq(
+      (1L, "upsert", "t", -1L, 1L, 1.0),
+      (2L, "upsert", "t", -1L, 2L, 2.0),
+      (3L, "update", "t", 1L, 10L, 1.5),  // PK change 1 → 10
+      (4L, "update", "t", 2L, 2L, 2.5),   // PK-stable update
+      // one multi-row UPDATE at pos 5 swaps PKs 10 ↔ 2: each key gets a
+      // tombstone (from its before-image) AND an upsert (from the other
+      // row's after-image) at the SAME pos — both must survive
+      (5L, "update", "t", 10L, 2L, 10.5),
+      (5L, "update", "t", 2L, 10L, 2.6)
+    ).map { case (pos, op, tbl, o, id, v) => (pos, op, tbl, o, id, 0L, v, pos * 1000L, "x") }
+      .toDF("pos", "op", "tbl", "old_id", "id", "tx", "val", "us", "etype")
+    val prim = Changelog.expandUpdateImages(l)
+    // pos 3 expands to delete(1)@img0 + upsert(10)@img1
+    val p3 = prim.filter(col("pos") === 3)
+      .select("op", "id", "img").as[(String, Long, Int)].collect().toSet
+    assert(p3 == Set(("delete", 1L, 0), ("upsert", 10L, 1)))
+    // pos 4 stays a single upsert (no tombstone for PK-stable updates)
+    val p4 = prim.filter(col("pos") === 4)
+      .select("op", "id").as[(String, Long)].collect().toSet
+    assert(p4 == Set(("upsert", 2L)))
+    val state = Changelog.entityState(prim)
+      .select("id", "val", "last_pos").as[(Long, Double, Long)].collect().toSet
+    // key 1 is dead (tombstoned at pos 3); the swap leaves 2 and 10
+    // both alive with the pos-5 after-image values
+    assert(state == Set((2L, 10.5, 5L), (10L, 2.6, 5L)))
+  }
+
   test("filterCommitted drops every event of a rolled-back tx") {
     val l = log(
       (1, "upsert", "t", 1, 10, 1.0, "x"),

@@ -172,6 +172,41 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("embeddingPairsLsh ⊆ embeddingPairs on real embeddings (exact-verify precision)") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Dedup.embeddingPairs(emb, 0.4002)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, 0.4002)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), s"cosine-verified pairs can never be false: ${lsh -- brute}")
+    assert(lsh.nonEmpty, "planted near-dups in the driver data must collide somewhere")
+  }
+
+  test("embeddingPairsLsh finds every planted high-cosine pair (recall on true dups)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0 until 30).map(i => i.toLong -> unit())
+    // partner = base + 2% gaussian noise → cos ≈ 0.9997, far above the
+    // mining threshold; unrelated random 64-dim pairs sit near cos 0
+    val dups = bases.map { case (id, v) =>
+      (100 + id) -> v.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val want = bases.map { case (id, _) => (id, 100 + id) }.toSet
+    val got = Dedup.embeddingPairsLsh(df, 0.9, dim = dim)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want -- got} spurious=${got -- want}")
+    // and equals the all-pairs baseline on this corpus — the D5/D5-lsh
+    // analogue of the D2/D3 equivalence contract
+    val brute = Dedup.embeddingPairs(df, 0.9).as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("simhash mega-bucket: identical docs collapse with exact rollup") {
     val n = 5000
     val flood = spark.range(n)

@@ -41,6 +41,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Set((1L, 9.0, true), (2L, 0.0, false)))
   }
 
+  test("B1b: streaming update images — PK change tombstones old key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangelogStream.ImagedChange]
+    val q = ChangelogStream.entityState(ChangelogStream.expandUpdates(in.toDS()))
+      .writeStream.format("memory").queryName("b1b").outputMode("update").start()
+    in.addData(
+      ChangelogStream.ImagedChange(1, "upsert", "t", -1, 1, 1.0),
+      ChangelogStream.ImagedChange(2, "upsert", "t", -1, 2, 2.0))
+    q.processAllAvailable()
+    in.addData(
+      ChangelogStream.ImagedChange(3, "update", "t", 1, 10, 1.5), // PK change 1 → 10
+      ChangelogStream.ImagedChange(4, "update", "t", 2, 2, 2.5))  // PK-stable
+    q.processAllAvailable()
+    // one event swaps PKs 10 ↔ 2: same-pos tombstone + upsert per key
+    in.addData(
+      ChangelogStream.ImagedChange(5, "update", "t", 10, 2, 10.5),
+      ChangelogStream.ImagedChange(5, "update", "t", 2, 10, 2.6))
+    drain(q)
+    val last = spark.table("b1b").groupBy("tbl", "id")
+      .agg(max(struct(col("lastPos"), col("value"), col("live"))).as("s"))
+      .select(col("id"), col("s.value"), col("s.live"))
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(last == Set((1L, 0.0, false), (2L, 10.5, true), (10L, 2.6, true)))
+  }
+
   test("B2: positionTracking emits the resume token (next-position)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Change]

@@ -64,17 +64,73 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(snap1 == Set((2L, 2.0), (3L, 3.0)))
   }
 
-  test("version retention keeps current + previous, prunes older") {
+  test("a small batch rewrites only its touched buckets, not the table") {
+    val tableDir = Files.createTempDirectory("graft_sink_bucket").toString
+    val nb = 16
+    // seed: 200 keys spread across (almost surely) all 16 buckets
+    val b0 = (1 to 200).map(i => Change(i.toLong, "upsert", "t", i.toLong, i.toDouble)).toDS()
+    UpsertSink.mergeBatch(b0, tableDir, 0L, numBuckets = nb)
+    def bucketDirs(v: String): Set[String] =
+      Option(new java.io.File(s"$tableDir/$v").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map(_.getName).toSet
+    val seeded = bucketDirs("v0")
+    assert(seeded.size > 8, s"seed should spread over many buckets, got $seeded")
+
+    // batch 1 touches exactly ONE key ⇒ exactly one bucket dir under v1
+    UpsertSink.mergeBatch(Seq(Change(201L, "upsert", "t", 7L, 7.5)).toDS(),
+      tableDir, 1L, numBuckets = nb, retainVersions = 4)
+    assert(bucketDirs("v1").size == 1,
+      s"one-key batch must rewrite one bucket, wrote ${bucketDirs("v1")}")
+    // snapshot correctness is unchanged by the partial rewrite
+    val snap = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toMap
+    assert(snap(7L) == 7.5 && snap.size == 200)
+
+    // deleting every key of one hash bucket drops that bucket from the
+    // manifest (no empty dir published) and leaves the rest intact
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val byBucket = UpsertSink.readCurrent(spark, tableDir)
+      .select(col("id"), pmod(xxhash64(col("tbl"), col("id")), lit(nb)).as("b"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val members = byBucket.head._2
+    val dels = members.zipWithIndex
+      .map { case ((id, _), i) => Change(300L + i, "delete", "t", id, 0.0) }
+    UpsertSink.mergeBatch(dels.toSeq.toDS(), tableDir, 2L, numBuckets = nb, retainVersions = 4)
+    val after = UpsertSink.readCurrent(spark, tableDir)
+      .select("id").as[Long].collect().toSet
+    assert(after == (1 to 200).map(_.toLong).toSet -- members.map(_._1))
+    assert(bucketDirs("v2").isEmpty, s"emptied bucket must not publish a dir: ${bucketDirs("v2")}")
+  }
+
+  test("version retention prunes manifests and unreferenced dirs, keeps shared ones") {
     val tableDir = Files.createTempDirectory("graft_sink_retain").toString
     def dirs() = new java.io.File(tableDir).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSet
+    def manifests() = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest")).map(_.getName).toSet
+
+    // same key every batch ⇒ each version fully supersedes the bucket:
+    // once a manifest ages out, its version dir is unreferenced and dies
     (0 to 3).foreach { b =>
       UpsertSink.mergeBatch(
-        Seq(Change(b.toLong, "upsert", "t", b.toLong, b.toDouble)).toDS(), tableDir, b.toLong)
+        Seq(Change(b.toLong, "upsert", "t", 0L, b.toDouble)).toDS(), tableDir, b.toLong)
     }
-    assert(dirs() == Set("v2", "v3"), s"got ${dirs()}")
+    assert(manifests() == Set("v2.manifest", "v3.manifest"), s"got ${manifests()}")
+    assert(dirs() == Set("v2", "v3"), s"superseded dirs must be pruned, got ${dirs()}")
     val cur = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(cur == Set((0L, 3.0)))
+
+    // DIFFERENT keys: old version dirs stay alive while the current
+    // manifest still references their untouched buckets — structural
+    // sharing must not be broken by the pruner
+    val shared = Files.createTempDirectory("graft_sink_share").toString
+    (0 to 3).foreach { b =>
+      UpsertSink.mergeBatch(
+        Seq(Change(b.toLong, "upsert", "t", 100L + b, b.toDouble)).toDS(), shared, b.toLong)
+    }
+    val all = UpsertSink.readCurrent(spark, shared)
       .select("id").as[Long].collect().toSet
-    assert(cur == Set(0L, 1L, 2L, 3L)) // history intact in the snapshot
+    assert(all == Set(100L, 101L, 102L, 103L)) // history intact via shared dirs
   }
 }
