@@ -103,16 +103,52 @@ object Ann {
     * candidates. Returns (q_id, n_id, rnk) — ≤ k rows per query,
     * fewer when the bucket is sparse. */
   def lshTopK(embeddings: DataFrame, numPlanes: Int = 6, dim: Int = 64,
-              nQueries: Int = 10, k: Int = 5): DataFrame = {
+              nQueries: Int = 10, k: Int = 5): DataFrame =
+    lshTopKImpl(embeddings, numPlanes, dim, nQueries, k, probes = 0)
+
+  /** Multi-probe variant of [[lshTopK]]: each query ALSO probes the
+    * `probes` neighboring sign-buckets reached by flipping the planes
+    * with the smallest |dot| — the query's least-confident sign bits,
+    * exactly the buckets its true neighbors most likely fell into
+    * (step-1 perturbation of Lv et al.'s multi-probe LSH, VLDB'07).
+    * Recall rises toward brute-force at the cost of ~(probes+1)× the
+    * probed candidates, WITHOUT re-hashing the corpus or adding hash
+    * tables — the corpus side of the plan is unchanged, only the tiny
+    * broadcast query relation fans out. */
+  def lshTopKMultiProbe(embeddings: DataFrame, numPlanes: Int = 6, dim: Int = 64,
+                        nQueries: Int = 10, k: Int = 5, probes: Int = 2): DataFrame = {
+    require(probes >= 1 && probes <= numPlanes,
+      s"probes=$probes must be in [1, numPlanes=$numPlanes]")
+    lshTopKImpl(embeddings, numPlanes, dim, nQueries, k, probes)
+  }
+
+  private def lshTopKImpl(embeddings: DataFrame, numPlanes: Int, dim: Int,
+                          nQueries: Int, k: Int, probes: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val bucket = planes.zipWithIndex
-      .map { case (p, i) =>
-        when(dot(col("embedding"), typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
-      }
+    val dots = planes.map(p => dot(col("embedding"), typedlit(p.toSeq)))
+    val bucket = dots.zipWithIndex
+      .map { case (d, i) => when(d > 0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
     val e = embeddings.withColumn("bucket", bucket)
-    val q = e.filter(col("vec_id") < nQueries)
+    val qBase = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val q =
+      if (probes == 0) qBase
+      else {
+        // flip order = ascending |dot|: the closer the query sits to a
+        // plane, the likelier its neighbors are on the other side
+        val withDots = e.filter(col("vec_id") < nQueries)
+          .withColumn("__ds", array(dots.map(abs): _*))
+        val flips = expr(
+          s"transform(slice(array_sort(transform(sequence(0, ${numPlanes - 1}), " +
+            s"i -> struct(__ds[i] AS a, i AS i))), 1, $probes), s -> s.i)")
+        withDots
+          .withColumn("__flips", flips)
+          .withColumn("bucket",
+            explode(concat(array(col("bucket")),
+              expr("transform(__flips, i -> bucket ^ shiftleft(1, i))"))))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      }
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, Seq("bucket"))

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.Retry
+
+/** Supervised-restart policy for streaming queries — the reference's
+  * binlog-client keepalive re-seated on Structured Streaming.
+  *
+  * dumpr registers a lifecycle listener on the binlog client and, on
+  * disconnect, reconnects FROM THE LAST SEEN POSITION with
+  * exponential-backoff retry (`src/dumpr/binlog.clj:29-53`,
+  * `src/dumpr/core.clj:152-188` `start-stream!`/`stop-stream!`). In
+  * Spark the checkpointed offsets ARE that position: "reconnect" is
+  * rebuilding the query against the same checkpoint directory, and the
+  * engine replays from the last committed batch. This object supplies
+  * the missing piece — the supervision loop — by composing
+  * [[graft.sources.Retry]] (the re-expression of the reference's
+  * `retry`, `utils.clj:3-24`) with a query factory:
+  *
+  * {{{
+  *   val sq = Supervisor.supervise(() =>
+  *     UpsertSink.materialize(changes, tableDir, checkpointDir))
+  *   ...
+  *   sq.stop()   // graceful: no further restarts
+  * }}}
+  *
+  * The factory MUST create its query with a fixed `checkpointLocation`
+  * — that is what makes a restart a resume instead of a reprocess.
+  * Exactly-once end-to-end then follows from the sink's idempotence
+  * (e.g. [[UpsertSink.mergeBatch]]'s published-batch guard), exactly
+  * as in a crash-recovery cycle.
+  */
+object Supervisor {
+
+  /** Handle on a supervised query: the live query (changes across
+    * restarts), restart count, terminal failure (after the restart
+    * budget is exhausted), and graceful stop. */
+  final class SupervisedQuery private[Supervisor] () {
+    @volatile private[Supervisor] var currentQ: StreamingQuery = _
+    @volatile private[Supervisor] var lastFailure: Option[Throwable] = None
+    @volatile private[Supervisor] var stopRequested = false
+    @volatile private[Supervisor] var runner: Thread = _
+    private[Supervisor] val starts = new AtomicInteger(0)
+
+    /** The currently-running incarnation (changes after a restart). */
+    def current: Option[StreamingQuery] = Option(currentQ)
+    /** Completed restarts (0 while the first incarnation runs). */
+    def restarts: Int = math.max(0, starts.get() - 1)
+    /** The failure that ended supervision, if the budget ran out. */
+    def failure: Option[Throwable] = if (done) lastFailure else None
+    /** True once the supervision loop has exited (stop or terminal). */
+    def done: Boolean = runner != null && !runner.isAlive
+    /** Graceful shutdown: no further restarts; stops the live query
+      * and joins the supervision loop. */
+    def stop(): Unit = {
+      stopRequested = true
+      Option(currentQ).foreach(q => try q.stop() catch { case _: Exception => () })
+      Option(runner).foreach(_.join(60000))
+    }
+  }
+
+  /** Run `start` under supervision: on query failure, back off
+    * (exponential, via [[Retry.retry]]'s schedule) and rebuild the
+    * query, at most `maxRestarts` times. `sleep` is injectable so
+    * specs can assert the backoff schedule without waiting. */
+  def supervise(start: () => StreamingQuery,
+                maxRestarts: Int = 5,
+                startWaitMs: Long = 1000L,
+                maxWaitMs: Long = 120000L,
+                sleep: Long => Unit = Thread.sleep,
+                onRestart: (Throwable, Long) => Unit = (_, _) => ()): SupervisedQuery = {
+    val sq = new SupervisedQuery
+    val runner = new Thread(() => {
+      val outcome = Retry.retry[Unit](
+        f = () => {
+          sq.starts.incrementAndGet()
+          val q = start()
+          sq.currentQ = q
+          q.awaitTermination() // returns on stop(), throws on failure
+        },
+        handler = (e, w) => { sq.lastFailure = Some(e); onRestart(e, w) },
+        shouldRetry = () => !sq.stopRequested && sq.starts.get() <= maxRestarts,
+        maxWaitMs = maxWaitMs, startWaitMs = startWaitMs, sleep = sleep)
+      // Some(()) = the last incarnation terminated cleanly (stop) —
+      // earlier, recovered failures are not terminal
+      if (outcome.isDefined) sq.lastFailure = None
+    }, "graft-stream-supervisor")
+    sq.runner = runner
+    runner.setDaemon(true)
+    runner.start()
+    sq
+  }
+}

