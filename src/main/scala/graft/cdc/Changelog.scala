@@ -211,20 +211,31 @@ object Changelog {
     * Output: op ∈ {upsert, delete} plus an `img` sub-order column
     * (0 = before-image tombstone, 1 = after-image upsert) which
     * [[entityState]]'s fold uses to order images within one position.
-    * Pure map-side (filter + union of projections) — no shuffle. */
+    *
+    * ONE pass over the log: each row explodes into its 1-2 primitive
+    * images (a generate, no shuffle). A union of three filtered
+    * branches would read the log — 100 TB of it — three times;
+    * plan-asserted in PlanAuditSpec. */
   def expandUpdateImages(log: DataFrame): DataFrame = {
     require(log.columns.contains("old_id"),
       "expandUpdateImages: log must carry old_id (the before-image id) on update rows")
     val valType = log.schema("val").dataType
-    val nonUpd = log.filter(col("op") =!= "update").withColumn("img", lit(1))
-    val upd = log.filter(col("op") === "update")
-    val tomb = upd.filter(col("old_id") =!= col("id"))
-      .withColumn("op", lit("delete"))
-      .withColumn("id", col("old_id"))
-      .withColumn("val", lit(null).cast(valType))
-      .withColumn("img", lit(0))
-    val ups = upd.withColumn("op", lit("upsert")).withColumn("img", lit(1))
-    nonUpd.unionByName(tomb).unionByName(ups).drop("old_id")
+    def img(op: Column, id: Column, v: Column, ord: Int) =
+      struct(op.as("op"), id.as("id"), v.as("val"), lit(ord).as("img"))
+    val images =
+      when(col("op") === "update" && col("old_id") =!= col("id"),
+        array(
+          img(lit("delete"), col("old_id"), lit(null).cast(valType), 0),
+          img(lit("upsert"), col("id"), col("val"), 1)))
+      .when(col("op") === "update",
+        array(img(lit("upsert"), col("id"), col("val"), 1)))
+      .otherwise(array(img(col("op"), col("id"), col("val"), 1)))
+    log.withColumn("__img", explode(images))
+      .withColumn("op", col("__img.op"))
+      .withColumn("id", col("__img.id"))
+      .withColumn("val", col("__img.val"))
+      .withColumn("img", col("__img.img"))
+      .drop("__img", "old_id")
   }
 
   /** Fold the op stream into current entity state: later ops win,

@@ -180,14 +180,34 @@ object SchemaRegistry {
         col("schema_version"), col("n_cols"), col("cols_sig"))
   }
 
-  /** MySQL charset → JVM charset, then decode. Mirrors the reference's
-    * finite `mysql-charset->charset` map (`stream.clj:218-223`):
-    * unmapped charsets fall through by name, unknown/null → UTF-8. */
+  /** MySQL charset name → the name Spark's `decode` accepts.
+    *
+    * The reference remaps ONLY utf8mb3/utf8mb4 and hands every other
+    * name VERBATIM to `Charset/forName` (`stream.clj:214-223`),
+    * leaning on the JVM's alias registry (latin1, ascii, utf16, … are
+    * registered aliases). Spark's `decode` accepts only canonical
+    * names (iso-8859-1, us-ascii, utf-8, utf-16/16be/16le, utf-32),
+    * so the alias resolution the reference gets for free is spelled
+    * out here. Names outside Spark's decodable set pass through
+    * verbatim and RAISE at run time — the same observable behavior as
+    * the reference's `Charset/forName` throwing on an unknown name
+    * (an error row, not silent mojibake). One deliberate divergence:
+    * a NULL charset (collation info missing from the schema row)
+    * decodes as UTF-8 instead of NPE-ing like the reference. */
+  private def mysqlToSparkCharset(cs: Column): Column =
+    when(cs.isNull, lit("utf-8"))
+      .when(cs.isin("utf8mb4", "utf8mb3", "utf8"), lit("utf-8"))
+      .when(cs === "latin1", lit("iso-8859-1"))
+      .when(cs === "ascii", lit("us-ascii"))
+      .when(cs === "utf16", lit("utf-16"))
+      .when(cs === "utf16le", lit("utf-16le"))
+      .when(cs === "utf32", lit("utf-32"))
+      .otherwise(cs)
+
+  /** Decode per the row's column charset (dynamic second argument —
+    * the charset comes from the attached schema, not a plan literal). */
   private def decodePerCharset(raw: Column, cs: Column): Column =
-    when(cs === "latin1", decode(raw, "ISO-8859-1"))
-      .when(cs === "utf8mb4" || cs === "utf8mb3" || cs === "utf8", decode(raw, "UTF-8"))
-      .when(cs === "ascii", decode(raw, "US-ASCII"))
-      .otherwise(decode(raw, "UTF-8"))
+    call_function("decode", raw, mysqlToSparkCharset(cs))
 
   /** `convert-with-schema`: zip a raw `vals: array<binary>` column
     * with the attached column names into a row map, decoding text-ish

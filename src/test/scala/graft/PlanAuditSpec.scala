@@ -97,6 +97,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "expect partial (pre-shuffle) + final WindowGroupLimit")
   }
 
+  test("dedup_embedding_lsh: the candidate self-join never shuffles an embedding") {
+    val p = formatted("dedup_embedding_lsh")
+    // band rows carry (vec_id, bks, band, bk) — embeddings re-attach to
+    // surviving candidates only, via broadcast or a final id-keyed join;
+    // no exchange may carry the embedding array itself
+    val bad = shuffleInputs(p).filter(_.contains("embedding"))
+    assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
+  }
+
+  test("cdc_update_images: single-scan generate expansion; fold + control exchanges only") {
+    val p = formatted("cdc_update_images")
+    // one log scan exploding rows into images (Generate), ONE fold
+    // exchange on (tbl,id), plus the tiny rolled-back-tx distinct that
+    // feeds the broadcast anti-join — a union-of-branches expansion
+    // would scan the 100 TB log three times
+    assert(p.contains("Generate"), "image expansion must be an explode, not a union")
+    assert(!p.contains("Union"), "no multi-branch re-scan of the log")
+    assert(raw"Scan parquet\s+\(\d+\)".r.findAllIn(p).size <= 2,
+      "log + control scans only — expansion must not multiply scans")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n <= 2, s"fold + control-distinct exchanges only, found $n")
+  }
+
   test("dedup_simhash: no groupBy/distinct exchange for pair dedup (map-side first-band)") {
     val p = formatted("dedup_simhash")
     // pair dedup used to be a groupBy(a_gid, b_gid); now only the

@@ -59,6 +59,54 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(out == Map("id" -> "42", "body" -> "café"))
   }
 
+  test("charset round-trip property: latin1/utf8mb4/ascii byte strings decode exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // charsets × generators of strings encodable in each: latin1 gets
+    // the full 8-bit range (accented chars), utf8mb4 gets BMP + astral
+    // (emoji — the 4-byte sequences utf8mb3 could not store)
+    val latin1Str = Gen.listOf(Gen.choose(32, 255).map(_.toChar))
+      .map(_.mkString.filter(c => (c < 0x7f || c >= 0xa0))) // printable latin1
+    val utf8Str = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ß', '中', 'Ω', 'ク'),
+      1 -> Gen.const('\uD83D'))).map(_.mkString.replace("\uD83D", "😀")) // 😀
+    val asciiStr = Gen.listOf(Gen.choose(32, 126).map(_.toChar)).map(_.mkString)
+    val cases = Gen.oneOf(
+      latin1Str.map(s => (s, "latin1", "ISO-8859-1")),
+      utf8Str.map(s => (s, "utf8mb4", "UTF-8")),
+      asciiStr.map(s => (s, "ascii", "US-ASCII")))
+    val p = Prop.forAll(Gen.listOfN(6, cases)) { rows =>
+      val reg = SchemaRegistry.base(spark,
+        Map("t" -> Seq(ColSpec("body", "text", null)))) // charset set per row below
+      val dfRows = rows.zipWithIndex.map { case ((s, mycs, jvmcs), i) =>
+        (i.toLong, "upsert", "t", i.toLong, Seq(s.getBytes(jvmcs)), mycs)
+      }
+      val log = dfRows.toDF("pos", "op", "tbl", "id", "vals", "cs")
+      val regV = SchemaRegistry.withAlters(reg, log.limit(0).select(col("tbl"), col("pos")))
+      val attached = SchemaRegistry.attach(log, regV)
+        .withColumn("col_charsets", array(col("cs"))) // per-row charset
+      val out = SchemaRegistry.convertWithSchema(attached, "vals")
+        .select(col("id"), element_at(col("row_map"), "body"))
+        .as[(Long, String)].collect().toMap
+      rows.zipWithIndex.forall { case ((s, _, _), i) => out(i.toLong) == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("unknown MySQL charset raises instead of silent mojibake (Charset/forName parity)") {
+    val log = Seq((1L, "upsert", "t", 1L, Seq("x".getBytes("UTF-8"))))
+      .toDF("pos", "op", "tbl", "id", "vals")
+    val reg = SchemaRegistry.withAlters(
+      SchemaRegistry.base(spark, Map("t" -> Seq(ColSpec("body", "text", "nosuch_cs")))),
+      log.limit(0).select(col("tbl"), col("pos")))
+    val e = intercept[Exception] {
+      SchemaRegistry.convertWithSchema(SchemaRegistry.attach(log, reg), "vals")
+        .select(col("row_map")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("charset"), e.getMessage)
+  }
+
   test("streaming schema attach: stream-static join attaches versions, DLQ-routes unknowns") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -102,6 +102,32 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(bucketDirs("v2").isEmpty, s"emptied bucket must not publish a dir: ${bucketDirs("v2")}")
   }
 
+  test("update images end-to-end: PK-changing updates materialize exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft_sink_img").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_img").toString
+    val in = MemoryStream[graft.streaming.ChangelogStream.ImagedChange]
+    val q = UpsertSink.materialize(
+      graft.streaming.ChangelogStream.expandUpdates(in.toDS()), tableDir, ckpt,
+      numBuckets = 8)
+    import graft.streaming.ChangelogStream.ImagedChange
+    in.addData(
+      ImagedChange(1, "upsert", "t", -1, 1, 1.0),
+      ImagedChange(2, "upsert", "t", -1, 2, 2.0))
+    q.processAllAvailable()
+    in.addData(
+      ImagedChange(3, "update", "t", 1, 10, 1.5), // PK change 1 → 10
+      // PK swap 10 ↔ 2 in one event: same-pos tombstone + upsert per key
+      ImagedChange(4, "update", "t", 10, 2, 10.5),
+      ImagedChange(4, "update", "t", 2, 10, 2.6))
+    q.processAllAvailable()
+    q.stop()
+    val snap = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(snap == Set((2L, 10.5), (10L, 2.6)),
+      s"old key tombstoned, swap resolved, got $snap")
+  }
+
   test("version retention prunes manifests and unreferenced dirs, keeps shared ones") {
     val tableDir = Files.createTempDirectory("graft_sink_retain").toString
     def dirs() = new java.io.File(tableDir).listFiles()
