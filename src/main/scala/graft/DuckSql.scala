@@ -205,6 +205,31 @@ object DuckSql {
        |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** Oracle for `multimodal_features`: replay of
+    * [[graft.multimodal.Multimodal.decodeFeatures]]'s deterministic
+    * stub — feature `d` of a media row is
+    * `(hash64(bytes, 1000+d) >>> 11) / 2^53` as FLOAT. The hash runs
+    * per (row, dim) with the dim-dependent seed mixed into the FNV
+    * offset basis, then the splitmix finalizer; the division is by a
+    * power of two (exact in binary FP) and double→float rounds
+    * half-even in both engines, so features match bit-for-bit. */
+  def multimodalOracle(dim: Int): String = {
+    // fnvFold with a PER-ROW seed expression (1000 + d)
+    val fold = s"list_reduce(list_prepend(xor($FnvOffset::HUGEINT, (1000 + d)::HUGEINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
+      s"c -> unicode(c)::HUGEINT)), (h, b) -> ${mulmod("xor(h, b)", FnvPrime)})"
+    val src = "(SELECT media_id, kind, n_bytes, d, " + fold + " AS h0 FROM " +
+      s"""(SELECT doc_id AS media_id,
+         |        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         |        CAST(length(text) AS INT) AS n_bytes,
+         |        CAST(unnest(range($dim)) AS INT) AS d,
+         |        text
+         | FROM documents) mm)""".stripMargin
+    s"""SELECT media_id, kind, n_bytes, d,
+       |       CAST(CAST((h // 2048) AS DOUBLE) / 9007199254740992.0 AS REAL) AS f
+       |FROM ${finalize(src, "media_id, kind, n_bytes, d", "h0", "h")} mf""".stripMargin
+  }
+
   /** Full-precision double literal (Java Double.toString round-trips,
     * DuckDB parses to the nearest double = the original). */
   private def dlit(d: Double): String = java.lang.Double.toString(d)
@@ -244,36 +269,83 @@ object DuckSql {
     * Decimal sums are order-independent and both engines cast
     * double→decimal round-to-nearest (exact ties are impossible for
     * binary doubles at scale 7), so centroids match bit-for-bit. */
-  def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
-         |    FROM e CROSS JOIN $cents c) t
-         |  WHERE rn = 1)""".stripMargin
-    def updateCte(sums: String, next: String, assign: String, prev: String): String =
-      s"""$sums AS (
-         |  SELECT a.cid, i.i AS d,
-         |         sum(CAST(e.embedding[i.i] AS DECIMAL(25,7))) AS s
-         |  FROM e JOIN $assign a USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
-         |  GROUP BY a.cid, i.i),
-         |$next AS (
-         |  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT cid, list(CAST(s AS FLOAT) ORDER BY d) AS cvec
-         |    FROM $sums GROUP BY cid) u USING (cid))""".stripMargin
+  private def kmAssignCte(name: String, cents: String, dim: Int): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $cents c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCte(sums: String, next: String, assign: String, prev: String,
+                          dim: Int): String =
+    s"""$sums AS (
+       |  SELECT a.cid, i.i AS d,
+       |         sum(CAST(e.embedding[i.i] AS DECIMAL(25,7))) AS s
+       |  FROM e JOIN $assign a USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
+       |  GROUP BY a.cid, i.i),
+       |$next AS (
+       |  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(CAST(s AS FLOAT) ORDER BY d) AS cvec
+       |    FROM $sums GROUP BY cid) u USING (cid))""".stripMargin
+
+  /** The Lloyd-iteration CTE chain shared by [[kmeansOracle]] and
+    * [[annIvfTrainedOracle]]: `e`, `c0` … `c<iters>` (the trained
+    * codebook). */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val iterCtes = (0 until iters).map { it =>
-      assignCte(s"a$it", s"c$it") + ",\n" + updateCte(s"s$it", s"c${it + 1}", s"a$it", s"c$it")
+      kmAssignCte(s"a$it", s"c$it", dim) + ",\n" +
+        kmUpdateCte(s"s$it", s"c${it + 1}", s"a$it", s"c$it", dim)
     }
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < $k),
-       |${iterCtes.mkString(",\n")},
-       |${assignCte("afin", s"c$iters")}
-       |SELECT vec_id, cid FROM afin""".stripMargin
+       |${iterCtes.mkString(",\n")}""".stripMargin
   }
+
+  def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |${kmAssignCte("afin", s"c$iters", dim)}
+       |SELECT vec_id, cid FROM afin""".stripMargin
+
+  /** Oracle for `ann_ivf_trained`: IVF search over the k-means-TRAINED
+    * codebook — the full loop (train → index → probe) replayed in SQL.
+    * Every cosine uses the bit-exact [[cosCols]] replay: assignment
+    * flips on sub-ulp differences with trained (non-corpus) centroids,
+    * so `list_cosine_similarity`'s different fold order is not safe
+    * here the way it is for `ann_ivf`'s raw-vector codebook. */
+  def annIvfTrainedOracle(nlist: Int, iters: Int, nprobe: Int,
+                          nQueries: Int, k: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+       |assigned AS (
+       |  SELECT vec_id AS n_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c$iters c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cid AS list_id FROM (
+       |    SELECT e.vec_id AS q_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c$iters c WHERE e.vec_id < $nQueries) t
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.q_id, a.n_id,
+       |         ${cosCols("q.embedding", "n.embedding", dim)} AS cos
+       |  FROM probes p
+       |  JOIN assigned a USING (list_id)
+       |  JOIN e q ON q.vec_id = p.q_id
+       |  JOIN e n ON n.vec_id = a.n_id
+       |  WHERE a.n_id <> p.q_id),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
 
   /** Oracle for `ann_lsh`: sign-bucket from literal hyperplanes (same
     * deterministic planes as [[graft.operators.Ann.hyperplanes]]),

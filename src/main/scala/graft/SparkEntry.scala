@@ -139,6 +139,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d))),
     "kmeans_assign" -> ((s, d) =>
       Cluster.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
     "lang_id" -> ((s, d) => {
@@ -169,6 +170,16 @@ object SparkEntry {
     }),
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), Hashing.fingerprint(col("text")).as("fp"))),
+    "multimodal_features" -> ((s, d) => {
+      // D12 plumbing end-to-end: media table → partition-local batch
+      // decode (deterministic stub) → per-dim feature rows. The codec
+      // is fake; everything around it (schema, batch shape, feature
+      // contract) is the real pipeline and is oracle-verified.
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("d", "f")))
+    }),
     // ---- D. corpus hygiene + sampling (D13-D19) ----
     "decontaminate" -> ((s, d) =>
       Corpus.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
@@ -638,6 +649,9 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
       Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
-    "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64)
+    "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64),
+    "ann_ivf_trained" -> DuckSql.annIvfTrainedOracle(
+      nlist = 8, iters = 2, nprobe = 4, nQueries = 10, k = 5, dim = 64),
+    "multimodal_features" -> DuckSql.multimodalOracle(dim = 16)
   )
 }

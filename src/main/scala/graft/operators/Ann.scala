@@ -75,8 +75,25 @@ object Ann {
       .sortBy(_.getLong(0))
     require(centRows.nonEmpty,
       s"ivfTopK: no rows with vec_id < nlist=$nlist to seed the codebook")
-    val cids = centRows.map(_.getLong(0))
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    ivfTopKWith(embeddings, centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray), nprobe, nQueries, k)
+  }
+
+  /** IVF search under a TRAINED codebook: [[Cluster.kmeansCentroids]]
+    * supplies the Lloyd-trained centroids that [[ivfTopK]]'s sampled
+    * codebook stands in for — the full train → index → probe loop.
+    * Same plan shape: the codebook stays a plan constant, assignment
+    * a pure map. */
+  def ivfTopKTrained(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2,
+                     nprobe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (cids, cents) = Cluster.kmeansCentroids(embeddings, nlist, iters)
+    ivfTopKWith(embeddings, cids, cents, nprobe, nQueries, k)
+  }
+
+  /** The IVF plan under an explicit codebook (ids + vectors). */
+  def ivfTopKWith(embeddings: DataFrame, cids: Array[Long], cents: Array[Array[Float]],
+                  nprobe: Int, nQueries: Int, k: Int): DataFrame = {
+    require(cids.nonEmpty, "ivfTopKWith: empty codebook")
     // a sparse corpus can yield fewer than nlist centroids; probing
     // more lists than exist is just "probe them all"
     val probeN = math.min(nprobe, cids.length)

@@ -103,6 +103,18 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKTrained: the trained codebook drives the same plan, deterministic ranks") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Ann.ivfTopKTrained(emb, nlist = 8, iters = 2)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val b = Ann.ivfTopKTrained(emb, nlist = 8, iters = 2)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(a.nonEmpty && a.sameElements(b), "training + search fully deterministic")
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("multi-probe LSH lifts recall over single-probe, never below it") {
     val emb = Tables.embeddings(spark, sf)
     val truth = Ann.bruteTopK(emb, nQueries = 10, k = 5)
