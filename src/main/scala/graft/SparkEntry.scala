@@ -186,6 +186,16 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
+    "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
+    "pii_scrub" -> ((s, d) => {
+      // plant deterministic PII per row (the synthetic corpus has
+      // none): an email, a US phone and an IPv4, all doc_id-derived
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-867-530"),
+          col("doc_id") % 10, lit(" at 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
+      Corpus.piiScrub(docs)
+    }),
     "stratified_sample" -> ((s, d) => {
       // demo per-source rate: 10..66% keyed off the source index
       val rate = lit(10) +
@@ -620,6 +630,39 @@ object SparkEntry {
         |      FROM d)
         |SELECT ngram, count(*) AS df FROM b
         |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
+    "doc_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             greatest(1, CAST(ceil(CAST(len(w) - 8 AS DOUBLE) / 56) AS BIGINT)) AS n_chunks
+        |      FROM d),
+        |x AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |             w[(chunk_idx*56 + 1):(chunk_idx*56 + 64)] AS chunk
+        |      FROM x)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tok,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR) ||
+        |         ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                            '<EMAIL>', 'g') AS after_email
+        |      FROM p),
+        |f AS (SELECT doc_id, text, after_email,
+        |             regexp_replace(after_email, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+        |                            '<PHONE>', 'g') AS after_phone
+        |      FROM e)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |       CAST(len(regexp_extract_all(after_email, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phone,
+        |       CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |       regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM f""".stripMargin,
     "stratified_sample" ->
       s"""WITH h AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, source", "doc_id", 11L, "hh")} hx),
          |b AS (SELECT doc_id, source, CAST((hh // 2) % 100 AS INT) AS bucket FROM h)

@@ -95,6 +95,57 @@ object Corpus {
       .withColumn("flagged", (col("top_n") * 5 >= col("n_tok")).cast("int"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size windows of `maxTok` tokens with `overlap` tokens of
+    * context carried between consecutive chunks (stride =
+    * maxTok − overlap) — the standard pre-tokenization shaping step
+    * for a fixed-context trainer. Pure map-side generate: windows are
+    * arithmetic on each row's own token array, nothing shuffles at any
+    * scale. Chunk count is ⌈max(1, n_tok − overlap) / stride⌉ so every
+    * doc (even empty) emits ≥ 1 chunk and the final partial window is
+    * kept. Output: (doc_id, chunk_idx, chunk_tok, chunk_text),
+    * totally ordered by (doc_id, chunk_idx). */
+  def chunk(docs: DataFrame, maxTok: Int = 64, overlap: Int = 8): DataFrame = {
+    require(maxTok > overlap && overlap >= 0,
+      s"chunk: need maxTok ($maxTok) > overlap ($overlap) >= 0")
+    val stride = maxTok - overlap
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          ceil((size(col("w")) - lit(overlap)).cast("double") / stride).cast("long")))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(maxTok)))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("chunk")).as("chunk_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** PII scrubbing: redact emails, US-style phone numbers and IPv4
+    * addresses with typed placeholders and count the redactions —
+    * the minimum-viable privacy pass a public-corpus pipeline runs
+    * before anything else. Patterns stay in the regex subset Java and
+    * RE2 share (no backreferences, no lookaround), so the operator is
+    * oracle-replayable; swap in a richer ruleset the same way. Pure
+    * map-side. Output: (doc_id, n_email, n_phone, n_ip, scrubbed). */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // order matters: emails first (their local part can contain digit
+    // runs), then phones, then IPs over the already-scrubbed text
+    val afterEmail = regexp_replace(col(textCol), email, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phone, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(email)).cast("int").as("n_email"),
+      regexp_count(afterEmail, lit(phone)).cast("int").as("n_phone"),
+      regexp_count(afterPhone, lit(ip)).cast("int").as("n_ip"),
+      regexp_replace(afterPhone, ip, "<IP>").as("scrubbed"))
+  }
+
   /** Corpus-level top-k adjacent bigrams by document frequency
     * (boilerplate / template discovery). Distinct-per-doc bigrams
     * explode into one narrow `(ngram)` exchange with map-side combine;

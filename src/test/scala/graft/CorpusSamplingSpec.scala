@@ -91,6 +91,48 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(via3 == viaOld)
   }
 
+  test("chunking covers every token, overlaps by exactly `overlap`, keeps the tail") {
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 150 tok → 3 chunks
+      (2L, (1 to 64).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (3L, "a b c"),                                   // shorter than overlap
+      (4L, "")                                         // degenerate: 1 chunk of [""]
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, maxTok = 64, overlap = 8)
+      .select("doc_id", "chunk_idx", "chunk_tok", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 150 tokens, stride 56: chunks at 0, 56, 112 → sizes 64, 64, 38
+    assert(out(1L).map(_._3).toSeq == Seq(64, 64, 38))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = out(1L)(0)._4.split(" "); val c1 = out(1L)(1)._4.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // reconstruction: stride-prefixes ++ last chunk == original stream
+    val rebuilt = out(1L).dropRight(1).flatMap(_._4.split(" ").take(56)) ++
+      out(1L).last._4.split(" ")
+    assert(rebuilt.toSeq == (1 to 150).map(i => s"t$i"))
+    assert(out(2L).map(_._3).toSeq == Seq(64), "exact window → single chunk")
+    assert(out(3L).map(_._3).toSeq == Seq(3))
+    assert(out(4L).size == 1, "empty doc still emits one chunk")
+  }
+
+  test("pii scrub redacts planted email/phone/ip and counts them; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail me at First.Last+tag@sub.example.org or call 415-555-0199 from 10.0.0.7"),
+      (2L, "no pii here just words and numbers like 12345 and 1.5"),
+      (3L, "two mails a@b.io c.d@e.fr and dotted phone 212.555.0100")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiScrub(docs)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "scrubbed")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 1)
+    assert(out(1L)._5 == "mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert(out(2L) == ((2L, 0, 0, 0, "no pii here just words and numbers like 12345 and 1.5")))
+    assert(out(3L)._2 == 2 && out(3L)._3 == 1)
+    assert(out(3L)._5 == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>")
+  }
+
   test("quality filter sets one reason bit per violated rule") {
     val docs = Seq(
       (1L, ("the word list is long enough to pass every single rule " +
