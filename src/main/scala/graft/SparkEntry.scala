@@ -187,6 +187,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
+    "seq_pack" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
     "pii_scrub" -> ((s, d) => {
       // plant deterministic PII per row (the synthetic corpus has
       // none): an email, a US phone and an IPv4, all doc_id-derived
@@ -642,6 +644,20 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tok,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM s""".stripMargin,
+    "seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS shard,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM d)
+        |SELECT doc_id, shard, n_tok,
+        |       CAST(tok_before // 512 AS BIGINT) AS pack_id,
+        |       CAST(tok_before % 512 AS BIGINT) AS pack_off
+        |FROM c""".stripMargin,
     "pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -146,6 +146,34 @@ object Corpus {
       regexp_replace(afterPhone, ip, "<IP>").as("scrubbed"))
   }
 
+  /** Greedy sequence packing: assign each document a `pack_id` and
+    * token offset inside fixed `budgetTok` training sequences — the
+    * step after [[chunk]] that turns a corpus into constant-size
+    * batches. A doc belongs to the pack where its tokens BEGIN;
+    * boundary docs spill into the next pack's budget (the streaming-
+    * packer convention — exact first-fit bin packing is inherently
+    * serial and data-dependent, and at 100 TB nobody runs it).
+    *
+    * Packing is per-`shard` (the split/domain column the training job
+    * already groups by), in deterministic (shard, doc_id) order — so
+    * the window parallelizes across shards, re-runs produce identical
+    * packs on any partitioning, and the only exchange is the hash
+    * partition by shard. Output: (doc_id, shard, n_tok, pack_id,
+    * pack_off). */
+  def packSequences(docs: DataFrame, budgetTok: Int, shard: Column): DataFrame = {
+    require(budgetTok > 0, s"packSequences: budgetTok=$budgetTok must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), shard.as("shard"),
+        size(TextFunctions.tokens(col("text"))).as("n_tok"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"tok_before div $budgetTok").as("pack_id"),
+        (col("tok_before") % budgetTok).as("pack_off"))
+  }
+
   /** Corpus-level top-k adjacent bigrams by document frequency
     * (boilerplate / template discovery). Distinct-per-doc bigrams
     * explode into one narrow `(ngram)` exchange with map-side combine;

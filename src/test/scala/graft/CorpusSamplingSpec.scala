@@ -133,6 +133,26 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(out(3L)._5 == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>")
   }
 
+  test("sequence packing: contiguous per-shard packs, offsets advance by n_tok, boundary spill") {
+    val docs = Seq(
+      (1L, "s1", 300), (2L, "s1", 300), (3L, "s1", 100), (4L, "s1", 50),
+      (10L, "s2", 600) // bigger than the budget: still one assignment
+    ).map { case (id, src, n) => (id, src, (1 to n).map(_ => "t").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.packSequences(docs, budgetTok = 512, col("source"))
+      .select("doc_id", "shard", "n_tok", "pack_id", "pack_off")
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._1)
+    // s1: cum-before = 0, 300, 600, 700 → packs 0,0,1,1; offsets mod 512
+    assert(out.filter(_._2 == "s1").map(r => (r._1, r._4, r._5)).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 1L, 188L)))
+    // a doc beginning at offset 0 of its own pack even when larger than budget
+    assert(out.find(_._1 == 10L).get._4 == 0L)
+    // determinism across re-runs (window order is (shard, doc_id))
+    val again = Corpus.packSequences(docs, 512, col("source"))
+      .select("doc_id", "pack_id", "pack_off").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.map(r => (r._1, r._4, r._5)).toSeq)
+  }
+
   test("quality filter sets one reason bit per violated rule") {
     val docs = Seq(
       (1L, ("the word list is long enough to pass every single rule " +
