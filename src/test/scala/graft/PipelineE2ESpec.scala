@@ -55,5 +55,21 @@ class PipelineE2ESpec extends AnyFunSuite {
 
     // the whole chain is ONE plan — it must also execute as such
     assert(split.queryExecution.executedPlan != null)
+
+    // 6. shape for the trainer: scrub → chunk → pack the train split
+    val trainDocs = docs.join(split.where(col("split") === "train").select("doc_id"), "doc_id")
+    val scrubbed = Corpus.piiScrub(trainDocs)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    val chunks = Corpus.chunk(scrubbed, maxTok = 64, overlap = 8)
+    val nChunks = chunks.count()
+    assert(nChunks >= trainDocs.count(), "every doc emits >= 1 chunk")
+    // pack the chunks as pseudo-docs (chunk key becomes the id)
+    val packed = Corpus.packSequences(
+      chunks.select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"), lit("train").as("source")),
+      budgetTok = 512, col("source"))
+    assert(packed.count() == nChunks, "packing is total over its input")
+    val maxOff = packed.agg(max(col("pack_off"))).as[Long].collect()(0)
+    assert(maxOff < 512, "offsets live inside the budget")
   }
 }

@@ -71,11 +71,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("sampling/split/repetition/quality operators are map-only (zero exchanges)") {
-    Seq("stratified_sample", "train_test_split", "doc_repetition", "quality_filter")
+    Seq("stratified_sample", "train_test_split", "doc_repetition", "quality_filter",
+        "doc_chunk", "pii_scrub", "multimodal_features")
       .foreach { q =>
         val n = raw"\(\d+\) Exchange\b".r.findAllIn(formatted(q)).size
         assert(n == 0, s"$q must not shuffle, found $n exchange(s)")
       }
+  }
+
+  test("seq_pack: exactly one exchange (the per-shard packing window)") {
+    val p = formatted("seq_pack")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n == 1, s"per-shard running sum needs exactly 1 exchange, found $n")
   }
 
   test("cdc_state_at: position predicate reaches the parquet scan") {
