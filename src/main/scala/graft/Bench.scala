@@ -67,39 +67,44 @@ object Bench {
       r.map(_ => (System.nanoTime() - t0) / 1e9)
     }
 
+    // canaries BRACKET the samples: cy before, cy2 after — a starvation
+    // phase that begins mid-samples (the common case: the query itself
+    // pushes the host into contention) shows in cy2 even when cy was
+    // quiet, so slow samples beside a slow cy2 still read as host noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cy = canary()
-      runOnce(name, fn) match {
-        case Left(err) => (name, Seq.empty[Double], Some(err), cy)
+      val r = runOnce(name, fn) match {
+        case Left(err) => (name, Seq.empty[Double], Option(err))
         case Right(s1) =>
           runOnce(name, fn) match {
-            case Left(err) => (name, Seq(s1), Some(err), cy)
+            case Left(err) => (name, Seq(s1), Option(err))
             case Right(s2) =>
               val disagree = math.abs(s1 - s2) > math.max(2.0, 0.5 * math.min(s1, s2))
-              if (!disagree) (name, Seq(s1, s2), None, cy)
+              if (!disagree) (name, Seq(s1, s2), None)
               else runOnce(name, fn) match {
                 // a failed tie-breaker is a real failure signal, not a
                 // fallback to "ok" — surface it in status/failed
-                case Left(err) => (name, Seq(s1, s2), Some(err), cy)
-                case Right(s3) => (name, Seq(s1, s2, s3), None, cy)
+                case Left(err) => (name, Seq(s1, s2), Option(err))
+                case Right(s3) => (name, Seq(s1, s2, s3), None)
               }
           }
       }
+      (r._1, r._2, r._3, cy, canary())
     }
 
     def jnum(d: Double): String = f"$d%.3f"
     // any successful samples still contribute a median (keeps the total
     // honest); the error, if any, shows in status + failed regardless
-    val ok = results.collect { case (n, ss, _, _) if ss.nonEmpty => n -> median(ss) }
+    val ok = results.collect { case (n, ss, _, _, _) if ss.nonEmpty => n -> median(ss) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val samples = results.collect { case (n, ss, _, _) if ss.nonEmpty =>
+    val samples = results.collect { case (n, ss, _, _, _) if ss.nonEmpty =>
       "\"" + n + "\":[" + ss.map(jnum).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val status = results.map { case (n, _, err, _) =>
+    val status = results.map { case (n, _, err, _, _) =>
       "\"" + n + "\":\"" + err.fold("ok")(e => "failed: " + e.replaceAll("[\"\\\\\\n\\r\\t]", " ")) + "\""
     }.mkString("{", ",", "}")
-    val canaries = results.map { case (n, _, _, cy) =>
-      "\"" + n + "\":" + jnum(cy)
+    val canaries = results.map { case (n, _, _, cy, cy2) =>
+      "\"" + n + "\":[" + jnum(cy) + "," + jnum(cy2) + "]"
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
