@@ -540,10 +540,11 @@ object SparkEntry {
         |                  len(list_filter(w, x -> x = 'a')) AS INT) AS n_stop
         |      FROM d)
         |SELECT doc_id, n_tok, n_stop,
-        |       round(CAST(least(n_tok, 300) AS DOUBLE) / 300.0 * 0.4 +
-        |             (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3 +
-        |             least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 8.0) / 8.0 * 0.3,
-        |             6) AS score
+        |       CAST(8 * CAST(n_tok AS BIGINT) * least(n_tok, 300)
+        |            + 1800 * CAST(n_tok - n_stop AS BIGINT)
+        |            + 225 * least(CAST(n_chars AS BIGINT) - n_tok + 1,
+        |                          8 * CAST(n_tok AS BIGINT)) AS DOUBLE)
+        |         / CAST(6000 * CAST(n_tok AS BIGINT) AS DOUBLE) AS score
         |FROM c""".stripMargin,
     "token_count" ->
       """SELECT doc_id,

@@ -118,12 +118,18 @@ object TextFunctions {
     * evaluation order for reproducibility — term order and float ops
     * must not change (oracle hash-matches). */
   def qualityFromCounts(nTok: Column, nStop: Column, nChars: Column): Column = {
-    val meanWl = (nChars - (nTok - 1)).cast("double") / nTok
-    round(
-      least(nTok, lit(300)).cast("double") / 300.0 * 0.4 +
-        (lit(1.0) - nStop.cast("double") / nTok) * 0.3 +
-        least(meanWl, lit(8.0)) / 8.0 * 0.3,
-      6)
+    // score = 0.4·min(n_tok,300)/300 + 0.3·(1 − n_stop/n_tok)
+    //       + 0.3·min(mean_word_len, 8)/8, restated as ONE ratio of
+    // exact integers over common denominator 6000·n_tok. A single
+    // correctly-rounded IEEE division is bit-identical in every
+    // engine; the old round(…, 6) of a composite double disagreed
+    // with DuckDB's float rounding when a value straddled a 6-decimal
+    // boundary (3 of 5000 docs at sf0.1 — caught by the sf0.1 oracle
+    // sweep, invisible at the sf0.01 gate).
+    val t = nTok.cast("long"); val s = nStop.cast("long"); val c = nChars.cast("long")
+    val m = least(c - t + 1, t * 8) // min(meanWl, 8) · n_tok, exact
+    val num = t * least(t, lit(300L)) * 8 + (t - s) * 1800 + m * 225
+    num.cast("double") / (t * 6000).cast("double")
   }
 
   /** Composite quality score of a text — one TokenStats pass. */
