@@ -619,9 +619,9 @@ object SparkEntry {
         |                    ELSE CAST([] AS VARCHAR[]) END)) AS INT) AS n_uniq_bi
         |      FROM d)
         |SELECT doc_id, n_tok, n_uniq, top_n, n_uniq_bi,
-        |       round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 6) AS tok_rep,
+        |       1.0 - CAST(n_uniq AS DOUBLE) / n_tok AS tok_rep,
         |       CASE WHEN n_tok > 1
-        |            THEN round(1.0 - CAST(n_uniq_bi AS DOUBLE) / (n_tok - 1), 6)
+        |            THEN 1.0 - CAST(n_uniq_bi AS DOUBLE) / (n_tok - 1)
         |            ELSE 0.0 END AS bi_rep,
         |       CAST(CASE WHEN top_n * 5 >= n_tok THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM c""".stripMargin,

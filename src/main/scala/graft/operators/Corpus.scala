@@ -86,11 +86,17 @@ object Corpus {
         col("st.n_uniq").as("n_uniq"),
         col("st.top_n").as("top_n"),
         col("st.n_uniq_bi").as("n_uniq_bi"))
+      // NO round(): `1 − a/b` on exact integers is one correctly-
+      // rounded division + one exactly-rounded subtraction — already
+      // bit-identical in every IEEE engine. round(…, 6) was the same
+      // latent cross-engine boundary bug the sf0.1 sweep caught in
+      // quality_score (Spark rounds the decimal expansion, DuckDB the
+      // scaled float) — removed before it could fire here.
       .withColumn("tok_rep",
-        round(lit(1.0) - col("n_uniq").cast("double") / col("n_tok"), 6))
+        lit(1.0) - col("n_uniq").cast("double") / col("n_tok"))
       .withColumn("bi_rep",
         when(col("n_tok") > 1,
-          round(lit(1.0) - col("n_uniq_bi").cast("double") / (col("n_tok") - 1), 6))
+          lit(1.0) - col("n_uniq_bi").cast("double") / (col("n_tok") - 1))
           .otherwise(0.0))
       .withColumn("flagged", (col("top_n") * 5 >= col("n_tok")).cast("int"))
   }
