@@ -303,6 +303,27 @@ object Dedup {
                         bands: Int = 8, planesPerBand: Int = 6,
                         dim: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, dot}
+    // Collapse exact-duplicate embeddings FIRST (two independent 64-bit
+    // hashes of the float array, same argument as minhashLsh's group
+    // key): a boilerplate flood of k identical vectors is ONE
+    // representative through the band join and the verify — without
+    // this the flood's shared bucket makes the candidate self-join
+    // quadratic in k. The final pair set is reconstituted exactly from
+    // group members (identical embeddings ⇒ identical buckets and
+    // cosines), so the result — and the DuckDB oracle — is unchanged.
+    val keyed = embeddings
+      .withColumn("gk", xxhash64(col("embedding")))
+      .withColumn("gk2", xxhash64(lit(1L), col("embedding")))
+    val groups = keyed
+      .groupBy(col("gk"), col("gk2"))
+      .agg(min(col("vec_id")).as("gid"),
+        min_by(col("embedding"), col("vec_id")).as("embedding"))
+      .persist()
+    val members = keyed.select(col("vec_id"), col("gk"), col("gk2"))
+      .join(groups.select(col("gk"), col("gk2"), col("gid")), Seq("gk", "gk2"))
+      .select(col("vec_id"), col("gid"))
+      .persist()
+
     val planes = Ann.hyperplanes(bands * planesPerBand, dim)
     val bandBuckets = (0 until bands).map { b =>
       (0 until planesPerBand).map { i =>
@@ -310,23 +331,47 @@ object Dedup {
           lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    val base = embeddings
-      .select(col("vec_id"), col("embedding"), array(bandBuckets: _*).as("bks"))
+    val base = groups
+      .select(col("gid"), col("embedding"), array(bandBuckets: _*).as("bks"))
       .persist() // scanned by the band explode and both verify attaches
-    val bb = base.select(col("vec_id"), col("bks"),
+    val bb = base.select(col("gid"), col("bks"),
       posexplode(col("bks")).as(Seq("band", "bk")))
     val cand = bb.as("a")
       .join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.gid") < col("b.gid"))
       // first-matching-band filter: exactly one surviving copy per pair
       .where(col("a.band") ===
         expr("array_position(zip_with(a.bks, b.bks, (x, y) -> x = y), true) - 1"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    cand
-      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
-      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
+    val repPairs = cand
+      .join(base.select(col("gid").as("a_gid"), col("embedding").as("a_emb")), Seq("a_gid"))
+      .join(base.select(col("gid").as("b_gid"), col("embedding").as("b_emb")), Seq("b_gid"))
       .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_gid"), col("b_gid"))
+
+    // Reconstitute member pairs (both expansions are OUTPUT-sized —
+    // the pair contract itself enumerates them):
+    //  - within a group every member pair scores cos(v, v) — evaluate
+    //    THE SAME predicate the all-pairs baseline would, rather than
+    //    special-casing: that inherits Spark's NaN-is-greatest
+    //    comparison semantics for zero-norm vectors (cos(0,0) = NaN ≥ t
+    //    is TRUE in both Spark and DuckDB), keeping the result set
+    //    identical to [[embeddingPairs]] for every threshold;
+    //  - across verified rep pairs, every cross-member pair shares the
+    //    representatives' exact cosine.
+    val intraOk = base
+      .where(cosine(col("embedding"), col("embedding")) >= threshold)
+      .select(col("gid"))
+    val okMembers = members.join(intraOk, Seq("gid"), "left_semi")
+    val intra = okMembers.as("x")
+      .join(okMembers.as("y"),
+        col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    val inter = repPairs
+      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x")), Seq("a_gid"))
+      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y")), Seq("b_gid"))
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+    intra.unionAll(inter)
   }
 }

@@ -207,6 +207,36 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("embeddingPairsLsh mega-cluster: identical-embedding flood collapses before the band join") {
+    val n = 2000
+    val dim = 8
+    val flood = spark.range(n).select(col("id").as("vec_id"),
+      typedlit((1 to dim).map(_.toFloat)).as("embedding"))
+    val distinctTail = Seq(
+      (100000L, (1 to dim).map(i => -i.toFloat)),     // anti-parallel: cos = −1
+      (100001L, Array.fill(dim)(0.0f).toSeq)           // zero vector: cos NaN, never pairs
+    ).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val out = Dedup.embeddingPairsLsh(flood.unionAll(distinctTail), 0.9, dim = dim)
+      .as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // every member pair of the flood is present exactly once
+    val floodPairs = out.filter { case (a, b) => a < n && b < n }
+    assert(floodPairs.length == n.toLong * (n - 1) / 2, s"got ${floodPairs.length}")
+    assert(floodPairs.forall { case (a, b) => a < b })
+    assert(floodPairs.distinct.length == floodPairs.length)
+    // extras may only be NaN-semantics pairs involving the zero vector
+    // (Spark and DuckDB both order NaN above every value, so the
+    // all-pairs baseline pairs zero-norm vectors too — the LSH path
+    // must not invent anything beyond that)
+    val extras = out.filterNot { case (a, b) => a < n && b < n }
+    assert(extras.forall { case (a, b) => a == 100001L || b == 100001L },
+      s"unexpected extras: ${extras.take(5).mkString(",")}")
+    // collapse means the BAND JOIN saw 3 representatives, not 2002
+    // vectors; only the output-sized pair expansion is quadratic
+    assert(secs < 60.0, s"flood took $secs s — collapse not effective?")
+  }
+
   test("simhash mega-bucket: identical docs collapse with exact rollup") {
     val n = 5000
     val flood = spark.range(n)
