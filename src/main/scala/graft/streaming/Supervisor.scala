@@ -54,11 +54,19 @@ object Supervisor {
     /** True once the supervision loop has exited (stop or terminal). */
     def done: Boolean = runner != null && !runner.isAlive
     /** Graceful shutdown: no further restarts; stops the live query
-      * and joins the supervision loop. */
+      * and joins the supervision loop. A restart racing the stop (a
+      * factory call already in flight when the flag flips) is caught
+      * by the second stop after the join — the flag guarantees no
+      * THIRD incarnation can start. */
     def stop(): Unit = {
       stopRequested = true
       Option(currentQ).foreach(q => try q.stop() catch { case _: Exception => () })
       Option(runner).foreach(_.join(60000))
+      Option(currentQ).filter(_.isActive)
+        .foreach { q =>
+          try q.stop() catch { case _: Exception => () }
+          Option(runner).foreach(_.join(60000))
+        }
     }
   }
 
