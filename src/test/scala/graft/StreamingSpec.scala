@@ -66,6 +66,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Set((1L, 0.0, false), (2L, 10.5, true), (10L, 2.6, true)))
   }
 
+  test("ingest-time hygiene: batch corpus operators run unchanged on streaming inputs") {
+    // qualityFilter / piiScrub / chunk are narrow deterministic plans
+    // (no shuffle, no state) — the SAME operator objects apply to a
+    // readStream frame, giving filter-at-ingest for free
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Corpus
+    val in = MemoryStream[(Long, String, Int)]
+    val docs = in.toDF().toDF("doc_id", "text", "n_chars")
+    val q1 = Corpus.qualityFilter(docs)
+      .writeStream.format("memory").queryName("hyg_q").outputMode("append").start()
+    val q2 = Corpus.piiScrub(docs)
+      .writeStream.format("memory").queryName("hyg_p").outputMode("append").start()
+    in.addData(
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank today ok", 69),
+      (2L, "tiny", 4), // fails min-length + no-stopword rules
+      (3L, "reach me at a.b@c.de please", 27))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val kept = spark.table("hyg_q").where(col("kept") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    val scrubbed = spark.table("hyg_p").where(col("doc_id") === 3L)
+      .select("scrubbed").as[String].collect().head
+    assert(scrubbed == "reach me at <EMAIL> please")
+  }
+
   test("B2: positionTracking emits the resume token (next-position)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Change]
