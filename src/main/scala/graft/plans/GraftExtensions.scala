@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_shingles3"),
       info("graft_shingles3", "graft_shingles3(array<string>) - sorted hashed word 3-grams"),
       (exprs: Seq[Expression]) => HashedShingles3(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shinglesn"),
+      info("graft_shinglesn", "graft_shinglesn(array<string>, n) - sorted hashed word n-grams"),
+      (exprs: Seq[Expression]) => HashedShinglesN(exprs.head,
+        intLit(exprs(1), "graft_shinglesn", "n"))))
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(arr[, n]) - MinHash signature (default 128 perms)"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,

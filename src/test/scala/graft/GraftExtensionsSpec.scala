@@ -49,6 +49,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rs == 2)
     val h = spark.sql("SELECT graft_hashlong(42L, 13) AS h").collect()(0).getLong(0)
     assert(h == graft.functions.Hashing.hashLong(42L, 13L))
+    // 64-bit literal seed accepted (BIGINT path, r4 ADVICE fix)
+    val h64 = spark.sql("SELECT graft_hashlong(42L, 8589934592L) AS h").collect()(0).getLong(0)
+    assert(h64 == graft.functions.Hashing.hashLong(42L, 8589934592L))
+  }
+
+  test("graft_shinglesn generalizes the 3-gram surface to any literal width") {
+    // n = 3 must agree with graft_shingles3 exactly
+    val a = spark.sql("SELECT graft_shinglesn(split('a b c d e', ' '), 3) AS s")
+      .collect()(0).getSeq[Long](0)
+    val b = spark.sql("SELECT graft_shingles3(split('a b c d e', ' ')) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(a == b)
+    // 5-gram of 5 tokens: exactly one shingle; width > length: none
+    val n5 = spark.sql("SELECT size(graft_shinglesn(split('a b c d e', ' '), 5)) AS n")
+      .collect()(0).getInt(0)
+    assert(n5 == 1)
+    val n9 = spark.sql("SELECT size(graft_shinglesn(split('a b c', ' '), 9)) AS n")
+      .collect()(0).getInt(0)
+    assert(n9 == 0)
   }
 
   test("non-literal parameter args raise AnalysisException, not NPE") {
