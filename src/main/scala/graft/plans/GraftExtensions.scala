@@ -37,8 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         messageParameters = Map(
           "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
     if (!e.foldable) fail()
+    // integral literals only: a fractional value (1.5) must raise, not
+    // silently truncate to 1
     e.eval() match {
-      case n: Number => n.intValue()
+      case n: java.lang.Byte => n.intValue()
+      case n: java.lang.Short => n.intValue()
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long if n.longValue() == n.intValue().toLong => n.intValue()
       case _ => fail()
     }
   }
@@ -53,8 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         messageParameters = Map(
           "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"BIGINT\""))
     if (!e.foldable) fail()
+    // only integral literal types — java.lang.Number.longValue() on a
+    // Double/Decimal would silently truncate graft_hashlong(x, 1.5)'s
+    // seed to 1 instead of raising the advertised BIGINT error
     e.eval() match {
-      case n: java.lang.Number => n.longValue()
+      case n: java.lang.Byte => n.longValue()
+      case n: java.lang.Short => n.longValue()
+      case n: java.lang.Integer => n.longValue()
+      case n: java.lang.Long => n.longValue()
       case _ => fail()
     }
   }

@@ -54,19 +54,25 @@ object Supervisor {
     /** True once the supervision loop has exited (stop or terminal). */
     def done: Boolean = runner != null && !runner.isAlive
     /** Graceful shutdown: no further restarts; stops the live query
-      * and joins the supervision loop. A restart racing the stop (a
-      * factory call already in flight when the flag flips) is caught
-      * by the second stop after the join — the flag guarantees no
-      * THIRD incarnation can start. */
-    def stop(): Unit = {
+      * and joins the supervision loop, re-issuing the stop each pass
+      * so a restart racing the stop (a factory call already in flight
+      * when the flag flips) is itself stopped — the flag guarantees no
+      * incarnation starts after one that saw it. Returns true iff the
+      * supervision loop exited within `timeoutMs`; false means a query
+      * is still winding down (e.g. awaitTermination outlasting the
+      * window) and the caller must not assume shutdown completed. */
+    def stop(timeoutMs: Long = 120000L): Boolean = {
       stopRequested = true
-      Option(currentQ).foreach(q => try q.stop() catch { case _: Exception => () })
-      Option(runner).foreach(_.join(60000))
-      Option(currentQ).filter(_.isActive)
-        .foreach { q =>
-          try q.stop() catch { case _: Exception => () }
-          Option(runner).foreach(_.join(60000))
-        }
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var r = Option(runner)
+      while (r.exists(_.isAlive) && System.nanoTime() < deadline) {
+        Option(currentQ).filter(_.isActive)
+          .foreach(q => try q.stop() catch { case _: Exception => () })
+        r.foreach(_.join(math.max(100L,
+          math.min(5000L, (deadline - System.nanoTime()) / 1000000L))))
+        r = Option(runner)
+      }
+      r.forall(!_.isAlive)
     }
   }
 

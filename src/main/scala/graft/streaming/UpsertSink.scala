@@ -26,6 +26,7 @@ import graft.streaming.ChangelogStream.Change
   *     v12/__bucket=3/part-*.parquet   bucket 3 as of batch 12
   *     v17/__bucket=3/part-*.parquet   bucket 3 rewritten by batch 17
   *     v17.manifest                    "3 v17/__bucket=3\n5 v12/__bucket=5\n…"
+  *     _META                           "numBuckets=64"  (fixed at creation)
   *     _CURRENT                        "v17"
   * }}}
   *
@@ -66,6 +67,29 @@ import graft.streaming.ChangelogStream.Change
 object UpsertSink {
 
   private val current = "_CURRENT"
+  private val meta = "_META"
+
+  /** The table's recorded bucket count, if it has ever published.
+    * `numBuckets` is part of the on-disk layout: rows land in
+    * `pmod(hash, n)` buckets, so merging with a DIFFERENT n would look
+    * up keys in the wrong buckets and silently resurrect stale rows. */
+  def storedNumBuckets(tableDir: String): Option[Int] = {
+    val p = Paths.get(tableDir, meta)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      .collectFirst { case s if s.startsWith("numBuckets=") =>
+        s.stripPrefix("numBuckets=").trim.toInt }
+  }
+
+  /** Atomic small-file write: tmp + ATOMIC_MOVE, same as the pointer.
+    * A crash mid-write can never leave a torn file visible. */
+  private def writeAtomic(tableDir: String, name: String, body: String): Unit = {
+    val tmp = Paths.get(tableDir, s".$name.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(tableDir, name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** True iff `v<batchId>` is already the published snapshot. */
   private def alreadyPublished(tableDir: String, batchId: Long): Boolean =
@@ -82,9 +106,14 @@ object UpsertSink {
     val p = Paths.get(tableDir, s"$version.manifest")
     if (!Files.exists(p)) Map.empty
     else new String(Files.readAllBytes(p), "UTF-8").linesIterator
-      .filter(_.nonEmpty).map { line =>
-        val Array(b, dir) = line.split(" ", 2)
-        b.toInt -> dir
+      .filter(_.nonEmpty).flatMap { line =>
+        // tolerate a torn line (pre-fix manifests were written in
+        // place): a truncated entry is skipped, not a crash — the
+        // pruner must never die on a crash orphan it is there to clean
+        line.split(" ", 2) match {
+          case Array(b, dir) if b.forall(_.isDigit) && dir.nonEmpty => Some(b.toInt -> dir)
+          case _ => None
+        }
       }.toMap
   }
 
@@ -135,11 +164,23 @@ object UpsertSink {
     * (crash between pointer flip and checkpoint commit) is a no-op.
     * `numBuckets` fixes the table's key-bucket count (size it so one
     * bucket is a few executor-partitions of data at the target scale);
+    * it is recorded in `_META` on first publish and every later call
+    * must pass the same value (enforced — see [[storedNumBuckets]]);
     * `retainVersions` bounds on-disk history (min 2: current +
     * previous). */
   def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long,
                  numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
     if (alreadyPublished(tableDir, batchId)) return
+    // Validate against the recorded layout BEFORE touching anything: a
+    // restart (or second caller) passing a different bucket count would
+    // rehash keys into buckets the batch never marks as touched, so
+    // stale rows for updated/deleted keys would silently survive.
+    storedNumBuckets(tableDir).foreach { stored =>
+      require(stored == numBuckets,
+        s"table at $tableDir was created with numBuckets=$stored; " +
+          s"mergeBatch called with numBuckets=$numBuckets — the bucket " +
+          "count is fixed at table creation (rehashing would corrupt the merge)")
+    }
     val spark = batch.sparkSession
     // op desc tie-break: a PK swap expanded by ChangelogStream
     // .expandUpdates puts a tombstone and an upsert of the same key at
@@ -193,12 +234,10 @@ object UpsertSink {
     val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
     val manifestBody = manifest.toSeq.sortBy(_._1)
       .map { case (b, dir) => s"$b $dir" }.mkString("\n")
-    Files.write(Paths.get(tableDir, s"$version.manifest"),
-      manifestBody.getBytes("UTF-8"))
-    val tmp = Paths.get(tableDir, s".$current.tmp")
-    Files.write(tmp, version.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(tableDir, current),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(tableDir, s"$version.manifest", manifestBody)
+    if (storedNumBuckets(tableDir).isEmpty)
+      writeAtomic(tableDir, meta, s"numBuckets=$numBuckets")
+    writeAtomic(tableDir, current, version)
     pruneVersions(tableDir, retainVersions)
   }
 

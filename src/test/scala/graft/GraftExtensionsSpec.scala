@@ -84,4 +84,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getMessage)
   }
+
+  test("fractional literal parameters raise instead of silently truncating") {
+    // graft_hashlong(x, 1.5) used to truncate the seed to 1 via
+    // Number.longValue() — a wrong-but-running query
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hashlong(42L, 1.5)").collect()
+    }
+    assert(e1.getCondition == "NON_FOLDABLE_ARGUMENT", e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(graft_shingles3(split('a b c d', ' ')), 2.0)").collect()
+    }
+    assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hashlong(42L, CAST(1.5 AS DOUBLE))").collect()
+    }
+    assert(e3.getCondition == "NON_FOLDABLE_ARGUMENT", e3.getMessage)
+    // integral widths/seeds of any integer type still work
+    assert(spark.sql("SELECT graft_hashlong(42L, CAST(13 AS TINYINT)) = graft_hashlong(42L, 13)")
+      .collect()(0).getBoolean(0))
+  }
 }

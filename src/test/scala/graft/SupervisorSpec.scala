@@ -65,7 +65,8 @@ class SupervisorSpec extends AnyFunSuite {
     // the restarted incarnation replays the failed batch from the
     // checkpointed offsets (disarmed now) and continues
     sq.current.get.processAllAvailable()
-    sq.stop()
+    assert(sq.stop(), "stop must report the supervision loop exited")
+    assert(sq.done, "stop=true implies done")
     assert(sq.failure.isEmpty, "a recovered failure is not terminal")
     assert(sq.restarts == 1)
 

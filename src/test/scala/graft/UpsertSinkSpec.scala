@@ -128,6 +128,50 @@ class UpsertSinkSpec extends AnyFunSuite {
       s"old key tombstoned, swap resolved, got $snap")
   }
 
+  test("numBuckets is recorded at creation and a mismatched merge is rejected") {
+    val tableDir = Files.createTempDirectory("graft_sink_meta").toString
+    UpsertSink.mergeBatch(
+      Seq(Change(1L, "upsert", "t", 1L, 1.0)).toDS(), tableDir, 0L, numBuckets = 16)
+    assert(UpsertSink.storedNumBuckets(tableDir).contains(16))
+    // a restart passing a different bucket count would rehash keys into
+    // buckets the batch never touches — stale rows would silently
+    // survive; it must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.mergeBatch(
+        Seq(Change(2L, "upsert", "t", 1L, 2.0)).toDS(), tableDir, 1L, numBuckets = 32)
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+    // the matching count still works, and the rejected call changed nothing
+    UpsertSink.mergeBatch(
+      Seq(Change(2L, "upsert", "t", 1L, 2.0)).toDS(), tableDir, 1L, numBuckets = 16)
+    val snap = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(snap == Set((1L, 2.0)))
+  }
+
+  test("a torn manifest line is skipped, not a crash") {
+    val tableDir = Files.createTempDirectory("graft_sink_torn").toString
+    UpsertSink.mergeBatch(
+      Seq(Change(1L, "upsert", "t", 1L, 1.0),
+          Change(2L, "upsert", "t", 2L, 2.0)).toDS(), tableDir, 0L, numBuckets = 4)
+    // simulate a pre-atomic-write crash artifact: a manifest whose last
+    // line was truncated mid-write (no space ⇒ un-splittable)
+    val manifest = java.nio.file.Paths.get(tableDir, "v0.manifest")
+    val torn = new String(Files.readAllBytes(manifest), "UTF-8") + "\n3"
+    Files.write(manifest, torn.getBytes("UTF-8"))
+    // readers skip the torn line and still see the intact buckets
+    val snap = UpsertSink.readCurrent(spark, tableDir)
+      .select("id").as[Long].collect().toSet
+    assert(snap == Set(1L, 2L))
+    // the pruner parses retained manifests (crash orphans included) —
+    // it must prune, not throw
+    UpsertSink.mergeBatch(
+      Seq(Change(3L, "upsert", "t", 3L, 3.0)).toDS(), tableDir, 1L, numBuckets = 4)
+    UpsertSink.pruneVersions(tableDir, 2)
+    assert(UpsertSink.readCurrent(spark, tableDir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("version retention prunes manifests and unreferenced dirs, keeps shared ones") {
     val tableDir = Files.createTempDirectory("graft_sink_retain").toString
     def dirs() = new java.io.File(tableDir).listFiles()
