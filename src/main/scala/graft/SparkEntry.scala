@@ -131,6 +131,15 @@ object SparkEntry {
     // ---- D. LLM-pipeline operators ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_cc" -> ((s, d) => {
+      // pairs → duplicate GROUPS: transitive closure over the verified
+      // jaccard pair set; singletons keep their own id as component
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
+        .select(col("node").as("doc_id"), col("comp"))
+    }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
@@ -186,6 +195,8 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
+    "tfidf_topk" -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
+    "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
@@ -233,6 +244,27 @@ object SparkEntry {
 
   private val revenueSql =
     "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Shared oracle CTEs: blocked 3-gram-shingle Jaccard pairs (the
+    * near_dup_jaccard pipeline) — reused by the connected-components
+    * oracle. No WITH prefix so callers can choose WITH vs
+    * WITH RECURSIVE. */
+  private val jaccardCtes =
+    """t AS (
+      |  SELECT doc_id, n_chars // 100 AS bucket, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, bucket,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE CAST([] AS VARCHAR[]) END AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog" -> (logCte +
@@ -485,21 +517,19 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "near_dup_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, n_chars // 100 AS bucket, string_split(text, ' ') AS w FROM documents),
-        |s AS (
-        |  SELECT doc_id, bucket,
-        |         CASE WHEN len(w) >= 3
-        |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
-        |                                  for i in range(1, len(w) - 1)])
-        |              ELSE CAST([] AS VARCHAR[]) END AS sh
-        |  FROM t),
-        |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1)
-        |SELECT a_id, b_id, j FROM p WHERE j >= 0.5""".stripMargin,
+      ("WITH " + jaccardCtes + "SELECT a_id, b_id, j FROM p WHERE j >= 0.5"),
+    "dedup_cc" ->
+      ("WITH RECURSIVE " + jaccardCtes +
+        """, pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+          |e AS (SELECT a_id AS u, b_id AS v FROM pr
+          |      UNION SELECT b_id AS u, a_id AS v FROM pr),
+          |reach AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+          |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u)
+          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin),
     "dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -633,6 +663,36 @@ object SparkEntry {
         |      FROM d)
         |SELECT ngram, count(*) AS df FROM b
         |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
+    "tfidf_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score DESC, term) AS INT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 5""".stripMargin,
+    "term_rarity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY doc_id, term),
+        |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf * ctf.ctf) AS BIGINT) AS wsum,
+        |         CAST(sum(tf.tf) AS BIGINT) AS n_tok
+        |  FROM tf JOIN ctf USING (term) GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tok, wsum,
+        |       CAST(wsum AS DOUBLE) / n_tok AS mean_ctf
+        |FROM s""".stripMargin,
     "doc_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,

@@ -192,4 +192,72 @@ object Corpus {
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
+
+  /** Per-document term-frequency table: one row per distinct
+    * (doc_id, term) with its in-document count. The shared first stage
+    * of [[tfidfTopK]] and [[termRarity]].
+    *
+    * Scale shape: a document's tokens all live in ONE input row, so
+    * the partial HashAggregate finishes every (doc, term) group
+    * map-side — the exchange carries the already-combined tf rows
+    * (result-sized), never one row per token occurrence. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document top-`k` distinctive terms by tf-idf ranking
+    * (keyword extraction / domain signature — the per-doc twin of
+    * [[topNgrams]]' corpus-level boilerplate discovery).
+    *
+    * Scoring uses the LINEAR-idf variant: score = tf / df. The
+    * classical tf·ln(N/df) inserts a transcendental whose last-ulp
+    * rounding differs across engines (the same class of latent bug the
+    * sf0.1 sweep caught in quality_score), while tf/df is ONE
+    * correctly-rounded IEEE division — bit-identical everywhere — and
+    * weights rarity the same direction, just with a harder idf curve.
+    * Ties rank by term asc, so the per-doc top-k row set is unique.
+    *
+    * Scale shape: [[termFreq]] (map-side-combined tf rows) → narrow
+    * (term) exchange for df → term-keyed equi-join (vocabulary-sized
+    * right side; AQE picks the strategy) → per-doc top-k via
+    * row_number, whose WindowGroupLimit caps each map partition at k
+    * rows per doc BEFORE the exchange (the domain_mix pattern). */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFreq(docs)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
+  /** Rarity-weighted quality score: each document's mean corpus
+    * frequency over its token stream — the log-free seat of the
+    * unigram-LM scoring a CCNet-style pipeline uses to bucket docs by
+    * "typicality" (boilerplate floats to the top, lexical noise and
+    * OCR garbage sink to the bottom). The mean of ln p(token) would be
+    * the textbook form; the mean of the raw corpus counts ranks the
+    * same tails while staying exact-integer until ONE final division —
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: [[termFreq]] → narrow (term) exchange for the corpus
+    * term counts (map-side combined) → term-keyed join → one (doc_id)
+    * exchange for the integer rollup. Nothing wider than a tf row ever
+    * shuffles. Output: (doc_id, n_tok, wsum, mean_ctf). */
+  def termRarity(docs: DataFrame): DataFrame = {
+    val tf = termFreq(docs)
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    tf.join(ctf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("ctf")).as("wsum"), sum(col("tf")).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("wsum"),
+        (col("wsum").cast("double") / col("n_tok")).as("mean_ctf"))
+  }
 }

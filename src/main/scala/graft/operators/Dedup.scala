@@ -374,4 +374,76 @@ object Dedup {
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
     intra.unionAll(inter)
   }
+
+  /** Connected components over a near-dup pair set: every node gets
+    * the MINIMUM node id reachable through the pairs as its component
+    * id — pairs become duplicate GROUPS (the step between pair mining
+    * and "keep one per cluster": a chain a~b, b~c must collapse to ONE
+    * group even though a~c was never emitted, which no per-pair `keep`
+    * flag can express).
+    *
+    * `nodes` is one column `node` (so isolated docs come out as their
+    * own singleton component); `edges` has columns (a, b). Returns
+    * (node, comp).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round
+    * (1) every node takes the min label over itself and its neighbors
+    * — one shuffle on the edge key; (2) labels compose through their
+    * current targets (label := label(label)) — one shuffle on the
+    * label. Propagation alone needs O(diameter) rounds (a 10⁶-node
+    * chain would need 10⁶); the jump step doubles the reach every
+    * round, giving O(log d) — the Hash-to-Min shape (Rastogi et al.,
+    * ICDE'13). The loop stops at the first round with zero label
+    * changes (the driver compares successive label frames — a count,
+    * never a collect; labels are 16 B rows, so the iteration state
+    * that shuffles is 2 longs per node regardless of document size).
+    *
+    * Each round's labels are `localCheckpoint`ed, NOT merely
+    * persisted: the jump step references the propagated frame twice,
+    * so an un-truncated logical plan would DOUBLE per round and
+    * Catalyst's analysis cost would explode exponentially even though
+    * the data itself is cached — the standard iterative-lineage trap
+    * (k-means sidesteps it by collecting its k×dim state to the
+    * driver; a label frame is node-sized, so here the lineage must be
+    * cut instead). On a fault-tolerance-critical cluster run, swap in
+    * reliable `checkpoint()` against a checkpoint dir — same
+    * truncation, durable blocks instead of executor-local ones. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .distinct().persist()
+    var labels = nodes.select(col("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("label")).as("nbl"))
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+      // pointer jump: follow the label one hop (labels are node ids by
+      // construction — min over node ids — so the lookup always lands)
+      val jumped = prop
+        .join(prop.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = jumped.as("n")
+        .join(labels.as("o"), Seq("node"))
+        .where(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = jumped
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "with pointer jumping that needs a component diameter over " +
+        s"~2^$maxIters; raise maxIters if the graph is genuinely that deep")
+    labels.select(col("node"), col("label").as("comp"))
+  }
 }

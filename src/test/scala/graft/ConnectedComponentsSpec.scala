@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup}
+
+/** Pairs → duplicate groups: [[Dedup.connectedComponents]] must give
+  * every node the minimum id reachable through the pair set (chains
+  * collapse transitively), keep disjoint groups apart, pass isolated
+  * nodes through as singletons, and converge in O(log diameter)
+  * rounds thanks to pointer jumping. Plus unit checks for the
+  * term-statistics operators sharing this round. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 maxIters: Int = 50): Map[Long, Long] =
+    Dedup.connectedComponents(
+      nodes.toDF("node"), edges.toDF("a", "b"), maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("chains collapse transitively; disjoint groups stay apart; singletons pass") {
+    // a~b, b~c, c~d is ONE group even though a~d was never a pair —
+    // exactly what no per-pair keep flag can express
+    val got = cc(
+      nodes = (1L to 8L),
+      edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, // chain → min id 1
+      5L -> 5L,                               // isolated singleton
+      6L -> 6L, 7L -> 6L,                     // separate group
+      8L -> 8L))
+  }
+
+  test("edge direction and duplication don't matter") {
+    val got = cc(nodes = (1L to 4L),
+      edges = Seq((4L, 3L), (3L, 4L), (2L, 3L), (1L, 2L), (1L, 2L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("a long path converges within the pointer-jumping budget") {
+    // 300-node path: plain min-propagation needs ~300 rounds; with the
+    // label(label) jump each round roughly doubles reach, so well
+    // under 25 rounds must suffice
+    val n = 300L
+    val got = cc(
+      nodes = (1L to n),
+      edges = (1L until n).map(i => (i, i + 1)),
+      maxIters = 25)
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("star graphs (the LSH mega-group shape) converge immediately") {
+    val got = cc(nodes = (1L to 100L), edges = (2L to 100L).map(i => (1L, i)))
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("tfidfTopK ranks rare terms first with exact tie order") {
+    val docs = Seq(
+      (1L, "x x common"),
+      (2L, "y common common"),
+      (3L, "common z z")).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopK(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "rk")
+      .as[(Long, String, Long, Long, Int)].collect().toSet
+    // per doc: the doc-unique term (df=1) outranks 'common' (df=3)
+    assert(got == Set(
+      (1L, "x", 2L, 1L, 1), (1L, "common", 1L, 3L, 2),
+      (2L, "y", 1L, 1L, 1), (2L, "common", 2L, 3L, 2),
+      (3L, "z", 2L, 1L, 1), (3L, "common", 1L, 3L, 2)))
+  }
+
+  test("termRarity is the exact integer rollup divided once") {
+    val docs = Seq(
+      (1L, "a a b"),   // ctf: a→3 (2 here + 1 in doc2), b→1
+      (2L, "a c")).toDF("doc_id", "text") // ctf: c→1
+    val got = Corpus.termRarity(docs)
+      .select("doc_id", "n_tok", "wsum", "mean_ctf")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (d, n, w, m) => d -> ((n, w, m)) }.toMap
+    // doc1: 2·ctf(a)+1·ctf(b) = 2·3+1 = 7 over 3 tokens
+    assert(got(1L) == ((3L, 7L, 7.0 / 3)))
+    // doc2: ctf(a)+ctf(c) = 3+1 = 4 over 2 tokens
+    assert(got(2L) == ((2L, 4L, 2.0)))
+  }
+}
