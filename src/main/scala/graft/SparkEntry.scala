@@ -197,6 +197,7 @@ object SparkEntry {
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
     "tfidf_topk" -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
     "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
+    "substr_dup" -> ((s, d) => Corpus.substrPairs(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
@@ -679,6 +680,19 @@ object SparkEntry {
         |                ORDER BY score DESC, term) AS INT) AS rk
         |  FROM sc)
         |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 5""".stripMargin,
+    "substr_dup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id,
+        |              unnest(CASE WHEN len(w) >= 13
+        |                     THEN list_distinct([array_to_string(w[i:i+12], '_')
+        |                                         for i in range(1, len(w) - 11)])
+        |                     ELSE CAST([] AS VARCHAR[]) END) AS g
+        |       FROM d),
+        |dfc AS (SELECT g, count(*) AS df FROM gr GROUP BY g),
+        |k AS (SELECT gr.doc_id, gr.g FROM gr JOIN dfc USING (g) WHERE dfc.df <= 50)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "term_rarity" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |t AS (SELECT doc_id, unnest(w) AS term FROM d),

@@ -238,6 +238,45 @@ object Corpus {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** Exact-substring duplicate pair mining: document pairs sharing at
+    * least one identical run of `ngram` consecutive tokens, with the
+    * count of distinct shared windows — the distributed seat of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": a 50-token verbatim overlap
+    * marks a dup even when the documents as a whole are dissimilar,
+    * which Jaccard/MinHash whole-doc similarity cannot see). A suffix
+    * array is a single-machine structure; the scale shape is a
+    * posting-list self-join on hashed `ngram`-windows.
+    *
+    * `maxDf` drops windows occurring in more than that many documents
+    * before the join — simultaneously the boilerplate guard (a
+    * license header shared by 10⁶ docs is not duplication evidence;
+    * [[topNgrams]] is the tool for boilerplate) and the mega-bucket
+    * defense: per-window join fan-out is bounded by C(maxDf, 2), so
+    * the candidate volume is linear in kept postings with a hard
+    * quadratic cap per window. The df filter prunes exactly the Zipf
+    * head that would dominate the shuffle. Documented recall trade:
+    * a verbatim run shared by > maxDf docs is reported only through
+    * its rarer flanking windows, if any.
+    *
+    * Windows are 64-bit hashed ([[Hashing.hashedShinglesNCol]] —
+    * distinct, so n_shared counts distinct shared windows): the
+    * posting join shuffles 16 B rows, never token strings, and hashed
+    * equality equals string equality barring ~2⁻⁶⁴ collisions (the
+    * MinHash argument). Output: (a_id, b_id, n_shared). */
+  def substrPairs(docs: DataFrame, ngram: Int = 13, maxDf: Int = 50): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(Hashing.hashedShinglesNCol(TextFunctions.tokens(col("text")), ngram)).as("g"))
+    val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val kept = g.join(df.where(col("df") <= maxDf), Seq("g"))
+      .select(col("g"), col("doc_id"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Rarity-weighted quality score: each document's mean corpus
     * frequency over its token stream — the log-free seat of the
     * unigram-LM scoring a CCNet-style pipeline uses to bucket docs by

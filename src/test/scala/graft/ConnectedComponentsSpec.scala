@@ -71,6 +71,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (3L, "z", 2L, 1L, 1), (3L, "common", 1L, 3L, 2)))
   }
 
+  test("substrPairs finds verbatim runs invisible to whole-doc similarity") {
+    val run = (1 to 13).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"completely different words here $run more unrelated tail tokens"),
+      (3L, "no shared window at all in this one document of thirteen tokens")).toDF("doc_id", "text")
+    // docs 1 and 2 share ONE exact 13-token window; their whole-doc
+    // Jaccard is far below any dedup threshold — the substring family
+    // exists precisely for this case
+    val got = Corpus.substrPairs(docs, ngram = 13, maxDf = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("substrPairs maxDf drops boilerplate windows before the join") {
+    val run = (1 to 13).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 4L).map(i => (i, s"prefix$i $run")).toDF("doc_id", "text")
+    // the shared window sits in 4 docs: df-capped at 3 it's boilerplate
+    // (dropped, no candidate pairs at all); at 4 all C(4,2) pairs show
+    assert(Corpus.substrPairs(docs, 13, maxDf = 3).count() == 0)
+    assert(Corpus.substrPairs(docs, 13, maxDf = 4).count() == 6)
+  }
+
   test("termRarity is the exact integer rollup divided once") {
     val docs = Seq(
       (1L, "a a b"),   // ctf: a→3 (2 here + 1 in doc2), b→1
