@@ -127,6 +127,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 2, s"fold + control-distinct exchanges only, found $n")
   }
 
+  test("tfidf_topk: tf combines map-side; per-doc top-k capped before its exchange") {
+    val p = formatted("tfidf_topk")
+    // partial aggregation must run before the (doc_id, term) exchange —
+    // a doc's tokens live in one row, so the partial agg finishes every
+    // group map-side and the shuffle carries result-sized tf rows
+    assert(p.contains("HashAggregate"), "tf must be a hash aggregate")
+    assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-doc top-k needs partial (pre-shuffle) + final WindowGroupLimit")
+    val bad = shuffleInputs(p).filter(_.contains("text"))
+    assert(bad.isEmpty, s"document-body-carrying shuffle(s): $bad")
+  }
+
+  test("term_rarity / substr_dup: no shuffle ever carries document text") {
+    Seq("term_rarity", "substr_dup").foreach { q =>
+      val bad = shuffleInputs(formatted(q)).filter(_.contains("text"))
+      assert(bad.isEmpty, s"$q: document-body-carrying shuffle(s): $bad")
+    }
+  }
+
   test("dedup_simhash: no groupBy/distinct exchange for pair dedup (map-side first-band)") {
     val p = formatted("dedup_simhash")
     // pair dedup used to be a groupBy(a_gid, b_gid); now only the
