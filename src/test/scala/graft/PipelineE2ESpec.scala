@@ -37,12 +37,27 @@ class PipelineE2ESpec extends AnyFunSuite {
     val nDeduped = docsDeduped.count()
     assert(nDeduped <= nUnique && nDeduped > 0)
 
+    // 3b. transitive dup grouping: jaccard pairs + substring-overlap
+    // pairs → connected components → keep one doc per component (the
+    // component id IS the keeper id, so the keep list is a filter)
+    val pairEdges = Dedup.jaccardPairs(docsDeduped)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+      .unionByName(Corpus.substrPairs(docsDeduped, ngram = 13)
+        .select(col("a_id").as("a"), col("b_id").as("b")))
+    val comps = Dedup.connectedComponents(
+      docsDeduped.select(col("doc_id").as("node")), pairEdges)
+    assert(comps.count() == nDeduped, "every doc gets a component")
+    val docsGrouped = docsDeduped.join(
+      comps.where(col("node") === col("comp")).select(col("node").as("doc_id")), "doc_id")
+    val nGrouped = docsGrouped.count()
+    assert(nGrouped <= nDeduped && nGrouped > 0)
+
     // 4. decontaminate vs the held-out benchmark slice
-    val clean = Corpus.decontaminate(docsDeduped, col("doc_id") % 97 === 0)
+    val clean = Corpus.decontaminate(docsGrouped, col("doc_id") % 97 === 0)
       .where(col("contaminated") === 0).select("doc_id")
-    val docsClean = docsDeduped.join(clean, "doc_id")
+    val docsClean = docsGrouped.join(clean, "doc_id")
     val nClean = docsClean.count()
-    assert(nClean <= nDeduped)
+    assert(nClean <= nGrouped)
 
     // 5. deterministic split: total, disjoint, reproducible
     val split = Sampling.trainTestSplit(docsClean, col("doc_id"))
