@@ -265,11 +265,19 @@ object Corpus {
     * equality equals string equality barring ~2⁻⁶⁴ collisions (the
     * MinHash argument). Output: (a_id, b_id, n_shared). */
   def substrPairs(docs: DataFrame, ngram: Int = 13, maxDf: Int = 50): DataFrame = {
+    // persist the gram projection and the df-filtered postings: the df
+    // aggregate and BOTH sides of the self-join reference them, and
+    // without the cache Catalyst re-derives each reference from the
+    // scan — 4 corpus passes and 2 df aggregations for one query
+    // (16 B/row frames; MEMORY_AND_DISK spills at scale, and the
+    // recompute alternative is full corpus re-shingling)
     val g = docs.select(col("doc_id"),
       explode(Hashing.hashedShinglesNCol(TextFunctions.tokens(col("text")), ngram)).as("g"))
+      .persist()
     val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val kept = g.join(df.where(col("df") <= maxDf), Seq("g"))
       .select(col("g"), col("doc_id"))
+      .persist()
     kept.as("a")
       .join(kept.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
