@@ -67,6 +67,16 @@ object SparkEntry {
           when(col("etype") === "purchase", lit("update")).otherwise(col("op")))
       Changelog.entityState(Changelog.expandUpdateImages(imaged))
     }),
+    "cdc_agg_view" -> ((s, d) => {
+      // batch twin of streaming.AggView: the grouped aggregate a
+      // maintained live view converges to — sum/count per table over
+      // current entity state (decimal-summed, money rule)
+      val st = Changelog.entityState(
+        Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))
+      st.groupBy(col("tbl")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("val").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    }),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -361,6 +371,15 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC, img DESC) AS rn
         |  FROM prim)
         |SELECT tbl, id, val, pos AS last_pos FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+    "cdc_agg_view" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed),
+        |live AS (SELECT tbl, val FROM r WHERE rn = 1 AND op = 'upsert')
+        |SELECT tbl, count(*) AS cnt,
+        |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM live GROUP BY tbl""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,
