@@ -413,7 +413,12 @@ object Dedup {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
-    var labels = nodes.select(col("node")).distinct()
+    // only edge ENDPOINTS iterate: in a dedup setting almost every doc
+    // is isolated (no pair touches it), its label can never change,
+    // and carrying it through O(log d) rounds of joins would make each
+    // round corpus-sized instead of dup-graph-sized. Isolated nodes
+    // re-enter as singleton components after the loop (anti-join).
+    var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var converged = false
     var i = 0
@@ -444,6 +449,12 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds — " +
         "with pointer jumping that needs a component diameter over " +
         s"~2^$maxIters; raise maxIters if the graph is genuinely that deep")
-    labels.select(col("node"), col("label").as("comp"))
+    val allNodes = nodes.select(col("node")).distinct()
+    val singletons = allNodes
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    labels.join(allNodes, Seq("node"), "left_semi")
+      .unionByName(singletons)
+      .select(col("node"), col("label").as("comp"))
   }
 }
