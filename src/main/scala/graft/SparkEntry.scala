@@ -150,6 +150,18 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
         .select(col("node").as("doc_id"), col("comp"))
     }),
+    "dedup_cc_keep" -> ((s, d) => {
+      // groups → keeper: the longest member of each dup component wins
+      // (quality-based "keep first occurrence"; n_chars is the
+      // integer-exact demo score)
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("node")), edges)
+      Dedup.keepBest(docs, comps, col("n_chars"))
+    }),
+    "text_normalize" -> ((s, d) => Corpus.normalizeText(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
@@ -550,6 +562,34 @@ object SparkEntry {
           |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u)
           |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin),
+    "dedup_cc_keep" ->
+      ("WITH RECURSIVE " + jaccardCtes +
+        """, pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+          |e AS (SELECT a_id AS u, b_id AS v FROM pr
+          |      UNION SELECT b_id AS u, a_id AS v FROM pr),
+          |reach AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+          |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u),
+          |allc AS (
+          |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, d.n_chars
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+          |rk AS (
+          |  SELECT doc_id, comp,
+          |         row_number() OVER (PARTITION BY comp
+          |                ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM allc)
+          |SELECT doc_id, comp,
+          |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM rk""".stripMargin),
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(lower(regexp_replace(regexp_replace(text,
+        |              '[\x00-\x1F\x7F]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS norm_text,
+        |       CAST(length(trim(lower(regexp_replace(regexp_replace(text,
+        |              '[\x00-\x1F\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')))) AS INT) AS n_norm_chars
+        |FROM documents""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -193,6 +193,24 @@ object Corpus {
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
 
+  /** Text normalization — the pre-tokenization hygiene stage every
+    * pipeline runs before hashing/shingling (a corpus deduped on raw
+    * text misses dups that differ only in case or spacing): lowercase,
+    * strip control characters, collapse whitespace runs to single
+    * spaces, trim. Pure map-side; patterns live in the Java∩RE2 regex
+    * subset so the operator is oracle-replayable. ASCII lowering is
+    * engine-identical; full Unicode case folding is locale-dependent
+    * and would need a pinned collator on both sides. Output:
+    * (doc_id, norm_text, n_norm_chars). */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noCtl = regexp_replace(col(textCol), "[\\x00-\\x1F\\x7F]", " ")
+    val collapsed = regexp_replace(noCtl, " {2,}", " ")
+    docs.select(
+      col("doc_id"),
+      trim(lower(collapsed)).as("norm_text"))
+      .withColumn("n_norm_chars", length(col("norm_text")))
+  }
+
   /** Per-document term-frequency table: one row per distinct
     * (doc_id, term) with its in-document count. The shared first stage
     * of [[tfidfTopK]] and [[termRarity]].

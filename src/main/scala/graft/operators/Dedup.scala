@@ -375,6 +375,25 @@ object Dedup {
     intra.unionAll(inter)
   }
 
+  /** Keeper selection per duplicate component: given `comps` from
+    * [[connectedComponents]] (node, comp) and a per-doc `score`
+    * column, keep the BEST-scoring member of each component ("keep
+    * first occurrence" generalized to "keep highest quality" — the
+    * production policy when dup groups mix a clean original with OCR
+    * copies). Deterministic: ties break by lowest doc_id, so the
+    * keeper set is unique. One exchange on the component key; the
+    * per-component argmax is a WindowGroupLimit-cappable row_number.
+    * Output: (doc_id, comp, keep). */
+  def keepBest(docs: DataFrame, comps: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(score.desc, col("doc_id"))
+    docs
+      .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("comp"), col("keep"))
+  }
+
   /** Connected components over a near-dup pair set: every node gets
     * the MINIMUM node id reachable through the pairs as its component
     * id — pairs become duplicate GROUPS (the step between pair mining

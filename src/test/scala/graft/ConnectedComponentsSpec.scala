@@ -56,6 +56,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("keepBest keeps the highest-scoring member per component, ties to lowest id") {
+    val docs = Seq(
+      (1L, 10), (2L, 30), (3L, 30), // one component, 2 and 3 tie on score
+      (4L, 5)                       // singleton
+    ).toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("node", "comp")
+    val got = Dedup.keepBest(docs, comps, org.apache.spark.sql.functions.col("n_chars"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0), (4L, 4L, 1)))
+  }
+
+  test("normalizeText lowercases, strips control chars, collapses whitespace") {
+    val docs = Seq((1L, "  Hello\tWORLD  twice  spaced ")).toDF("doc_id", "text")
+    val got = Corpus.normalizeText(docs)
+      .as[(Long, String, Int)].collect().head
+    assert(got._2 == "hello world twice spaced", s"got '${got._2}'")
+    assert(got._3 == got._2.length)
+  }
+
   test("tfidfTopK ranks rare terms first with exact tie order") {
     val docs = Seq(
       (1L, "x x common"),
