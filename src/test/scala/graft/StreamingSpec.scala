@@ -78,12 +78,18 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("hyg_q").outputMode("append").start()
     val q2 = Corpus.piiScrub(docs)
       .writeStream.format("memory").queryName("hyg_p").outputMode("append").start()
+    val q3 = Corpus.normalizeText(docs)
+      .writeStream.format("memory").queryName("hyg_n").outputMode("append").start()
     in.addData(
       (1L, "the quick brown fox jumps over a lazy dog near the riverbank today ok", 69),
       (2L, "tiny", 4), // fails min-length + no-stopword rules
-      (3L, "reach me at a.b@c.de please", 27))
-    q1.processAllAvailable(); q2.processAllAvailable()
-    q1.stop(); q2.stop()
+      (3L, "reach me at a.b@c.de please", 27),
+      (4L, "  Mixed   CASE\tand   runs ", 26))
+    q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+    q1.stop(); q2.stop(); q3.stop()
+    val norm = spark.table("hyg_n").where(col("doc_id") === 4L)
+      .select("norm_text").as[String].collect().head
+    assert(norm == "mixed case and runs")
     val kept = spark.table("hyg_q").where(col("kept") === 1)
       .select("doc_id").as[Long].collect().toSet
     assert(kept.contains(1L) && !kept.contains(2L))
