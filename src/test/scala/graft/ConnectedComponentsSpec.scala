@@ -56,6 +56,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("property: components equal a driver-side union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = Gen.listOfN(30, for {
+      a <- Gen.choose(1L, 20L); b <- Gen.choose(1L, 20L) if a != b
+    } yield (a, b))
+    val p = Prop.forAll(genEdges) { es =>
+      val nodes = (1L to 20L)
+      // reference: textbook union-find with path compression
+      val parent = collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        if (parent(x) != x) parent(x) = find(parent(x))
+        parent(x)
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(n => n -> find(n)).toMap
+      expect == cc(nodes, es)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("keepBest keeps the highest-scoring member per component, ties to lowest id") {
     val docs = Seq(
       (1L, 10), (2L, 30), (3L, 30), // one component, 2 and 3 tie on score
