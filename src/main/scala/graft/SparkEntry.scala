@@ -119,6 +119,14 @@ object SparkEntry {
         .select(col("id"), col("pos").as("vpos"), col("val").as("vval"))
       AsOf.join(l, r, Seq("id"), "pos", "vpos")
     }),
+    "asof_join_fwd" -> ((s, d) => {
+      // each purchase picks up the user's NEXT view at-or-after it
+      val log = Changelog.fromEvents(ev(s, d))
+      val l = log.filter(col("etype") === "purchase").select(col("id"), col("pos"), col("val"))
+      val r = log.filter(col("etype") === "view")
+        .select(col("id"), col("pos").as("vpos"), col("val").as("vval"))
+      AsOf.joinForward(l, r, Seq("id"), "pos", "vpos")
+    }),
     "rolling_agg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -649,6 +657,12 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT id, pos AS vpos, val AS vval
         |                FROM log WHERE etype = 'view') r
         |  ON l.id = r.id AND l.pos >= r.vpos""".stripMargin),
+    "asof_join_fwd" -> (logCte +
+      """SELECT l.id, l.pos, l.val, r.vpos AS asof_vpos, r.vval AS asof_vval
+        |FROM (SELECT id, pos, val FROM log WHERE etype = 'purchase') l
+        |ASOF LEFT JOIN (SELECT id, pos AS vpos, val AS vval
+        |                FROM log WHERE etype = 'view') r
+        |  ON l.id = r.id AND l.pos <= r.vpos""".stripMargin),
     "range_join" -> (logCte +
       """, iv AS (SELECT id AS iv_id, pos AS lo, pos + 100 AS hi
         |        FROM log WHERE etype = 'signup'),

@@ -35,7 +35,23 @@ object AsOf {
     * orderable type. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           prefix: String = "asof_"): DataFrame = {
+           prefix: String = "asof_"): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, prefix, forward = false)
+
+  /** Forward as-of: each left row picks up the EARLIEST right row with
+    * `rightTime >= leftTime` (inclusive) — "the next quote at or after
+    * the order". Same union+window plan with the time order reversed:
+    * walking times descending, the last right row seen at or above a
+    * left row is exactly the minimum `rightTime >= leftTime`. Identical
+    * cost profile to [[join]]. */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  prefix: String = "asof_"): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, prefix, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       prefix: String, forward: Boolean): DataFrame = {
     // The union+window plumbing reserves __t/__r/__rv/__m; an input that
     // already carries one would alias-collide (analysis error or a
     // silently wrong window). Fail loudly instead, like the other
@@ -60,7 +76,7 @@ object AsOf {
         lit(null).cast(rvType).as("__rv")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__r").desc)
+      .orderBy(if (forward) col("__t").desc else col("__t"), col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))

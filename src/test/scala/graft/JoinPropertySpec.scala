@@ -44,6 +44,30 @@ class JoinPropertySpec extends AnyFunSuite {
     }, 6)
   }
 
+  test("AsOf.joinForward equals the serial earliest-at-or-after definition") {
+    val genSide = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0L, 999L)
+    } yield (k, t, v))
+    check(Prop.forAll(genSide, genSide) { (ls, rsRaw) =>
+      val rs = rsRaw.groupBy(p => (p._1, p._2)).map(_._2.head).toList
+      val l = ls.toDF("k", "t", "lv")
+      val r = rs.toDF("k", "t", "rv")
+      val got = AsOf.joinForward(l, r, Seq("k"), "t", "t")
+        .select("k", "t", "lv", "asof_rv")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val rIndex = rs.groupBy(_._1)
+      val expect = ls.map { case (k, t, lv) =>
+        val m = rIndex.getOrElse(k, Nil).filter(_._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        (k, t, lv, m)
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      got == expect
+    }, 6)
+  }
+
   test("RangeJoin.pointInInterval equals the theta-join on arbitrary intervals") {
     val genPts = Gen.listOfN(30, Gen.choose(-100L, 100L))
     val genIvs = Gen.listOfN(15, for {
