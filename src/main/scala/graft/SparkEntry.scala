@@ -146,6 +146,17 @@ object SparkEntry {
       RangeJoin.pointInInterval(pts, "pos", iv, "lo", "hi")
         .select(col("pos"), col("iv_id"), col("lo"))
     }),
+    "interval_overlap" -> ((s, d) => {
+      // signup-anchored windows × purchase-anchored windows that
+      // intersect (concurrent activity periods)
+      val log = Changelog.fromEvents(ev(s, d))
+      val ivA = log.filter(col("etype") === "signup")
+        .select(col("id").as("a_id"), col("pos").as("a_lo"), (col("pos") + 100).as("a_hi"))
+      val ivB = log.filter(col("etype") === "purchase")
+        .select(col("id").as("b_id"), col("pos").as("b_lo"), (col("pos") + 50).as("b_hi"))
+      RangeJoin.intervalOverlap(ivA, "a_lo", "a_hi", ivB, "b_lo", "b_hi")
+        .select(col("a_id"), col("a_lo"), col("b_id"), col("b_lo"))
+    }),
     // ---- D. LLM-pipeline operators ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
@@ -669,6 +680,13 @@ object SparkEntry {
         |pts AS (SELECT pos FROM log WHERE etype = 'error')
         |SELECT p.pos, iv.iv_id, iv.lo
         |FROM pts p JOIN iv ON p.pos >= iv.lo AND p.pos < iv.hi""".stripMargin),
+    "interval_overlap" -> (logCte +
+      """, iv_a AS (SELECT id AS a_id, pos AS a_lo, pos + 100 AS a_hi
+        |          FROM log WHERE etype = 'signup'),
+        |iv_b AS (SELECT id AS b_id, pos AS b_lo, pos + 50 AS b_hi
+        |         FROM log WHERE etype = 'purchase')
+        |SELECT a_id, a_lo, b_id, b_lo
+        |FROM iv_a JOIN iv_b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin),
     "rolling_agg" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -71,4 +71,55 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket", "__p_min", "__p_max", "__bsize")
   }
+
+  /** Interval-overlap join: every (a, b) pair whose half-open
+    * intervals intersect (`a.lo < b.hi AND b.lo < a.hi`) — sessions
+    * overlapping maintenance windows, concurrent transactions, IP
+    * ranges sharing a block. The naive theta-join is again a
+    * nested-loop; here BOTH sides explode onto the ~2¹⁶ adaptive
+    * buckets they cover and candidates equi-join per bucket.
+    *
+    * A pair overlapping several buckets would duplicate; instead of a
+    * distinct exchange, each pair is kept only in the FIRST bucket of
+    * its overlap region (`(greatest(a.lo, b.lo) − min) div bsize` —
+    * both intervals provably explode onto that bucket), the
+    * SimHashFirstBand trick in interval form: exact dedup, map-side,
+    * free. Column names of the two inputs must be disjoint; both
+    * relations' columns pass through. */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+                      b: DataFrame, bLo: String, bHi: String): DataFrame = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlap: column(s) ${clash.mkString(", ")} appear on both sides — rename one")
+    val aStats = a.agg(min(col(aLo)).as("__min_a"), max(col(aHi)).as("__max_a"),
+      coalesce(sum(col(aHi) - col(aLo)), lit(0L)).as("__cov_a"))
+    val bStats = b.agg(min(col(bLo)).as("__min_b"), max(col(bHi)).as("__max_b"),
+      coalesce(sum(col(bHi) - col(bLo)), lit(0L)).as("__cov_b"))
+    // least/greatest skip NULLs, so an empty side degrades gracefully
+    // (the join is empty anyway); coverage caps the per-interval
+    // explode exactly as in pointInInterval
+    val stats = aStats.crossJoin(broadcast(bStats))
+      .select(least(col("__min_a"), col("__min_b")).as("__min"),
+        greatest(col("__max_a"), col("__max_b")).as("__max"),
+        (col("__cov_a") + col("__cov_b")).as("__cov"))
+      .withColumn("__bsize",
+        greatest(lit(1L), expr("(__max - __min + 1) div 65536"),
+          expr("__cov div 65536")))
+      .drop("__cov")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .crossJoin(broadcast(stats))
+      .filter(col(hi) > col(lo)) // empty/inverted intervals match nothing
+      .withColumn("__b_lo", expr(s"($lo - __min) div __bsize"))
+      .withColumn("__b_hi", expr(s"($hi - 1 - __min) div __bsize"))
+      .withColumn("__bucket", explode(sequence(col("__b_lo"), col("__b_hi"))))
+      .drop("__b_lo", "__b_hi")
+    val ea = exploded(a, aLo, aHi)
+    val eb = exploded(b, bLo, bHi).drop("__min", "__max", "__bsize")
+    ea.join(eb, Seq("__bucket"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      // first-shared-bucket dedup: exactly one surviving copy per pair
+      .filter(col("__bucket") ===
+        expr(s"(greatest($aLo, $bLo) - __min) div __bsize"))
+      .drop("__bucket", "__min", "__max", "__bsize")
+  }
 }

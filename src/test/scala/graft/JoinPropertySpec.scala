@@ -68,6 +68,32 @@ class JoinPropertySpec extends AnyFunSuite {
     }, 6)
   }
 
+  test("RangeJoin.intervalOverlap equals the theta-join on arbitrary interval pairs") {
+    val genIvs = Gen.listOfN(15, for {
+      lo <- Gen.choose(-120L, 120L)
+      w <- Gen.choose(0L, 60L) // width 0 → empty, must match nothing
+    } yield (lo, lo + w))
+    check(Prop.forAll(genIvs, genIvs) { (as, bs) =>
+      val a = as.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("a_id", "a_lo", "a_hi")
+      val b = bs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("b_id", "b_lo", "b_hi")
+      val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // SET semantics: an empty interval [x, x) intersects nothing,
+      // even where the raw theta predicate alo<bhi && blo<ahi holds —
+      // same contract as pointInInterval's empty-interval rule
+      val expect = (for {
+        ((alo, ahi), i) <- as.zipWithIndex
+        ((blo, bhi), j) <- bs.zipWithIndex
+        if alo < ahi && blo < bhi && alo < bhi && blo < ahi
+      } yield (i.toLong, j.toLong))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      got == expect
+    }, 6)
+  }
+
   test("RangeJoin.pointInInterval equals the theta-join on arbitrary intervals") {
     val genPts = Gen.listOfN(30, Gen.choose(-100L, 100L))
     val genIvs = Gen.listOfN(15, for {
