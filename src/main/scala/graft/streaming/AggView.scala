@@ -97,10 +97,29 @@ object AggView {
         Seq.empty[GroupAgg].toDF()
     }
 
+  /** Delete all but the newest `retain` version dirs (min 2: a reader
+    * that resolved the pointer just before a flip may still be
+    * scanning the previous version). */
+  def pruneVersions(dir: String, retain: Int): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    val versions = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toLong)
+    versions.dropRight(math.max(retain, 2)).foreach(deleteRec)
+  }
+
   /** Stage 2: fold one batch of deltas into the published view.
     * Idempotent per batchId. Groups whose count returns to zero leave
-    * the view (a fully-deleted group is absent, not a 0-row). */
-  def mergeBatch(deltas: Dataset[GroupDelta], dir: String, batchId: Long): Unit = {
+    * the view (a fully-deleted group is absent, not a 0-row);
+    * `retainVersions` bounds on-disk history — without it a
+    * long-running view accumulates one version dir per micro-batch
+    * forever. */
+  def mergeBatch(deltas: Dataset[GroupDelta], dir: String, batchId: Long,
+                 retainVersions: Int = 2): Unit = {
     if (currentVersion(dir).contains(s"v$batchId")) return
     val spark = deltas.sparkSession
     val agg = deltas.groupBy(col("grp"))
@@ -118,7 +137,7 @@ object AggView {
     Files.write(tmp, version.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, current),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    pruneVersions(dir, retainVersions)
   }
 
   /** Maintain a live (grp, sumVal, cnt) view of `changes` at `dir`. */

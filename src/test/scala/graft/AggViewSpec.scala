@@ -59,6 +59,13 @@ class AggViewSpec extends AnyFunSuite {
     assert(view(dir) == Map("t" -> ((3.0, 2L)), "u" -> ((5.0, 1L))))
     AggView.mergeBatch(Seq(AggView.GroupDelta("t", -1.0, 0L)).toDS(), dir, 1L)
     assert(view(dir) == Map("t" -> ((2.0, 2L)), "u" -> ((5.0, 1L))))
+    // version retention: batches 2 and 3 age out v0/v1 (retain 2)
+    AggView.mergeBatch(Seq(AggView.GroupDelta("t", 0.5, 0L)).toDS(), dir, 2L)
+    AggView.mergeBatch(Seq(AggView.GroupDelta("t", 0.5, 0L)).toDS(), dir, 3L)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSet
+    assert(dirs == Set("v2", "v3"), s"old versions must be pruned, got $dirs")
+    assert(view(dir) == Map("t" -> ((3.0, 2L)), "u" -> ((5.0, 1L))))
   }
 
   test("PK-swap image order flows through delta maintenance") {
