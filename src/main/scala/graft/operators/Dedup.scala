@@ -402,8 +402,11 @@ object Dedup {
     * flag can express).
     *
     * `nodes` is one column `node` (so isolated docs come out as their
-    * own singleton component); `edges` has columns (a, b). Returns
-    * (node, comp).
+    * own singleton component); `edges` has columns (a, b) and should
+    * reference ids from the node set (an out-of-set endpoint
+    * participates in min-label propagation like any other id, so it
+    * can become a component label). Returns (node, comp), restricted
+    * to the requested nodes.
     *
     * Algorithm: min-label propagation with POINTER JUMPING. Each round
     * (1) every node takes the min label over itself and its neighbors

@@ -146,6 +146,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("asof joins: exactly one shuffle (the key window), both directions") {
+    Seq("asof_join", "asof_join_fwd").foreach { q =>
+      val n = raw"\(\d+\) Exchange\b".r.findAllIn(formatted(q)).size
+      assert(n == 1, s"$q: union+window needs exactly 1 exchange, found $n")
+    }
+  }
+
+  test("interval_overlap: stat reduces + bucket join only; pair dedup shuffles nothing") {
+    val p = formatted("interval_overlap")
+    // 2 one-row stat aggregates + the bucket equi-join's two sides;
+    // the first-shared-bucket pair dedup must NOT add a distinct
+    // exchange on the pair key
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n <= 4, s"expected at most 4 exchanges, found $n")
+    assert(!p.contains("CartesianProduct"), "no cartesian between interval sides")
+  }
+
   test("dedup_simhash: no groupBy/distinct exchange for pair dedup (map-side first-band)") {
     val p = formatted("dedup_simhash")
     // pair dedup used to be a groupBy(a_gid, b_gid); now only the
