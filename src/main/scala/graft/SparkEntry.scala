@@ -77,6 +77,10 @@ object SparkEntry {
         count(lit(1)).as("cnt"),
         sum(col("val").cast("decimal(18,2)")).cast("double").as("sum_val"))
     }),
+    "cdc_log_compact" -> ((s, d) =>
+      // latest op per key, tombstones retained — the compacted segment
+      // is itself a valid changelog (see Changelog.logCompact)
+      Changelog.logCompact(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -263,7 +267,10 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))),
     "domain_mix" -> ((s, d) =>
       Sampling.domainMix(Tables.documents(s, d), col("doc_id"), col("source"), 15)
-        .select(col("doc_id"), col("source"), col("rk")))
+        .select(col("doc_id"), col("source"), col("rk"))),
+    "shard_assign" -> ((s, d) =>
+      Sampling.shardAssign(Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 8)),
+    "corpus_stats" -> ((s, d) => Corpus.corpusStats(Tables.documents(s, d)))
   )
 
   /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
@@ -411,6 +418,12 @@ object SparkEntry {
         |SELECT tbl, count(*) AS cnt,
         |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM live GROUP BY tbl""".stripMargin),
+    "cdc_log_compact" -> (logCte +
+      """, r AS (
+        |  SELECT pos, op, tbl, id, val,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed)
+        |SELECT pos, op, tbl, id, val FROM r WHERE rn = 1""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,
@@ -865,6 +878,30 @@ object SparkEntry {
          |                    ORDER BY ${DuckSql.signed("hh")}, doc_id) AS INT) AS rk
          |      FROM h)
          |SELECT doc_id, source, rk FROM r WHERE rk <= 15""".stripMargin,
+    "shard_assign" ->
+      s"""WITH h AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id", "doc_id", 19L, "hh")} hx),
+         |b AS (SELECT doc_id, (hh // 2) AS hu FROM h)
+         |SELECT doc_id, CAST(hu % 8 AS INT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hu % 8 ORDER BY hu, doc_id) - 1 AS INT) AS shard_pos
+         |FROM b""".stripMargin,
+    "corpus_stats" ->
+      """WITH h AS (
+        |  SELECT lang, source, CAST(len(string_split(text, ' ')) AS INT) AS tc,
+        |         count(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cm AS (
+        |  SELECT lang, source, tc, c,
+        |         sum(c) OVER (PARTITION BY lang, source ORDER BY tc) AS cum,
+        |         sum(c) OVER (PARTITION BY lang, source) AS n,
+        |         sum(c * tc) OVER (PARTITION BY lang, source) AS tsum
+        |  FROM h)
+        |SELECT lang, source,
+        |       CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(max(tsum) AS BIGINT) AS tok_sum,
+        |       min(tc) AS tok_min, max(tc) AS tok_max,
+        |       CAST(min(CASE WHEN 2 * cum >= n THEN tc END) AS INT) AS tok_p50,
+        |       CAST(min(CASE WHEN 10 * cum >= 9 * n THEN tc END) AS INT) AS tok_p90
+        |FROM cm GROUP BY 1, 2""".stripMargin,
     // hash-pipeline oracles: bit-exact DuckDB replays of the custom
     // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
     "doc_fingerprint" -> DuckSql.fingerprintOracle,

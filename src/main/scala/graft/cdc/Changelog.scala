@@ -251,6 +251,22 @@ object Changelog {
       .filter(col("op") === "upsert")
       .select(col("tbl"), col("id"), col("val"), col("pos").as("last_pos"))
 
+  /** Kafka-style log compaction: the shortest changelog that still
+    * replays to the same state — exactly one op (the latest) per
+    * (tbl, id), with DELETE TOMBSTONES RETAINED. This is a different
+    * contract from [[entityState]], which produces the state itself
+    * and drops deletes: a consumer that seeded its copy from an OLDER
+    * compacted segment needs the tombstone to evict its stale row,
+    * which the state alone cannot express. Original positions are
+    * kept, so the output is itself a valid changelog (replay order,
+    * resume tokens, [[entityStateAt]] cuts all still work) and
+    * compaction is idempotent: compact ∘ compact = compact.
+    * One key-hash exchange (the lastOpPerKey window); rows only ever
+    * shrink. */
+  def logCompact(log: DataFrame): DataFrame =
+    lastOpPerKey(log)
+      .select(col("pos"), col("op"), col("tbl"), col("id"), col("val"))
+
   /** Entity state AS OF a position: the fold replayed only over ops
     * with `pos <= atPos` — point-in-time recovery / debugging of a
     * live view ("what did the table look like when the resume token

@@ -325,4 +325,50 @@ object Corpus {
       .select(col("doc_id"), col("n_tok"), col("wsum"),
         (col("wsum").cast("double") / col("n_tok")).as("mean_ctf"))
   }
+
+  /** Per-stratum corpus statistics with EXACT discrete quantiles at
+    * 100 TB. The naive exact-quantile plan (per-group sort of every
+    * doc, or `collect_list` per group) dies when a stratum holds
+    * billions of docs; Spark's built-in exact `percentile` holds a
+    * per-group value→count map in agg state, which is the same idea —
+    * but interpolates, so the result is a synthetic double no other
+    * engine reproduces bit-for-bit. Instead: quantiles of an INTEGER
+    * measure (per-doc whitespace token count) computed from the
+    * (stratum, value) HISTOGRAM — stage 1 is a map-side-combined
+    * count per (stratum, tc) whose output is strata × distinct-counts
+    * rows (thousands, not billions); stage 2 is a cumulative window
+    * over that tiny frame. The discrete quantile q is the smallest
+    * value whose cumulative count ≥ ⌈q·n⌉ — an actual element of the
+    * data, integer arithmetic only (`den·cum ≥ num·n` avoids even the
+    * ⌈⌉), so any engine hash-matches it.
+    *
+    * Output per (lang, source): n_docs, tok_sum, tok_min, tok_max,
+    * tok_p50, tok_p90. Exchanges: one for the histogram, one on the
+    * stratum key for the window+rollup (histogram-sized rows — no
+    * text, no doc ids). */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("tc"))
+      .groupBy(col("lang"), col("source"), col("tc"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang"), col("source")).orderBy(col("tc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("lang"), col("source"))
+    // smallest tc with den·cum ≥ num·n  ⟺  cum ≥ ⌈(num/den)·n⌉
+    def q(num: Int, den: Int): Column =
+      min(when(col("cum") * den >= col("n") * num, col("tc")))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("tsum", sum(col("c") * col("tc")).over(wAll))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(col("tsum")).as("tok_sum"),
+        min(col("tc")).as("tok_min"),
+        max(col("tc")).as("tok_max"),
+        q(1, 2).as("tok_p50"),
+        q(9, 10).as("tok_p90"))
+  }
 }

@@ -58,4 +58,27 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= perStratum)
   }
+
+  /** Deterministic global shuffle into training shards: every row gets
+    * a `(shard, shard_pos)` address — shard by sign-free hash modulo,
+    * position by hash rank WITHIN the shard. This is the "shuffle
+    * 100 TB for training order" operator: a training job reads shard
+    * files in shard_pos order and sees a reproducible random
+    * permutation, without any engine ever materializing a global sort
+    * (a global sort = range exchange over the full corpus; here the
+    * only exchange is the hash partition by shard, and each shard
+    * sorts locally — shards are output-file-sized by construction, and
+    * hash sharding cannot skew). Re-runs, re-partitionings and the
+    * DuckDB oracle all agree on every row's address because the hash
+    * is splitmix64 of the id, not `rand()`. */
+  def shardAssign(df: DataFrame, id: Column, nShards: Int, seed: Long = 19L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // >>> 1 makes the modulo sign-free (DuckDB replay: (h // 2) % n)
+    val h = shiftrightunsigned(Hashing.hashLong64(id, seed), 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("int"))
+      .drop("__h")
+  }
 }

@@ -66,4 +66,23 @@ class ChangelogPropertySpec extends AnyFunSuite {
       applied == expected
     }, 6)
   }
+
+  test("log compaction preserves replay semantics on arbitrary histories") {
+    check(Prop.forAll(genOps) { ops =>
+      val log = toDf(ops)
+      val compact = Changelog.logCompact(log)
+      // the compacted segment folds to the identical state...
+      val s1 = Changelog.entityState(log).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val s2 = Changelog.entityState(compact).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // ...holds exactly one op per touched key (tombstones included)...
+      val keys = compact.collect().map(r => (r.getString(2), r.getLong(3)))
+      val touched = ops.map(o => (o._2, o._3)).toSet
+      // ...and is a fixpoint of compaction
+      val twice = Changelog.logCompact(compact).collect().map(_.toSeq).toSet
+      s1 == s2 && keys.length == keys.toSet.size && keys.toSet == touched &&
+        twice == compact.collect().map(_.toSeq).toSet
+    }, 6)
+  }
 }

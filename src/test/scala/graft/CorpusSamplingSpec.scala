@@ -218,4 +218,56 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(kept.contains(3L))
     assert(!kept.contains(4L), "later in-watermark duplicate is dropped by state")
   }
+
+  test("shard assign: total, contiguous per-shard positions, stable under repartition") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val out = Sampling.shardAssign(docs, col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    assert(out.length == docs.count(), "every doc gets exactly one address")
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // within each shard, positions are exactly 0..count-1 (a dense order)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // the address is a pure function of the id — input partitioning is irrelevant
+    val again = Sampling.shardAssign(docs.repartition(7), col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.forall { case (id, s, p) => again(id) == ((s, p)) })
+    // and it is a genuine shuffle: shard order ≠ id order for some shard
+    val byShard = out.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq)
+    assert(byShard.values.exists(ids => ids != ids.sorted), "hash order must differ from id order")
+  }
+
+  test("corpus stats: exact discrete quantiles match a brute-force per-stratum sort") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.corpusStats(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    val brute = docs.select(col("lang"), col("source"),
+        size(split(col("text"), " ")).as("tc"))
+      .as[(String, String, Int)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues { rows =>
+        val tcs = rows.map(_._3).sorted
+        val n = tcs.length
+        def disc(num: Int, den: Int) = tcs((n * num + den - 1) / den - 1) // element at rank ⌈q·n⌉
+        (n.toLong, tcs.map(_.toLong).sum, tcs.head, tcs.last, disc(1, 2), disc(9, 10))
+      }.toMap
+    assert(out == brute)
+  }
+
+  test("log compaction keeps tombstones, replays to the same state, and is idempotent") {
+    import graft.cdc.Changelog
+    val log = Changelog.filterCommitted(Changelog.fromEvents(Tables.events(spark, sf)))
+    val compact = Changelog.logCompact(log)
+    assert(compact.filter(col("op") === "delete").count() > 0,
+      "deletes survive compaction as tombstones (entityState would drop them)")
+    // replay equivalence: the compacted segment folds to the identical state
+    val s1 = Changelog.entityState(log).collect().map(_.toSeq).toSet
+    val s2 = Changelog.entityState(compact).collect().map(_.toSeq).toSet
+    assert(s1 == s2)
+    // idempotent: compacting a compacted log is a no-op
+    val twice = Changelog.logCompact(compact).collect().map(_.toSeq).toSet
+    assert(twice == compact.collect().map(_.toSeq).toSet)
+  }
 }

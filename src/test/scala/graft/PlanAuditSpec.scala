@@ -172,4 +172,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("simhashfirstband") || p.contains("SimHashFirstBand"),
       "first-band filter must be in the plan")
   }
+
+  test("shard_assign: exactly one shuffle (the shard hash partition), no global sort") {
+    val p = formatted("shard_assign")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n == 1, s"shard addressing needs exactly the shard exchange, found $n")
+    assert(!p.contains("rangepartitioning".toLowerCase) && !p.contains("RangePartitioning"),
+      "a range exchange would be a global sort of the corpus")
+  }
+
+  test("corpus_stats: histogram shuffles carry (stratum, tc) counts — never text") {
+    val p = formatted("corpus_stats")
+    val bad = shuffleInputs(p).filter(_.contains("text"))
+    assert(bad.isEmpty, s"document-body-carrying shuffle(s): $bad")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n <= 2, s"histogram + stratum window, found $n exchanges")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "histogram must combine map-side")
+  }
+
+  test("cdc_log_compact: one key-window shuffle; tx filter stays broadcast") {
+    val p = formatted("cdc_log_compact")
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"),
+      "committed-tx filter must remain a broadcast anti-join")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    // the (tbl, id) window, plus the tiny rolled-back-tx distinct
+    assert(n <= 2, s"expected ≤ 2 exchanges, found $n")
+  }
 }
