@@ -191,6 +191,11 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
+    "ann_recall" -> ((s, d) => {
+      // index quality gate: LSH recall counts vs brute ground truth
+      val emb = Tables.embeddings(s, d)
+      Ann.recall(Ann.lshTopK(emb), Ann.bruteTopK(emb))
+    }),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d))),
@@ -314,6 +319,21 @@ object SparkEntry {
       |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1)
       |""".stripMargin
+
+  // shared by the ann_topk / ann_lsh oracles and their ann_recall
+  // composition (nested as parenthesized CTE subqueries there)
+  private val annTopkSql =
+    """WITH p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                CAST(c.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT q_id, n_id,
+      |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+      |      FROM p)
+      |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin
+  private lazy val annLshSql =
+    DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5)
 
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog" -> (logCte +
@@ -627,16 +647,20 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4002""".stripMargin,
-    "ann_topk" ->
-      """WITH p AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                CAST(c.embedding AS DOUBLE[])) AS cos
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |r AS (SELECT q_id, n_id,
-        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
-        |      FROM p)
-        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_topk" -> annTopkSql,
+    "ann_recall" ->
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |lsh AS (SELECT * FROM ($annLshSql) tl),
+         |h AS (SELECT l.q_id, count(*) AS c FROM lsh l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM lsh GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "lang_id" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, lang, len(w) AS n,
@@ -907,7 +931,7 @@ object SparkEntry {
     "doc_fingerprint" -> DuckSql.fingerprintOracle,
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
-    "ann_lsh" -> DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5),
+    "ann_lsh" -> annLshSql,
     "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
       Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),

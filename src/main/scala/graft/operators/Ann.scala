@@ -175,4 +175,27 @@ object Ann {
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
+
+  /** Index quality gate: per-query recall counts of an approximate
+    * result set against the exact ground truth — the number every ANN
+    * deployment watches before trading brute-force cost for bucketed
+    * speed. Both inputs are `(q_id, n_id, ...)` top-k frames (the
+    * shape [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]] emit), so the
+    * operator composes over any pair of them — and at scale both are
+    * query-set-sized (n_queries × k rows), never corpus-sized, so
+    * every join here is a hash join over tiny frames.
+    *
+    * Counts, not ratios: `n_hit / n_exact` is the recall, but the
+    * emitted columns stay exact integers so the result hash-matches
+    * in any engine; a missing query on the approximate side yields
+    * `(n_approx, n_hit) = (0, 0)`, not a dropped row. */
+  def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))
+    val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_approx"))
+    val nExact = exact.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_exact"))
+    nExact.join(nApprox, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0, Seq("n_approx", "n_hit"))
+  }
 }

@@ -187,4 +187,26 @@ class DedupAnnSpec extends AnyFunSuite {
     val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(got - expect) < 1e-12)
   }
+
+  test("ann recall: identity on ground truth, bounded counts, missing queries kept at 0") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Ann.bruteTopK(emb)
+    // recall of the exact result against itself is perfect
+    val self = Ann.recall(brute, brute)
+      .select("q_id", "n_exact", "n_approx", "n_hit")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(self.nonEmpty && self.forall { case (_, ne, na, nh) => ne == na && nh == ne })
+    // LSH recall: one row per ground-truth query, hits bounded by both sides
+    val r = Ann.recall(Ann.lshTopK(emb), brute)
+      .select("q_id", "n_exact", "n_approx", "n_hit")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(r.map(_._1).toSet == self.map(_._1).toSet,
+      "every ground-truth query appears even if LSH returned nothing for it")
+    assert(r.forall { case (_, ne, na, nh) => nh <= math.min(ne, na) && na <= ne })
+    // an approx frame missing a query entirely still yields its row, zeroed
+    val crippled = Ann.lshTopK(emb).where(col("q_id") =!= 0L)
+    val r0 = Ann.recall(crippled, brute).where(col("q_id") === 0L)
+      .select("n_approx", "n_hit").as[(Int, Int)].head()
+    assert(r0 == ((0, 0)))
+  }
 }
