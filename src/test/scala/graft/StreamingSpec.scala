@@ -267,4 +267,37 @@ class StreamingSpec extends AnyFunSuite {
     }.map { case (id, v) => (id, v, true) }.toSet
     assert(last == expected)
   }
+
+  test("B17: dead-letter routing splits each micro-batch; replay rewrites, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val goodDir = java.nio.file.Files.createTempDirectory("graft_good").toString
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // (event_id, ts, user_id, event_type, value, props) — events shape;
+    // props k >= 95 fails validation and must route to the DLQ
+    val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.EventStreams.routeWithDlq(stream, goodDir, dlqDir)
+      .option("checkpointLocation", ckpt).start()
+    in.addData((1L, 1000L, 7L, "view", 60.0, "k=10"), (2L, 2000L, 7L, "click", 1.0, "k=99"))
+    q.processAllAvailable()
+    in.addData((3L, 3000L, 8L, "purchase", 10.0, "k=97"))
+    q.processAllAvailable(); q.stop()
+    val good = spark.read.parquet(goodDir).select("pos").as[Long].collect().toSet
+    val bad = spark.read.parquet(dlqDir).select("pos", "reason")
+      .as[(Long, String)].collect().toSet
+    assert(good == Set(1L), "only the valid row flows onward, normalized")
+    assert(bad == Set((2L, "k_out_of_range"), (3L, "k_out_of_range")))
+    // replaying batch 0 (same data, same batch id) must not duplicate output
+    val in2 = MemoryStream[(Long, Long, Long, String, Double, String)]
+    in2.addData((1L, 1000L, 7L, "view", 60.0, "k=10"), (2L, 2000L, 7L, "click", 1.0, "k=99"))
+    val q2 = graft.streaming.EventStreams
+      .routeWithDlq(in2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        goodDir, dlqDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt2").toString).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(goodDir).count() == 1, "batch=0 overwritten, not appended")
+  }
 }
