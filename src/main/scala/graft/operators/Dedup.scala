@@ -449,20 +449,21 @@ object Dedup {
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nbl"))
       val prop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
       // pointer jump: follow the label one hop (labels are node ids by
-      // construction — min over node ids — so the lookup always lands)
+      // construction — min over node ids — so the lookup always lands).
+      // The old label rides along so convergence is read off the
+      // checkpointed frame itself — no extra join against the previous
+      // round's labels.
       val jumped = prop
         .join(prop.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("node"), col("old"), coalesce(col("ll"), col("label")).as("label"))
+        .withColumn("chg", col("label") =!= col("old"))
         .localCheckpoint()
-      val changed = jumped.as("n")
-        .join(labels.as("o"), Seq("node"))
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels = jumped
+      val changed = jumped.where(col("chg")).limit(1).count()
+      labels = jumped.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
     }
