@@ -196,6 +196,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Ann.recall(Ann.lshTopK(emb), Ann.bruteTopK(emb))
     }),
+    "emb_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d))),
@@ -932,6 +933,19 @@ object SparkEntry {
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |             list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+        |x AS (SELECT vec_id, scale,
+        |             unnest(emb) AS x,
+        |             unnest(range(len(emb))) AS d
+        |      FROM s)
+        |SELECT vec_id, CAST(d AS INT) AS d,
+        |       CAST(CASE WHEN scale = 0 THEN 0
+        |                 ELSE floor(x / scale * 127 + 0.5) END AS INT) AS q,
+        |       scale
+        |FROM x""".stripMargin,
     "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
       Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),

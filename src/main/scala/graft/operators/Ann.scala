@@ -189,6 +189,33 @@ object Ann {
     * emitted columns stay exact integers so the result hash-matches
     * in any engine; a missing query on the approximate side yields
     * `(n_approx, n_hit) = (0, 0)`, not a dropped row. */
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage-side move that makes a 100 TB float32 corpus a 25 TB
+    * int8 one (plus one double scale per vector) before it ever hits
+    * an index or a shuffle. Per-vector max-abs scale; `q = ⌊x/s·127 +
+    * 0.5⌋` with an explicit floor instead of any engine's `round`
+    * (banker's vs half-up rounding differs across engines; this
+    * expression is the same two IEEE ops + an exact floor
+    * everywhere, so the oracle hash-matches). Zero vectors quantize
+    * to all-zero with scale 0.
+    *
+    * Output is EXPLODED to (vec_id, d, q, scale) scalar rows — the
+    * shape the verification harness can hash engine-independently;
+    * production storage would keep the packed array (drop the
+    * posexplode, keep the transform). Map-only: no exchange,
+    * plan-audited. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val asD = expr("transform(embedding, x -> cast(x AS double))")
+    val scale = expr("aggregate(transform(embedding, x -> cast(abs(x) AS double)), " +
+      "cast(0.0 AS double), (a, x) -> greatest(a, x))")
+    embeddings
+      .select(col("vec_id"), posexplode(asD).as(Seq("d", "x")), scale.as("scale"))
+      .select(col("vec_id"), col("d"),
+        when(col("scale") === 0d, lit(0))
+          .otherwise(floor(col("x") / col("scale") * 127d + 0.5d).cast("int")).as("q"),
+        col("scale"))
+  }
+
   def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))

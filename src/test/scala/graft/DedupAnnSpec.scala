@@ -209,4 +209,27 @@ class DedupAnnSpec extends AnyFunSuite {
       .select("n_approx", "n_hit").as[(Int, Int)].head()
     assert(r0 == ((0, 0)))
   }
+
+  test("int8 quantization: bounded levels, reconstruction error within half a step") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Ann.quantizeInt8(emb)
+      .select("vec_id", "d", "q", "scale").as[(Long, Int, Int, Double)].collect()
+    val dims = emb.selectExpr("size(embedding)").as[Int].head()
+    assert(out.length == emb.count() * dims, "one row per (vector, dim)")
+    assert(out.forall { case (_, _, q, _) => q >= -127 && q <= 127 })
+    // reconstruction: |x - q*scale/127| <= scale/254 (half a quantization step)
+    val xs = emb.selectExpr("vec_id", "posexplode(embedding) AS (d, x)")
+      .as[(Long, Int, Float)].collect().map(t => (t._1, t._2) -> t._3.toDouble).toMap
+    out.foreach { case (v, d, q, s) =>
+      val err = math.abs(xs((v, d)) - q * s / 127.0)
+      assert(err <= s / 254.0 + 1e-12, s"vec $v dim $d: err $err vs step ${s / 254.0}")
+    }
+    // the max-magnitude dim of each vector hits a full-scale level
+    val full = out.groupBy(_._1).forall { case (_, rows) => rows.exists(r => math.abs(r._3) == 127) }
+    assert(full, "per-vector max-abs scaling must use the full int8 range")
+    // zero vector → all-zero levels, scale 0
+    val z = Seq((99L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Ann.quantizeInt8(z).select("q", "scale").as[(Int, Double)].collect()
+      .forall(_ == ((0, 0.0))))
+  }
 }

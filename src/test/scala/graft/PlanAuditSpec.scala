@@ -72,7 +72,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("sampling/split/repetition/quality operators are map-only (zero exchanges)") {
     Seq("stratified_sample", "train_test_split", "doc_repetition", "quality_filter",
-        "doc_chunk", "pii_scrub", "multimodal_features", "text_normalize")
+        "doc_chunk", "pii_scrub", "multimodal_features", "text_normalize", "emb_quantize")
       .foreach { q =>
         val n = raw"\(\d+\) Exchange\b".r.findAllIn(formatted(q)).size
         assert(n == 0, s"$q must not shuffle, found $n exchange(s)")
