@@ -197,6 +197,13 @@ object SparkEntry {
       Ann.recall(Ann.lshTopK(emb), Ann.bruteTopK(emb))
     }),
     "emb_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
+    "ann_topk_q8" -> ((s, d) => Ann.bruteTopKQ8(Tables.embeddings(s, d))),
+    "ann_recall_q8" -> ((s, d) => {
+      // how much recall does int8 storage cost? the quantized scan
+      // gated against the float32 ground truth
+      val emb = Tables.embeddings(s, d)
+      Ann.recall(Ann.bruteTopKQ8(emb), Ann.bruteTopK(emb))
+    }),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d))),
@@ -335,6 +342,32 @@ object SparkEntry {
       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin
   private lazy val annLshSql =
     DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5)
+  private val annTopkQ8Sql =
+    """WITH e8 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |s8 AS (SELECT vec_id, emb,
+      |             list_max(list_transform(emb, x -> abs(x))) AS scale FROM e8),
+      |qv AS (SELECT vec_id,
+      |              CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+      |                   ELSE list_transform(emb,
+      |                          x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) END AS qs
+      |       FROM s8),
+      |nv AS (SELECT vec_id, qs,
+      |              list_sum(list_transform(qs, x -> CAST(x AS BIGINT) * x)) AS nn
+      |       FROM qv),
+      |p8 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |              list_sum(list_transform(range(len(a.qs)),
+      |                i -> CAST(a.qs[i + 1] AS BIGINT) * b.qs[i + 1])) AS dot,
+      |              a.nn AS na, b.nn AS nb
+      |       FROM nv a JOIN nv b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      |c8 AS (SELECT q_id, n_id,
+      |              CASE WHEN na = 0 OR nb = 0 THEN -2.0
+      |                   ELSE CAST(dot AS DOUBLE)
+      |                        / sqrt(CAST(CAST(na AS BIGINT) * nb AS DOUBLE)) END AS cos
+      |       FROM p8),
+      |r8 AS (SELECT q_id, n_id,
+      |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+      |       FROM c8)
+      |SELECT q_id, n_id, rnk FROM r8 WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog" -> (logCte +
@@ -649,6 +682,20 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4002""".stripMargin,
     "ann_topk" -> annTopkSql,
+    "ann_topk_q8" -> annTopkQ8Sql,
+    "ann_recall_q8" ->
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |q8 AS (SELECT * FROM ($annTopkQ8Sql) tq),
+         |h AS (SELECT l.q_id, count(*) AS c FROM q8 l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM q8 GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_recall" ->
       s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
          |lsh AS (SELECT * FROM ($annLshSql) tl),

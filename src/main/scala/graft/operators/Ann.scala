@@ -216,6 +216,54 @@ object Ann {
         col("scale"))
   }
 
+  /** Packed twin of [[quantizeInt8]]: (vec_id, qs: array<int>, nn:
+    * bigint squared norm) — the production storage row. Levels and
+    * the exact integer norm only; the scale column is dropped because
+    * cosine over reconstructions cancels it. */
+  private def quantizedPacked(embeddings: DataFrame): DataFrame = {
+    val scale = expr("aggregate(transform(embedding, x -> cast(abs(x) AS double)), " +
+      "cast(0.0 AS double), (a, x) -> greatest(a, x))")
+    embeddings
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"),
+        when(col("scale") === 0d, expr("transform(embedding, x -> 0)"))
+          .otherwise(expr(
+            "transform(embedding, x -> cast(floor(cast(x AS double) / scale * 127 + 0.5) AS int))"))
+          .as("qs"))
+      .withColumn("nn",
+        expr("aggregate(transform(qs, x -> cast(x AS bigint) * x), cast(0 AS bigint), (a, v) -> a + v)"))
+  }
+
+  /** Brute-force top-k over the INT8-QUANTIZED corpus — how a real
+    * system scans a quantized index: the inner loop is an integer
+    * dot product (4× less memory traffic than float32; SIMD int8 on
+    * real hardware), and because cosine of the reconstructions
+    * cancels the per-vector scales, ranking needs only the exact
+    * integer dot and the two exact integer norms. The float work per
+    * pair is one multiply, one sqrt, one divide over EXACT integers
+    * (dot ≤ 64·127², norms ≤ the same — all below 2⁵³), so the score
+    * is bit-identical in any IEEE engine and the result hash-matches.
+    * Same plan shape as [[bruteTopK]]: broadcast queries, scan
+    * candidates, per-query window. Zero-norm vectors score -2.0
+    * (below any cosine), deterministically last before the id
+    * tie-break. */
+  def bruteTopKQ8(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val qz = quantizedPacked(embeddings)
+    val q = qz.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qs").as("a_qs"), col("nn").as("na"))
+    val c = qz.select(col("vec_id").as("n_id"), col("qs").as("b_qs"), col("nn").as("nb"))
+    val dotInt = expr(
+      "aggregate(zip_with(a_qs, b_qs, (x, y) -> cast(x AS bigint) * y), cast(0 AS bigint), (a, v) -> a + v)")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        when(col("na") === 0L || col("nb") === 0L, lit(-2.0d))
+          .otherwise(dotInt.cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))

@@ -232,4 +232,15 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(Ann.quantizeInt8(z).select("q", "scale").as[(Int, Double)].collect()
       .forall(_ == ((0, 0.0))))
   }
+
+  test("quantized top-k scan: valid ranks, near-perfect recall vs float ground truth") {
+    val emb = Tables.embeddings(spark, sf)
+    val q8 = Ann.bruteTopKQ8(emb)
+    val ranks = q8.select("q_id", "rnk").as[(Long, Int)].collect()
+    assert(ranks.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1 to rs.length) })
+    val r = Ann.recall(q8, Ann.bruteTopK(emb))
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).as[(Long, Long)].head()
+    assert(r._1 >= r._2 * 4 / 5, s"int8 recall@5 collapsed: ${r._1}/${r._2}")
+  }
 }
