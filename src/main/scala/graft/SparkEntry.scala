@@ -81,6 +81,19 @@ object SparkEntry {
       // latest op per key, tombstones retained — the compacted segment
       // is itself a valid changelog (see Changelog.logCompact)
       Changelog.logCompact(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
+    "cdc_snapshot_diff" -> ((s, d) => {
+      // replica-drift detection against a deliberately damaged copy:
+      // keys id%7==0 dropped (missing), id%5==0 nudged (stale),
+      // id%11==0 echoed at id+500000 (extra)
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val st = Changelog.entityState(log).select(col("tbl"), col("id"), col("val"))
+      val replica = st.filter(col("id") % 7 =!= 0)
+        .withColumn("val",
+          when(col("id") % 5 === 0, col("val") + 1.0).otherwise(col("val")))
+        .unionByName(st.filter(col("id") % 11 === 0)
+          .select(col("tbl"), (col("id") + 500000).as("id"), col("val")))
+      Changelog.snapshotDiff(replica, log)
+    }),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -478,6 +491,26 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
         |  FROM committed)
         |SELECT pos, op, tbl, id, val FROM r WHERE rn = 1""".stripMargin),
+    "cdc_snapshot_diff" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed),
+        |st AS (SELECT tbl, id, val FROM r WHERE rn = 1 AND op = 'upsert'),
+        |rep AS (
+        |  SELECT tbl, id,
+        |         CASE WHEN id % 5 = 0 THEN val + 1.0 ELSE val END AS val
+        |  FROM st WHERE id % 7 <> 0
+        |  UNION ALL
+        |  SELECT tbl, id + 500000 AS id, val FROM st WHERE id % 11 = 0),
+        |d AS (
+        |  SELECT coalesce(rp.tbl, e.tbl) AS tbl, coalesce(rp.id, e.id) AS id,
+        |         rp.val AS r_val, e.val AS e_val,
+        |         CASE WHEN rp.val IS NULL THEN 'missing'
+        |              WHEN e.val IS NULL THEN 'extra'
+        |              WHEN rp.val <> e.val THEN 'stale' END AS kind
+        |  FROM rep rp FULL OUTER JOIN st e ON rp.tbl = e.tbl AND rp.id = e.id)
+        |SELECT tbl, id, r_val, e_val, kind FROM d WHERE kind IS NOT NULL""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,

@@ -395,4 +395,32 @@ object Changelog {
         when(col("l_id").isNotNull, lit("log")).otherwise(lit("snapshot")).as("src")
       )
   }
+
+  /** Replica-drift detection: diff a materialized copy against what
+    * the log says the state IS — the consistency check every CDC
+    * deployment eventually needs ("is the downstream table still in
+    * sync, and if not, which keys?"). Emits ONLY the out-of-sync
+    * keys, classified: `missing` (log has the row, replica lost it),
+    * `extra` (replica has a row the log tombstoned or never wrote),
+    * `stale` (both present, values differ). In-sync keys emit
+    * nothing, so at 100 TB the result is drift-sized, not
+    * table-sized, and the single full-outer join is the same
+    * key-hash shuffle [[applyChangelog]] already pays.
+    *
+    * `replica` must carry `(tbl, id, val)`; the expected side is
+    * [[entityState]] of the (committed) log — pass a position-cut log
+    * ([[entityStateAt]] semantics) to diff against a historical
+    * consistency point. */
+  def snapshotDiff(replica: DataFrame, log: DataFrame): DataFrame = {
+    val expect = entityState(log)
+      .select(col("tbl"), col("id"), col("val").as("e_val"))
+    val have = replica.select(col("tbl"), col("id"), col("val").as("r_val"))
+    have.join(expect, Seq("tbl", "id"), "full_outer")
+      .withColumn("kind",
+        when(col("r_val").isNull, lit("missing"))
+          .when(col("e_val").isNull, lit("extra"))
+          .when(col("r_val") =!= col("e_val"), lit("stale")))
+      .filter(col("kind").isNotNull)
+      .select(col("tbl"), col("id"), col("r_val"), col("e_val"), col("kind"))
+  }
 }

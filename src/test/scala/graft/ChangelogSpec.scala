@@ -227,4 +227,24 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out.filter(col("op") =!= "upsert").count() == 0)
     assert(out.count() == c.count())
   }
+
+  test("snapshotDiff: in-sync replica diffs empty; drift classified missing/extra/stale") {
+    val log = Seq(
+      (1L, "upsert", "t", 1L, 0L, 10.0, 0L, "x"),
+      (2L, "upsert", "t", 2L, 0L, 20.0, 0L, "x"),
+      (3L, "upsert", "t", 3L, 0L, 30.0, 0L, "x"),
+      (4L, "delete", "t", 3L, 0L, 0.0, 0L, "x")
+    ).toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+    val inSync = Changelog.entityState(log).select("tbl", "id", "val")
+    assert(Changelog.snapshotDiff(inSync, log).count() == 0,
+      "a faithful replica must produce an empty diff")
+    val drifted = Seq(
+      ("t", 1L, 11.0), // stale (log says 10.0)
+      ("t", 3L, 30.0), // extra (log tombstoned id 3)
+      ("t", 9L, 90.0)  // extra (log never wrote id 9)
+    ).toDF("tbl", "id", "val") // id 2 absent → missing
+    val out = Changelog.snapshotDiff(drifted, log)
+      .select("id", "kind").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "stale"), (2L, "missing"), (3L, "extra"), (9L, "extra")))
+  }
 }
