@@ -96,6 +96,15 @@ class StreamingSpec extends AnyFunSuite {
     val scrubbed = spark.table("hyg_p").where(col("doc_id") === 3L)
       .select("scrubbed").as[String].collect().head
     assert(scrubbed == "reach me at <EMAIL> please")
+    // the same argument covers embedding quantization at ingest: a
+    // map-only plan, so int8 storage rows stream out as vectors land
+    val ein = MemoryStream[(Long, Seq[Float])]
+    val qq = graft.operators.Ann.quantizeInt8(ein.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("hyg_e").outputMode("append").start()
+    ein.addData((7L, Seq(1.0f, -0.5f)))
+    qq.processAllAvailable(); qq.stop()
+    val qs = spark.table("hyg_e").select("d", "q").as[(Int, Int)].collect().toMap
+    assert(qs == Map(0 -> 127, 1 -> -63)) // floor(-0.5*127+0.5) = -63
   }
 
   test("B2: positionTracking emits the resume token (next-position)") {
