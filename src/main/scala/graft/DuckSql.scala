@@ -428,4 +428,35 @@ object DuckSql {
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
        |  FROM scored)
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Oracle for `distinct_kmv`: replay of the KMV distinct sketch
+    * ([[graft.operators.Sketch.distinctKmvChecked]]) — splitmix64 of
+    * each distinct user_id, mask to [0, 2⁶³), k smallest per
+    * event_type, estimate (k−1)·2⁶³/kth. DISTINCT is taken on the
+    * MASKED hash (the sketch dedups hashes, so a 63-bit collision
+    * collapses in both engines identically). */
+  def kmvOracle(k: Int, seed: Long): String = {
+    val scale = dlit((k - 1).toDouble * math.pow(2.0, 63))
+    s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events
+       |               WHERE user_id IS NOT NULL),
+       |m AS (SELECT DISTINCT event_type, h % 9223372036854775808 AS h63
+       |      FROM ${hashLongCtes("pairs", "event_type", "user_id", seed, "h")} t),
+       |r AS (SELECT event_type, h63,
+       |             row_number() OVER (PARTITION BY event_type ORDER BY h63) AS rn
+       |      FROM m),
+       |kept AS (SELECT event_type AS stratum, count(*) AS n_kept,
+       |                CAST(max(h63) AS BIGINT) AS kth_min
+       |         FROM r WHERE rn <= $k GROUP BY event_type),
+       |est AS (SELECT stratum, n_kept, kth_min,
+       |               CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |                    ELSE $scale / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |        FROM kept),
+       |ex AS (SELECT event_type AS stratum,
+       |              count(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY event_type)
+       |SELECT e.stratum, n_kept, kth_min, est_distinct, exact_distinct,
+       |       abs((est_distinct - CAST(exact_distinct AS DOUBLE)) /
+       |           CAST(exact_distinct AS DOUBLE)) AS rel_err
+       |FROM est e JOIN ex USING (stratum)""".stripMargin
+  }
 }

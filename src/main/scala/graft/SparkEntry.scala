@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Cluster, Corpus, Dedup, RangeJoin, Sampling}
+import graft.operators.{Ann, AsOf, Cluster, Corpus, Dedup, RangeJoin, Sampling, Sketch}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -296,7 +296,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rk"))),
     "shard_assign" -> ((s, d) =>
       Sampling.shardAssign(Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 8)),
-    "corpus_stats" -> ((s, d) => Corpus.corpusStats(Tables.documents(s, d)))
+    "corpus_stats" -> ((s, d) => Corpus.corpusStats(Tables.documents(s, d))),
+    "distinct_kmv" -> ((s, d) =>
+      // KMV distinct sketch + its measured error vs the exact count
+      // (the recall-gate pattern: the approximation cost is a result)
+      Sketch.distinctKmvChecked(
+        Tables.events(s, d), col("event_type"), col("user_id"), 256))
   )
 
   /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
@@ -1010,6 +1015,7 @@ object SparkEntry {
     // hash-pipeline oracles: bit-exact DuckDB replays of the custom
     // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
     "doc_fingerprint" -> DuckSql.fingerprintOracle,
+    "distinct_kmv" -> DuckSql.kmvOracle(k = 256, seed = 7L),
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,
