@@ -301,7 +301,13 @@ object SparkEntry {
       // KMV distinct sketch + its measured error vs the exact count
       // (the recall-gate pattern: the approximation cost is a result)
       Sketch.distinctKmvChecked(
-        Tables.events(s, d), col("event_type"), col("user_id"), 256))
+        Tables.events(s, d), col("event_type"), col("user_id"), 256)),
+    "weighted_sample" -> ((s, d) =>
+      // length-weighted per-language sample (weight = n_chars)
+      Sampling.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          col("doc_id"), col("n_chars"), col("lang"), n = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"), col("rk")))
   )
 
   /** Shared oracle CTE: the canonical synthetic changelog (SURVEY §3).
@@ -1016,6 +1022,17 @@ object SparkEntry {
     // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
     "doc_fingerprint" -> DuckSql.fingerprintOracle,
     "distinct_kmv" -> DuckSql.kmvOracle(k = 256, seed = 7L),
+    "weighted_sample" ->
+      s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", 23L, "h")} t),
+         |pr AS (SELECT doc_id, lang, n_chars,
+         |              CAST(h % 9223372036854775808 AS DOUBLE) /
+         |              CAST(n_chars AS DOUBLE) AS priority
+         |       FROM hh),
+         |r AS (SELECT doc_id, lang, n_chars, priority,
+         |             CAST(row_number() OVER (PARTITION BY lang
+         |                    ORDER BY priority, doc_id) AS INT) AS rk
+         |      FROM pr)
+         |SELECT doc_id, lang, n_chars, priority, rk FROM r WHERE rk <= 100""".stripMargin,
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,

@@ -81,4 +81,38 @@ object Sampling {
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("int"))
       .drop("__h")
   }
+
+  /** Deterministic weighted sample: the `n` rows per stratum with the
+    * smallest `priority = hash63(id) / weight` — a hash-uniform
+    * priority scaled by 1/weight, so selection probability grows
+    * monotonically with the weight (quality-weighted corpus sampling:
+    * weight = a quality score, token count, dedup-keeper score, …).
+    *
+    * Honest note on the distribution: the textbook
+    * Efraimidis–Spirakis key is u^(1/w) (equivalently −ln(u)/w),
+    * which makes inclusion probabilities EXACTLY proportional to
+    * weights. `ln`/`pow` are libm calls whose last-ulp behavior
+    * differs across engines, which would break the bit-exact oracle
+    * this repo holds every operator to — so the shipped priority is
+    * the one-IEEE-division u/w: same monotone weight preference,
+    * same top-k plan, slightly flatter tail probabilities. Swap the
+    * priority expression for `-log(u)/w` if within-engine
+    * determinism is enough.
+    *
+    * Plan shape at 100 TB: priorities are map-side; the per-stratum
+    * top-n runs as a partial WindowGroupLimit BEFORE the one stratum
+    * exchange, so each partition ships at most n rows per stratum —
+    * never the corpus. Ties (two ids with equal priority) break by
+    * id, so the sample is total-order stable. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, stratum: Column,
+                     n: Int, seed: Long = 23L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // mask to [0, 2^63) so the double conversion is of a nonnegative
+    // exact integer (DuckDB replay: h % 2^63, same division)
+    val h63 = Hashing.hashLong64(id, seed).bitwiseAND(Long.MaxValue)
+    val w = Window.partitionBy(stratum).orderBy(col("priority"), id)
+    df.withColumn("priority", h63.cast("double") / weight.cast("double"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= n)
+  }
 }

@@ -270,4 +270,35 @@ class CorpusSamplingSpec extends AnyFunSuite {
     val twice = Changelog.logCompact(compact).collect().map(_.toSeq).toSet
     assert(twice == compact.collect().map(_.toSeq).toSet)
   }
+
+  test("weighted sample prefers heavy rows, exactly n per stratum, repartition-stable") {
+    // 100 heavy rows (w=10000) among 9900 light (w=10): with priority
+    // u/w a heavy row's priority is 1000x smaller in expectation, so
+    // most of the 100 picks should be heavy (~90 in expectation)
+    val df = spark.range(10000).select(
+      col("id"), lit("s").as("g"),
+      when(col("id") < 100, 10000L).otherwise(10L).as("w"))
+    val picked = Sampling.weightedSample(df, col("id"), col("w"), col("g"), n = 100)
+    val rows = picked.collect()
+    assert(rows.length == 100, "exactly n rows for a stratum with >= n rows")
+    val heavy = rows.count(_.getAs[Long]("w") == 10000L)
+    assert(heavy >= 70, s"weighted preference: only $heavy/100 heavy rows picked")
+    // deterministic under physical layout changes
+    val again = Sampling.weightedSample(df.repartition(16), col("id"), col("w"), col("g"), n = 100)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == rows.map(_.getAs[Long]("id")).toSet)
+    // a stratum with fewer than n rows returns all of it, ranked
+    val tiny = Sampling.weightedSample(df.limit(7), col("id"), col("w"), col("g"), n = 100)
+    assert(tiny.count() == 7)
+  }
+
+  test("weighted sample plan: per-stratum top-n capped map-side before the exchange") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val df = spark.range(10000).select(
+      col("id"), (col("id") % 5).cast("string").as("g"), (col("id") % 97 + 1).as("w"))
+    val p = Sampling.weightedSample(df, col("id"), col("w"), col("g"), n = 10)
+      .queryExecution.explainString(FormattedMode)
+    assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expect partial (pre-shuffle) + final WindowGroupLimit:\n$p")
+  }
 }
