@@ -103,6 +103,10 @@ object SparkEntry {
     "cdc_dlq" -> ((s, d) => RowFormat.deadLetter(ev(s, d))),
     "cdc_schema_attach" -> ((s, d) =>
       SchemaRegistry.attachDemo(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
+    "cdc_schema_migrate" -> ((s, d) =>
+      // as-of attach -> per-charset decode -> project onto the LATEST
+      // schema version (name-aligned; post-ALTER columns show ∅)
+      SchemaRegistry.migrateDemo(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
     "cdc_group_table_maps" -> ((s, d) => {
       // synthetic raw binlog: signup events play the table_map role
       // (announcing db/tbl), error events are bare markers, the rest
@@ -573,6 +577,38 @@ object SparkEntry {
         |FROM committed l JOIN vc v
         |  ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
         |WHERE NOT (l.etype = 'purchase' AND l.id % 10 = 3)""".stripMargin),
+    "cdc_schema_migrate" -> (logCte +
+      """, alters AS (
+        |  SELECT tbl, pos, CAST(row_number() OVER (PARTITION BY tbl ORDER BY pos) AS INT) AS version
+        |  FROM committed WHERE etype = 'purchase' AND id % 100 = 3),
+        |vu AS (
+        |  SELECT b.tbl, 0 AS version, -1 AS from_pos FROM (VALUES ('customer'), ('orders')) b(tbl)
+        |  UNION ALL
+        |  SELECT tbl, version, pos AS from_pos FROM alters),
+        |vi AS (
+        |  SELECT tbl, version, from_pos,
+        |         coalesce(lead(from_pos) OVER (PARTITION BY tbl ORDER BY from_pos),
+        |                  9223372036854775807) AS until_pos
+        |  FROM vu),
+        |vm AS (
+        |  SELECT tbl, max(version) AS vmax,
+        |         (CASE WHEN tbl = 'customer' THEN ['c_id','c_name','c_acct','c_seg']
+        |               ELSE ['o_id','o_custkey','o_total','o_status'] END
+        |          || ['extra_' || CAST(i AS VARCHAR) for i in range(1, max(version) + 1)]) AS names
+        |  FROM vu GROUP BY tbl)
+        |SELECT l.pos, l.op, l.tbl, l.id, v.version AS schema_version,
+        |       m.vmax AS target_version,
+        |       CAST(4 + m.vmax AS INT) AS target_n_cols,
+        |       array_to_string(
+        |         [ m.names[jj] || '=' ||
+        |           CASE WHEN jj <= 4 + v.version
+        |                THEN l.tbl || ':' || CAST(l.id AS VARCHAR) || ':' || CAST(jj AS VARCHAR)
+        |                ELSE '∅' END
+        |           for jj in range(1, 4 + m.vmax + 1) ], ',') AS migrated_sig
+        |FROM committed l
+        |JOIN vi v ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
+        |JOIN vm m ON l.tbl = m.tbl
+        |WHERE NOT (l.etype = 'purchase' AND l.id % 100 = 3)""".stripMargin),
     "cdc_group_table_maps" -> (logCte +
       """, raw AS (
         |  SELECT 'bf_' || CAST(pos // 2500 AS VARCHAR) AS file, pos,

@@ -165,19 +165,85 @@ object SchemaRegistry {
     * themselves are removed from the output, exactly like the
     * reference's `add-table-schema` filters `:alter-table` events
     * after clearing the cache (`stream.clj:198-212`). */
+  private def isDemoAlter: Column = col("etype") === "purchase" && col("id") % 10 === 3
+
+  /** Fixed 4-column base specs of the demo tables (SURVEY §3). */
+  private val demoSpecs = Map(
+    "customer" -> Seq(ColSpec("c_id", "bigint"), ColSpec("c_name", "varchar", "utf8mb4"),
+      ColSpec("c_acct", "decimal"), ColSpec("c_seg", "char", "latin1")),
+    "orders" -> Seq(ColSpec("o_id", "bigint"), ColSpec("o_custkey", "bigint"),
+      ColSpec("o_total", "decimal"), ColSpec("o_status", "char", "latin1")))
+
+  /** The demo registry: base specs + synthesized ALTERs (`alterRule`
+    * rows of the committed log open a new version of their table). */
+  private def demoRegistry(committed: DataFrame, alterRule: Column): DataFrame =
+    withAlters(
+      base(committed.sparkSession, demoSpecs),
+      committed.filter(alterRule).select(col("tbl"), col("pos")))
+
+  /** Driver-query wiring (`cdc_schema_attach`, SURVEY §3 synthetic
+    * rules): ALTER TABLE events are committed `purchase` rows with
+    * `id % 10 = 3` (routed to their row's table); base schemas are
+    * fixed 4-column specs per synthetic table. The ALTER rows
+    * themselves are removed from the output, exactly like the
+    * reference's `add-table-schema` filters `:alter-table` events
+    * after clearing the cache (`stream.clj:198-212`). */
   def attachDemo(committed: DataFrame): DataFrame = {
-    val isAlter = col("etype") === "purchase" && col("id") % 10 === 3
-    val specs = Map(
-      "customer" -> Seq(ColSpec("c_id", "bigint"), ColSpec("c_name", "varchar", "utf8mb4"),
-        ColSpec("c_acct", "decimal"), ColSpec("c_seg", "char", "latin1")),
-      "orders" -> Seq(ColSpec("o_id", "bigint"), ColSpec("o_custkey", "bigint"),
-        ColSpec("o_total", "decimal"), ColSpec("o_status", "char", "latin1")))
-    val registry = withAlters(
-      base(committed.sparkSession, specs),
-      committed.filter(isAlter).select(col("tbl"), col("pos")))
-    attach(committed.filter(!isAlter), registry)
+    attach(committed.filter(!isDemoAlter), demoRegistry(committed, isDemoAlter))
       .select(col("pos"), col("op"), col("tbl"), col("id"),
         col("schema_version"), col("n_cols"), col("cols_sig"))
+  }
+
+  /** Migrate-on-read: project every row — decoded under the schema
+    * version in force AT ITS POSITION — onto its table's LATEST
+    * registered schema, aligning by COLUMN NAME: columns the latest
+    * schema shares with the row's version carry their value, columns
+    * added since appear as absent (∅), columns dropped since vanish.
+    * This is the "read the whole evolved log in today's schema"
+    * operator every changelog consumer ends up writing; the reference
+    * stops at per-row as-of decode (`stream.clj:197-241`), leaving
+    * the alignment to the reader.
+    *
+    * Scale shape: the latest-version frame is one row per table
+    * (control-sized, broadcast); the projection is a map-only
+    * transform over the already-attached rows — migration adds ZERO
+    * exchanges on top of the attach. */
+  def migrateToLatest(converted: DataFrame, registry: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl")).orderBy(col("version").desc)
+    val latest = registry
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("tbl"), col("version").as("target_version"),
+        col("col_names").as("target_cols"))
+    converted.join(broadcast(latest), Seq("tbl"), "left")
+      .withColumn("target_n_cols", size(col("target_cols")))
+      .withColumn("migrated_sig",
+        array_join(transform(col("target_cols"), c =>
+          concat(c, lit("="), coalesce(element_at(col("row_map"), c), lit("∅")))), ","))
+  }
+
+  /** Driver-query wiring (`cdc_schema_migrate`): the [[attachDemo]]
+    * pipeline extended end-to-end — attach the as-of schema,
+    * synthesize each row's raw binary values (`tbl:id:ordinal` UTF-8
+    * bytes, one per attached column — deterministic, so the decode
+    * path runs for real and the oracle can replay it), decode via
+    * [[convertWithSchema]] (exercising the per-charset branches on
+    * ASCII-safe bytes), then [[migrateToLatest]]. */
+  def migrateDemo(committed: DataFrame): DataFrame = {
+    // migrate's own ALTER rule is 10x rarer than attachDemo's: the
+    // migrated row WIDTH grows with the table's total ALTER count
+    // (every version appends a column), so %10 would make each
+    // signature O(log-size/10) columns at sf0.1 — a degenerate table,
+    // not a realistic evolution. %100 keeps tens of versions.
+    val isAlter = col("etype") === "purchase" && col("id") % 100 === 3
+    val registry = demoRegistry(committed, isAlter)
+    val attached = attach(committed.filter(!isAlter), registry)
+      .withColumn("vals_raw",
+        transform(sequence(lit(1), col("n_cols")),
+          j => encode(concat_ws(":", col("tbl"), col("id"), j), "UTF-8")))
+    migrateToLatest(convertWithSchema(attached, "vals_raw"), registry)
+      .select(col("pos"), col("op"), col("tbl"), col("id"),
+        col("schema_version"), col("target_version"),
+        col("target_n_cols"), col("migrated_sig"))
   }
 
   /** MySQL charset name → the name Spark's `decode` accepts.

@@ -183,4 +183,24 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(out._1 == 1)
     assert(out._2 == Map("id" -> "1", "body" -> "x"))
   }
+
+  test("migrateToLatest aligns by name: added columns show ∅, dropped columns vanish") {
+    // registry: v0 = (a, b); v1 = (a, c) — b dropped, c added
+    val registry = Seq(
+      ("t", 0, Seq("a", "b")),
+      ("t", 1, Seq("a", "c")))
+      .toDF("tbl", "version", "col_names")
+    // one row decoded under each version
+    val converted = Seq(
+      ("t", 0, Map("a" -> "1", "b" -> "2")),
+      ("t", 1, Map("a" -> "3", "c" -> "4")))
+      .toDF("tbl", "schema_version", "row_map")
+    val out = SchemaRegistry.migrateToLatest(converted, registry)
+      .select(col("schema_version"), col("target_version"),
+        col("target_n_cols"), col("migrated_sig"))
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0, 1, 2, "a=1,c=∅")),
+      "v0 row: shared a carries, dropped b vanishes, added c is absent")
+    assert(out(1) == ((1, 1, 2, "a=3,c=4")), "latest-version row is identity")
+  }
 }
