@@ -2,6 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{Hashing, TextFunctions}
 
 /** Watermarked event-stream aggregations (SURVEY §2 B3) — the
   * "populating live views / analytics without re-querying MySQL" use
@@ -85,6 +88,88 @@ object EventStreams {
     * as [[UpsertSink]]'s version directories). The split is two
     * filters over one persisted batch — the batch is scanned once
     * from the source, not twice. */
+  /** One LSH band-bucket hit: `doc_id` landed in a bucket owned by
+    * `owner` (owner == doc_id means this doc claimed the bucket). */
+  case class BandHit(doc_id: Long, band: Int, owner: Long)
+
+  /** Streaming NEAR-duplicate detection (SURVEY §2 B18): the
+    * ingest-time twin of [[graft.operators.Dedup.minhashLsh]]. Each
+    * doc's MinHash signature is banded exactly like the batch
+    * operator; state is keyed by (band, band_hash) and remembers the
+    * FIRST doc_id that claimed that bucket — a later doc colliding in
+    * ANY band reports that bucket's owner. Same-micro-batch
+    * collisions resolve deterministically (lowest doc_id claims).
+    *
+    * State discipline at scale: an entry is (16 B key, 8 B owner) per
+    * DISTINCT occupied bucket — never text, signatures, or shingles
+    * (the same body-never-shuffles rule as everywhere else). An
+    * EVENT-time TTL (`stateTtl` past the `ts` watermark) expires
+    * buckets not re-hit, bounding the store the same way
+    * [[dedupDocs]]'s watermark does — a near-dup arriving later than
+    * the TTL may pass, and the batch MinHash pass downstream catches
+    * it. Event-time (not processing-time) timeouts matter
+    * operationally too: they fire as the WATERMARK advances, so an
+    * idle stream does not busy-spin no-data micro-batches purging
+    * state (processing-time timeouts schedule extra batches).
+    *
+    * Emits band-level hits (Update mode); roll up per doc with
+    * [[nearDupSink]]. Docs with fewer than 3 tokens have no shingles
+    * and are filtered exactly like the batch operator's `grp_ok`
+    * gate (empty-set Jaccard is not a match). */
+  def nearDupBandHits(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                      watermark: String = "10 minutes",
+                      stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    // the watermark-tagged `ts` attribute must flow INTO the stateful
+    // operator itself (projecting it to a long would strip the tag
+    // and fail the event-time-timeout analysis check)
+    val exploded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(Hashing.bandHashes(Hashing.minhash(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "bh")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    exploded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rowsArr = it.toArray
+            val ids = rowsArr.map(_._1).sorted
+            val owner = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(owner)
+            // expire this bucket stateTtl past the newest hit's event
+            // time (never earlier than the current watermark)
+            val newest = rowsArr.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            ids.iterator.map(d => BandHit(d, key._1, owner))
+          }
+      }.toDF()
+  }
+
+  /** Per-doc rollup of [[nearDupBandHits]]: one row per doc per
+    * micro-batch with `dup_of` = the lowest foreign bucket owner over
+    * all its bands (NULL ⇒ novel). Replay-idempotent like
+    * [[routeWithDlq]]: a batch overwrites its own `batch=<id>` dir. */
+  def nearDupSink(hits: DataFrame, outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hits.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col("doc_id"))
+          .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+          .withColumn("is_dup", col("dup_of").isNotNull)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+    }
+
   def routeWithDlq(events: DataFrame, goodDir: String, dlqDir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -309,4 +309,62 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(goodDir).count() == 1, "batch=0 overwritten, not appended")
   }
+
+  test("B18: streaming near-dup flags band collisions across AND within micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val in = MemoryStream[(Long, Long, String)] // (doc_id, epoch_sec, text)
+    // ~60 tokens with ONE word changed: Jaccard ~0.95, far above the
+    // 16-band x 8-row detection threshold (~0.7)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok60", "changed")
+    val novel = "completely different content about distributed query engines and shuffles"
+    val docs = in.toDF().toDF("doc_id", "sec", "text")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val q = EventStreams.nearDupSink(EventStreams.nearDupBandHits(docs), outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString)
+      .start()
+    in.addData((10L, 100L, base))
+    q.processAllAvailable()
+    in.addData((20L, 110L, near), (30L, 110L, novel)) // cross-batch dup + novel doc
+    val pairTxt = (1 to 40).map(i => s"pair$i").mkString(" ") // unrelated to base/novel
+    in.addData((41L, 120L, pairTxt), (40L, 120L, pairTxt)) // same-batch identical pair
+    q.processAllAvailable(); q.stop()
+    val m = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[Any]("dup_of"))))).toMap
+    assert(m(10L)._1 == false, "first doc is novel")
+    assert(m(20L) == ((true, Some(10L))), "cross-batch near-dup points at the owner")
+    assert(m(30L)._1 == false, "unrelated doc is not flagged")
+    assert(m(40L)._1 == false, "lowest doc_id claims the bucket within a batch")
+    assert(m(41L) == ((true, Some(40L))), "same-batch twin resolves deterministically")
+  }
+
+  test("B18b: event-time TTL expires idle band buckets — a late near-dup passes (the documented trade)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_neardup_ttl").toString
+    val in = MemoryStream[(Long, Long, String)]
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val fillerA = (1 to 40).map(i => s"fillA$i").mkString(" ")
+    val fillerB = (1 to 40).map(i => s"fillB$i").mkString(" ")
+    val docs = in.toDF().toDF("doc_id", "sec", "text")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val q = EventStreams.nearDupSink(
+        EventStreams.nearDupBandHits(docs, watermark = "1 second", stateTtlMs = 60000L),
+        outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_neardup_ttl_ckpt").toString)
+      .start()
+    in.addData((10L, 100L, base)); q.processAllAvailable()   // buckets expire at t=160s
+    in.addData((50L, 400L, fillerA)); q.processAllAvailable() // watermark -> 399s
+    in.addData((51L, 401L, fillerB)); q.processAllAvailable() // idle base buckets time out
+    in.addData((60L, 500L, base)); q.processAllAvailable()   // exact dup, but state expired
+    q.stop()
+    val m = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(m(10L) == false && m(50L) == false && m(51L) == false)
+    assert(m(60L) == false,
+      "buckets idle past the TTL are gone — the late dup re-claims them (batch pass catches it)")
+  }
 }
