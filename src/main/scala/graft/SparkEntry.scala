@@ -132,6 +132,8 @@ object SparkEntry {
     "sessionize" -> (Analytics.sessionize _),
     "event_windowed_agg" -> (Analytics.eventWindowedAgg _),
     "user_funnel" -> (Analytics.userFunnel _),
+    "rollup_summary" -> (Analytics.rollupSummary _),
+    "event_pivot" -> (Analytics.eventPivot _),
     "asof_join" -> ((s, d) => {
       // each purchase picks up the user's latest view at-or-before it
       val log = Changelog.fromEvents(ev(s, d))
@@ -712,6 +714,21 @@ object SparkEntry {
         |       CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
         |                 AND first_view < first_purchase THEN 1 ELSE 0 END AS converted
         |FROM a""".stripMargin,
+    "rollup_summary" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "event_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS n_click,
+        |       count(*) FILTER (event_type = 'view') AS n_view,
+        |       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "near_dup_jaccard" ->

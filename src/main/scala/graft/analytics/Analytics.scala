@@ -139,4 +139,41 @@ object Analytics {
       .withColumn("converted",
         when(col("first_view").isNotNull && col("first_purchase").isNotNull &&
           col("first_view") < col("first_purchase"), lit(1)).otherwise(lit(0)))
+
+  /** Multi-level aggregate via ROLLUP (SURVEY §2 C11): per
+    * (flag, status), per flag, and grand total in ONE pass — Spark
+    * plans rollup as a single Expand(3 projections)+aggregate, so
+    * the scan happens once, not three times (the naive UNION ALL of
+    * three GROUP BYs). Subtotal keys are coalesced to 'ALL' and
+    * tagged with `grouping_id` so the level is explicit rather than
+    * NULL-encoded (NULL group values and NULL subtotals would be
+    * indistinguishable). */
+  def rollupSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_qty"))
+
+  /** Wide per-user event matrix via PIVOT (SURVEY §2 C12). The value
+    * list is EXPLICIT: an unlisted pivot makes Spark run a separate
+    * collect-distinct job over the full table before it can even plan
+    * — a hidden scan a 100 TB pipeline cannot afford (and
+    * nondeterministic column order besides). With the list, this is
+    * one Expand-free hash aggregate, same cost as the funnel. */
+  def eventPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
 }

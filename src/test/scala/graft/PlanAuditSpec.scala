@@ -199,4 +199,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // the (tbl, id) window, plus the tiny rolled-back-tx distinct
     assert(n <= 2, s"expected ≤ 2 exchanges, found $n")
   }
+
+  test("rollup_summary: one scan, one Expand, one exchange — not three UNION'd aggregates") {
+    val p = formatted("rollup_summary")
+    assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 1,
+      "ROLLUP must scan lineitem once")
+    assert(raw"\(\d+\) Expand\b".r.findAllIn(p).size == 1,
+      "the three grouping levels come from a single Expand")
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
+      "one group-key exchange after the partial aggregate")
+  }
+
+  test("event_pivot: explicit value list — one scan, no collect-distinct pre-job, both phases partial") {
+    val p = formatted("event_pivot")
+    assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 1,
+      "pivot with a literal value list must not re-scan for distinct values")
+    // Spark's standard pivot shape: (user,type) count, then pivotfirst
+    // by user — two exchanges, each fed by a partial aggregate so the
+    // shuffles carry per-key counts, not events
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 2,
+      s"the two cascaded agg phases:\n$p")
+    assert(p.contains("partial_pivotfirst"),
+      "the pivot phase must combine map-side too")
+    assert(!p.contains("Expand"), "pivot-on-agg must not Expand the scan")
+  }
 }
