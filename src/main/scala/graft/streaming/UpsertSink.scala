@@ -125,12 +125,39 @@ object UpsertSink {
   /** Read the currently-published snapshot (empty frame if none). */
   def readCurrent(spark: SparkSession, tableDir: String): DataFrame =
     currentVersion(tableDir) match {
-      case Some(v) =>
-        val dirs = readManifest(tableDir, v).values.toSeq.sorted
-        if (dirs.isEmpty) emptySnapshot(spark)
-        else spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+      case Some(v) => readManifestSnapshot(spark, tableDir, v)
       case None => emptySnapshot(spark)
     }
+
+  /** Batch ids whose manifests are still on disk, ascending — the
+    * versions [[readVersion]] can time-travel to. */
+  def retainedVersions(tableDir: String): Seq[Long] =
+    Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
+      .map(_.getName.stripSuffix(".manifest").drop(1).toLong)
+      .sorted.toSeq
+
+  /** Time travel: the table exactly as published by batch `batchId`.
+    * Works for any version whose manifest retention
+    * (`retainVersions`) still holds — version directories are shared
+    * structurally, so a retained historical snapshot costs only the
+    * buckets that have since been rewritten. Raises (with the
+    * retained list) on a pruned or never-published version rather
+    * than silently serving the wrong data. */
+  def readVersion(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
+    val v = s"v$batchId"
+    require(Files.exists(Paths.get(tableDir, s"$v.manifest")),
+      s"version $v is not retained at $tableDir " +
+        s"(retained: ${retainedVersions(tableDir).mkString(", ")})")
+    readManifestSnapshot(spark, tableDir, v)
+  }
+
+  private def readManifestSnapshot(spark: SparkSession, tableDir: String,
+                                   version: String): DataFrame = {
+    val dirs = readManifest(tableDir, version).values.toSeq.sorted
+    if (dirs.isEmpty) emptySnapshot(spark)
+    else spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+  }
 
   /** Delete manifests beyond the newest `retain` (min 2: readers that
     * resolved the pointer just before a flip may still be scanning the
@@ -241,12 +268,15 @@ object UpsertSink {
     pruneVersions(tableDir, retainVersions)
   }
 
-  /** Start materializing a changelog stream into `tableDir`. */
+  /** Start materializing a changelog stream into `tableDir`.
+    * `retainVersions` > 2 keeps that much [[readVersion]] time-travel
+    * history on disk. */
   def materialize(changes: Dataset[Change], tableDir: String,
-                  checkpointDir: String, numBuckets: Int = 64): StreamingQuery =
+                  checkpointDir: String, numBuckets: Int = 64,
+                  retainVersions: Int = 2): StreamingQuery =
     changes.writeStream
       .foreachBatch((batch: Dataset[Change], batchId: Long) =>
-        mergeBatch(batch, tableDir, batchId, numBuckets))
+        mergeBatch(batch, tableDir, batchId, numBuckets, retainVersions))
       .option("checkpointLocation", checkpointDir)
       .start()
 }

@@ -203,4 +203,34 @@ class UpsertSinkSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(all == Set(100L, 101L, 102L, 103L)) // history intact via shared dirs
   }
+
+  test("time travel: a retained version reads as the exact post-batch snapshot; pruned raises") {
+    val tableDir = Files.createTempDirectory("graft_sink_tt").toString
+    // retain 3 versions of a table evolving one key per batch
+    UpsertSink.mergeBatch(Seq(
+      Change(1, "upsert", "t", 1L, 1.0),
+      Change(2, "upsert", "t", 2L, 2.0)).toDS(), tableDir, 0L, retainVersions = 3)
+    UpsertSink.mergeBatch(Seq(
+      Change(3, "upsert", "t", 1L, 9.0)).toDS(), tableDir, 1L, retainVersions = 3)
+    UpsertSink.mergeBatch(Seq(
+      Change(4, "delete", "t", 2L, 0.0),
+      Change(5, "upsert", "t", 3L, 3.0)).toDS(), tableDir, 2L, retainVersions = 3)
+
+    assert(UpsertSink.retainedVersions(tableDir) == Seq(0L, 1L, 2L))
+    def snap(b: Long) = UpsertSink.readVersion(spark, tableDir, b)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(snap(0L) == Set((1L, 1.0), (2L, 2.0)), "v0: the original publish")
+    assert(snap(1L) == Set((1L, 9.0), (2L, 2.0)), "v1: update visible, delete not yet")
+    assert(snap(2L) == Set((1L, 9.0), (3L, 3.0)), "v2 == current")
+    assert(snap(2L) == UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet)
+
+    // a fourth batch ages v0 out (retain 3) — time travel to it raises
+    UpsertSink.mergeBatch(Seq(
+      Change(6, "upsert", "t", 4L, 4.0)).toDS(), tableDir, 3L, retainVersions = 3)
+    assert(UpsertSink.retainedVersions(tableDir) == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](snap(0L))
+    assert(e.getMessage.contains("not retained") && e.getMessage.contains("1, 2, 3"),
+      e.getMessage)
+  }
 }
