@@ -269,21 +269,22 @@ object DuckSql {
     * Decimal sums are order-independent and both engines cast
     * double→decimal round-to-nearest (exact ties are impossible for
     * binary doubles at scale 7), so centroids match bit-for-bit. */
-  private def kmAssignCte(name: String, cents: String, dim: Int): String =
+  private def kmAssignCte(name: String, cents: String, dim: Int,
+                          e: String = "e"): String =
     s"""$name AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN $cents c) t
+       |    FROM $e e CROSS JOIN $cents c) t
        |  WHERE rn = 1)""".stripMargin
 
   private def kmUpdateCte(sums: String, next: String, assign: String, prev: String,
-                          dim: Int): String =
+                          dim: Int, e: String = "e"): String =
     s"""$sums AS (
        |  SELECT a.cid, i.i AS d,
        |         sum(CAST(e.embedding[i.i] AS DECIMAL(25,7))) AS s
-       |  FROM e JOIN $assign a USING (vec_id)
+       |  FROM $e e JOIN $assign a USING (vec_id)
        |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
        |  GROUP BY a.cid, i.i),
        |$next AS (
@@ -303,6 +304,74 @@ object DuckSql {
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < $k),
        |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Per-subspace Lloyd chain for the PQ oracle: `e<sfx>` (the sliced
+    * corpus), `c0<sfx>` … `c<iters><sfx>` (the trained sub-codebook). */
+  private def kmeansCtesSub(sfx: String, srcSelect: String, k: Int, iters: Int,
+                            dim: Int): String = {
+    val e = s"e$sfx"
+    val iterCtes = (0 until iters).map { it =>
+      kmAssignCte(s"a$it$sfx", s"c$it$sfx", dim, e) + ",\n" +
+        kmUpdateCte(s"s$it$sfx", s"c${it + 1}$sfx", s"a$it$sfx", s"c$it$sfx", dim, e)
+    }
+    s"""$e AS ($srcSelect),
+       |c0$sfx AS (SELECT vec_id AS cid, embedding AS cvec FROM $e WHERE vec_id < $k),
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for `ann_pq` / asymmetric-distance product quantization:
+    * full replay of [[graft.operators.Ann.bruteTopKPq]] — m per-
+    * subspace cosine-k-means trainings (same decimal-sum Lloyd replay
+    * as [[kmeansOracle]], over `list_slice`d subvectors), per-vector
+    * code assignment, then ADC scoring: exact query vs the
+    * CONCATENATED chosen sub-centroids, computed as per-subspace
+    * left-to-right folds summed in subspace order — the identical op
+    * sequence the Spark plan evaluates, so scores (and therefore
+    * ranks) are bit-exact. */
+  def annPqOracle(m: Int, ksub: Int, iters: Int, nQueries: Int, k: Int,
+                  dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      kmeansCtesSub(s"_$s",
+        s"SELECT vec_id, list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub}) AS embedding FROM embeddings",
+        ksub, iters, sub)
+    }
+    val finals = (0 until m).map { s =>
+      kmAssignCte(s"af_$s", s"c$iters" + s"_$s", sub, s"e_$s")
+    }
+    val codeJoin = (1 until m).map(s => s"JOIN af_$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"af_$s.cid AS cid$s").mkString(", ")
+    val centJoins = (0 until m).map(s => s"JOIN c$iters" + s"_$s cc$s ON cc$s.cid = x.cid$s").mkString(" ")
+    val dots = (0 until m).map { s =>
+      fold2((x, y) => s"$x * $y",
+        s"list_slice(q.embedding, ${s * sub + 1}, ${(s + 1) * sub})", s"cc$s.cvec", sub)
+    }.mkString("(", " + ", ")")
+    val nrms = (0 until m).map { s =>
+      fold2((x, y) => s"$x * $y", s"cc$s.cvec", s"cc$s.cvec", sub)
+    }.mkString("(", " + ", ")")
+    val qq = fold2((x, y) => s"$x * $y", "q.embedding", "q.embedding", dim)
+    s"""WITH ${chains.mkString(",\n")},
+       |${finals.mkString(",\n")},
+       |codes AS (SELECT af_0.vec_id, $codeCols FROM af_0 $codeJoin),
+       |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.q_id, x.vec_id AS n_id,
+       |         $dots AS dt, $qq AS qq, $nrms AS xh
+       |  FROM q CROSS JOIN codes x $centJoins
+       |  WHERE x.vec_id <> q.q_id),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |         CASE WHEN qq = 0 OR xh = 0 THEN -2.0
+       |              ELSE dt / (sqrt(qq) * sqrt(xh)) END AS cos
+       |  FROM scored),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
   def kmeansOracle(k: Int, iters: Int, dim: Int): String =

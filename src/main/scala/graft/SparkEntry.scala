@@ -226,6 +226,25 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d))),
+    "ann_pq" -> ((s, d) =>
+      // product quantization: train m sub-codebooks, encode to m
+      // ints/vector, rank by asymmetric distance (exact query vs
+      // reconstructed candidate) — the classic Jegou et al. shape
+      Ann.bruteTopKPq(Tables.embeddings(s, d))),
+    "ann_recall_pq" -> ((s, d) => {
+      // recall cost of 16x PQ compression, as a query result
+      val emb = Tables.embeddings(s, d)
+      Ann.recall(Ann.bruteTopKPq(emb), Ann.bruteTopK(emb))
+    }),
+    "ann_pq_rerank" -> ((s, d) =>
+      // the deployed PQ shape: quantized scan shortlists 100, exact
+      // re-rank keeps 5 — recall recovers while the corpus is still
+      // scanned compressed (gate: ann_recall_pq_rerank)
+      Ann.pqRerankTopK(Tables.embeddings(s, d))),
+    "ann_recall_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.recall(Ann.pqRerankTopK(emb), Ann.bruteTopK(emb))
+    }),
     "kmeans_assign" -> ((s, d) =>
       Cluster.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
     "lang_id" -> ((s, d) => {
@@ -372,6 +391,22 @@ object SparkEntry {
       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin
   private lazy val annLshSql =
     DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5)
+  /** PQ shortlist (k=100) + exact-cosine re-rank to top 5 — the
+    * deployed PQ pattern (`ann_pq_rerank`). */
+  private lazy val annPqRerankSql =
+    s"""WITH short AS (SELECT q_id, n_id FROM (${DuckSql.annPqOracle(m = 4,
+          ksub = 16, iters = 2, nQueries = 10, k = 100, dim = 64)}) ts),
+       |p AS (
+       |  SELECT s.q_id, s.n_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.n_id),
+       |r AS (SELECT q_id, n_id,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin
   private val annTopkQ8Sql =
     """WITH e8 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |s8 AS (SELECT vec_id, emb,
@@ -786,6 +821,36 @@ object SparkEntry {
          |h AS (SELECT l.q_id, count(*) AS c FROM q8 l
          |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
          |na AS (SELECT q_id, count(*) AS c FROM q8 GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
+    "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
+      nQueries = 10, k = 5, dim = 64),
+    "ann_pq_rerank" -> annPqRerankSql,
+    "ann_recall_pq_rerank" ->
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |rr AS (SELECT * FROM ($annPqRerankSql) tr),
+         |h AS (SELECT l.q_id, count(*) AS c FROM rr l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM rr GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
+    "ann_recall_pq" ->
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |pq AS (SELECT * FROM (${DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
+        nQueries = 10, k = 5, dim = 64)}) tp),
+         |h AS (SELECT l.q_id, count(*) AS c FROM pq l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM pq GROUP BY 1),
          |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
          |SELECT ne.q_id,
          |       CAST(ne.c AS INT) AS n_exact,

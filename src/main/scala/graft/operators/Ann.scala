@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -259,6 +259,133 @@ object Ann {
       .withColumn("cos",
         when(col("na") === 0L || col("nb") === 0L, lit(-2.0d))
           .otherwise(dotInt.cast("double") / sqrt((col("na") * col("nb")).cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** Train per-subspace PQ codebooks: split the `dim`-dimensional
+    * space into `m` contiguous subspaces and run the SAME
+    * deterministic cosine k-means trainer ([[Cluster
+    * .kmeansCentroids]]: first-ksub seeds, decimal sums, no RNG) on
+    * each slice. Returns one (cids, centroids) codebook per
+    * subspace — an index artifact of m·ksub·(dim/m) floats, driver-
+    * sized like every codebook here. */
+  def pqCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
+                  iters: Int): Seq[(Array[Long], Array[Array[Float]])] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      Cluster.kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** Product-quantize every vector to m small codes: code s = nearest
+    * sub-centroid of slice s (cosine, ties to lowest cid — the
+    * trainer's own assignment rule). Map-only over the corpus: the m
+    * sub-codebooks ride inside codegen'd [[graft.functions
+    * .VectorFunctions.NearestCentroids]] expressions as plan
+    * constants, so `dim` floats per vector become m ints (16× compression
+    * at dim=64/m=4 before even dropping to int8 codes) and no
+    * exchange ever carries an embedding. */
+  def pqEncodeWith(embeddings: DataFrame,
+                   books: Seq[(Array[Long], Array[Array[Float]])],
+                   dim: Int): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    val codeCols = books.zipWithIndex.map { case ((cids, cents), s) =>
+      element_at(nearestCentroids(
+        slice(col("embedding"), s * sub + 1, sub), cents, cids, 1), 1)
+    }
+    embeddings.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Brute-force top-k by ASYMMETRIC distance over the PQ-encoded
+    * corpus (ADC, the standard PQ search): the query stays exact, the
+    * candidate is its reconstruction (the concatenation of its chosen
+    * sub-centroids), and cos(q, x̂) decomposes into per-subspace
+    * dot-product lookups — the scan reads m ints per candidate, never
+    * the embedding.
+    *
+    * Determinism for the oracle: every per-subspace dot/norm is a
+    * left-to-right double fold over the slice, partial results are
+    * summed in subspace order, and the final score is one divide by
+    * the two square roots — the identical op sequence `DuckSql
+    * .annPqOracle` replays, so ranks hash-match. Zero-norm guard
+    * scores -2.0 like [[bruteTopKQ8]]. */
+  def bruteTopKPq(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+                  ksub: Int = 16, iters: Int = 2,
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val sub = dim / m
+    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+    // literal lookup tables: code -> sub-centroid (as exact doubles)
+    // and code -> its left-to-right squared norm
+    def centMap(s: Int): Column = {
+      val (cids, cents) = books(s)
+      map(cids.zip(cents).flatMap { case (cid, v) =>
+        Seq(lit(cid), array(v.map(x => lit(x.toDouble)): _*))
+      }.toIndexedSeq: _*)
+    }
+    def nrmMap(s: Int): Column = {
+      val (cids, cents) = books(s)
+      map(cids.zip(cents).flatMap { case (cid, v) =>
+        var acc = 0.0
+        v.foreach(x => acc += x.toDouble * x.toDouble)
+        Seq(lit(cid), lit(acc))
+      }.toIndexedSeq: _*)
+    }
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = pqEncodeWith(embeddings, books, dim)
+      .select(col("vec_id").as("n_id"), col("codes"))
+    val dots = (0 until m).map { s =>
+      val qSlice = transform(slice(col("q_emb"), s * sub + 1, sub), x => x.cast("double"))
+      val cent = element_at(centMap(s), element_at(col("codes"), s + 1))
+      aggregate(zip_with(qSlice, cent, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+    }
+    val dotTotal = dots.reduceLeft(_ + _)
+    val qq = aggregate(
+      transform(col("q_emb"), x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (a, v) => a + v)
+    val xh = (0 until m)
+      .map(s => element_at(nrmMap(s), element_at(col("codes"), s + 1)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("dt_", dotTotal)
+      .withColumn("qq_", qq)
+      .withColumn("xh_", xh)
+      .withColumn("cos",
+        when(col("qq_") === 0d || col("xh_") === 0d, lit(-2.0d))
+          .otherwise(col("dt_") / (sqrt(col("qq_")) * sqrt(col("xh_")))))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** The production PQ pattern: the quantized scan only SHORTLISTS
+    * (`shortlist` candidates per query by asymmetric distance), and
+    * the exact vectors are fetched for that tiny set and re-ranked by
+    * true cosine. This is how PQ is actually deployed — reconstruction
+    * error caps the quantized scan's top-k recall (especially on
+    * unclustered data, where sub-codebooks capture little variance),
+    * but the true neighbors still land IN the shortlist, and the
+    * re-rank join touches `shortlist × nQueries` exact vectors, not
+    * the corpus. The [[recall]] gate measures both stages. */
+  def pqRerankTopK(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+                   ksub: Int = 16, iters: Int = 2, nQueries: Int = 10,
+                   k: Int = 5, shortlist: Int = 100): DataFrame = {
+    val short = bruteTopKPq(embeddings, dim, m, ksub, iters, nQueries, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    short.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))

@@ -243,4 +243,26 @@ class DedupAnnSpec extends AnyFunSuite {
       .agg(sum(col("n_hit")), sum(col("n_exact"))).as[(Long, Long)].head()
     assert(r._1 >= r._2 * 4 / 5, s"int8 recall@5 collapsed: ${r._1}/${r._2}")
   }
+
+  test("PQ: codes are partition-stable, shortlist+exact-rerank recovers most of the recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Ann.pqCodebooks(emb, dim = 64, m = 4, ksub = 16, iters = 2)
+    assert(books.length == 4 && books.forall(_._2.forall(_.length == 16)),
+      "4 sub-codebooks of 16-dim centroids")
+    // encoding is a pure function of the vector — physical layout must not matter
+    val c1 = Ann.pqEncodeWith(emb.repartition(1), books, 64)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val c16 = Ann.pqEncodeWith(emb.repartition(16), books, 64)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(c1 == c16)
+    // the deployed pattern: the exact re-rank must beat the raw
+    // quantized scan's recall (reconstruction error caps the latter)
+    val exact = Ann.bruteTopK(emb)
+    val raw = Ann.recall(Ann.bruteTopKPq(emb), exact)
+      .agg(sum(col("n_hit"))).as[Long].head()
+    val rr = Ann.recall(Ann.pqRerankTopK(emb), exact)
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).as[(Long, Long)].head()
+    assert(rr._1 > raw, s"re-rank ($rr._1) must beat the raw PQ scan ($raw)")
+    assert(rr._1 * 2 >= rr._2, s"re-ranked recall@5 below half: ${rr._1}/${rr._2}")
+  }
 }
