@@ -94,6 +94,18 @@ object SparkEntry {
           .select(col("tbl"), (col("id") + 500000).as("id"), col("val")))
       Changelog.snapshotDiff(replica, log)
     }),
+    "cdc_repair" -> ((s, d) => {
+      // drift -> the minimal changelog segment that fixes it (the
+      // same damaged replica as cdc_snapshot_diff)
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val st = Changelog.entityState(log).select(col("tbl"), col("id"), col("val"))
+      val replica = st.filter(col("id") % 7 =!= 0)
+        .withColumn("val",
+          when(col("id") % 5 === 0, col("val") + 1.0).otherwise(col("val")))
+        .unionByName(st.filter(col("id") % 11 === 0)
+          .select(col("tbl"), (col("id") + 500000).as("id"), col("val")))
+      Changelog.repairPlan(Changelog.snapshotDiff(replica, log))
+    }),
     "cdc_apply" -> ((s, d) =>
       Changelog.applyChangelog(
         Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_acctbal").as("val")),
@@ -563,6 +575,29 @@ object SparkEntry {
         |              WHEN rp.val <> e.val THEN 'stale' END AS kind
         |  FROM rep rp FULL OUTER JOIN st e ON rp.tbl = e.tbl AND rp.id = e.id)
         |SELECT tbl, id, r_val, e_val, kind FROM d WHERE kind IS NOT NULL""".stripMargin),
+    "cdc_repair" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed),
+        |st AS (SELECT tbl, id, val FROM r WHERE rn = 1 AND op = 'upsert'),
+        |rep AS (
+        |  SELECT tbl, id,
+        |         CASE WHEN id % 5 = 0 THEN val + 1.0 ELSE val END AS val
+        |  FROM st WHERE id % 7 <> 0
+        |  UNION ALL
+        |  SELECT tbl, id + 500000 AS id, val FROM st WHERE id % 11 = 0),
+        |d AS (
+        |  SELECT coalesce(rp.tbl, e.tbl) AS tbl, coalesce(rp.id, e.id) AS id,
+        |         e.val AS e_val,
+        |         CASE WHEN rp.val IS NULL THEN 'missing'
+        |              WHEN e.val IS NULL THEN 'extra'
+        |              WHEN rp.val <> e.val THEN 'stale' END AS kind
+        |  FROM rep rp FULL OUTER JOIN st e ON rp.tbl = e.tbl AND rp.id = e.id)
+        |SELECT tbl, id,
+        |       CASE WHEN kind = 'extra' THEN 'delete' ELSE 'upsert' END AS op,
+        |       CASE WHEN kind = 'extra' THEN NULL ELSE e_val END AS val
+        |FROM d WHERE kind IS NOT NULL""".stripMargin),
     "cdc_apply" -> (logCte +
       """, clog AS (SELECT * FROM committed WHERE tbl = 'customer'),
         |r AS (SELECT id, op, val,

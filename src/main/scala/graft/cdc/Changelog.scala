@@ -423,4 +423,21 @@ object Changelog {
       .filter(col("kind").isNotNull)
       .select(col("tbl"), col("id"), col("r_val"), col("e_val"), col("kind"))
   }
+
+  /** Repair plan for a drifted replica: turn a [[snapshotDiff]] frame
+    * into the MINIMAL changelog that brings the replica back in sync —
+    * `missing`/`stale` keys become upserts of the log's value, `extra`
+    * keys become deletes. The output is a valid changelog segment
+    * (same (op, tbl, id, val) shape the appliers consume), so the fix
+    * IS the normal write path: feed it to [[applyChangelog]] or
+    * [[graft.streaming.UpsertSink.mergeBatch]] — no bespoke repair
+    * writer to get wrong. Positions: the plan has exactly ONE op per
+    * drifted key, so the fold is order-free — apply it at any position
+    * past the diff's consistency cut. Drift-sized like the diff
+    * itself; map-only on top of it (no exchange, no sort). */
+  def repairPlan(diff: DataFrame): DataFrame =
+    diff.select(col("tbl"), col("id"),
+      when(col("kind") === "extra", lit("delete")).otherwise(lit("upsert")).as("op"),
+      when(col("kind") === "extra", lit(null).cast("double"))
+        .otherwise(col("e_val")).as("val"))
 }

@@ -247,4 +247,28 @@ class ChangelogSpec extends AnyFunSuite {
       .select("id", "kind").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "stale"), (2L, "missing"), (3L, "extra"), (9L, "extra")))
   }
+
+  test("repairPlan round-trip: applying the plan to the drifted replica restores sync") {
+    val log = Seq(
+      (1L, "upsert", "t", 1L, 0L, 10.0, 0L, "x"),
+      (2L, "upsert", "t", 2L, 0L, 20.0, 0L, "x"),
+      (3L, "upsert", "t", 3L, 0L, 30.0, 0L, "x"),
+      (4L, "delete", "t", 3L, 0L, 0.0, 0L, "x")
+    ).toDF("pos", "op", "tbl", "id", "tx", "val", "us", "etype")
+    val drifted = Seq(
+      ("t", 1L, 11.0), ("t", 3L, 30.0), ("t", 9L, 90.0)
+    ).toDF("tbl", "id", "val")
+    val plan = Changelog.repairPlan(Changelog.snapshotDiff(drifted, log))
+    assert(plan.select("id", "op").as[(Long, String)].collect().toSet ==
+      Set((1L, "upsert"), (2L, "upsert"), (3L, "delete"), (9L, "delete")))
+    // apply the plan the way any changelog is applied: later op per
+    // key wins, deletes drop — replica must fold to the log's state
+    val repaired = drifted
+      .join(plan.select(col("tbl"), col("id"),
+        col("op").as("fix_op"), col("val").as("fix_val")), Seq("tbl", "id"), "full_outer")
+      .filter(coalesce(col("fix_op"), lit("upsert")) === "upsert")
+      .select(col("tbl"), col("id"), coalesce(col("fix_val"), col("val")).as("val"))
+    assert(Changelog.snapshotDiff(repaired, log).count() == 0,
+      "repaired replica must diff empty")
+  }
 }
