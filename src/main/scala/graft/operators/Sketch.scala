@@ -35,20 +35,25 @@ object Sketch {
     * full), `est_distinct` = (k-1)·2⁶³/kth when full, else the exact
     * kept count. One IEEE division past exact integers, so the
     * estimate itself is engine-portable. */
-  def distinctKmv(df: DataFrame, stratum: Column, value: Column,
-                  k: Int, seed: Long = 7L): DataFrame = {
-    // (k-1)·2⁶³ is exact in double: ≤ 10 significand bits shifted by 63
+  /** The KMV estimate off a kept-hash array column: exact kept count
+    * below k, else (k−1)·2⁶³/kth — one IEEE division past exact
+    * integers ((k-1)·2⁶³ is exact in double: ≤ 10 significand bits
+    * shifted by 63). */
+  def kmvEstimate(kmv: Column, k: Int): Column = {
     val scale = (k - 1).toDouble * TwoPow63
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit(scale) / element_at(kmv, size(kmv)).cast("double"))
+  }
+
+  def distinctKmv(df: DataFrame, stratum: Column, value: Column,
+                  k: Int, seed: Long = 7L): DataFrame =
     df.groupBy(stratum.as("stratum"))
       .agg(Sketches.kMinValues(Hashing.hashLong64(value, seed), k).as("kmv"))
       .select(
         col("stratum"),
         size(col("kmv")).cast("long").as("n_kept"),
         element_at(col("kmv"), size(col("kmv"))).as("kth_min"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(lit(scale) / element_at(col("kmv"), size(col("kmv"))).cast("double"))
-          .as("est_distinct"))
-  }
+        kmvEstimate(col("kmv"), k).as("est_distinct"))
 
   /** [[distinctKmv]] plus the exact distinct count and the measured
     * relative error — the "approximation cost is a query result, not

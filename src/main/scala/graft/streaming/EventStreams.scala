@@ -23,6 +23,27 @@ object EventStreams {
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
 
+  /** Windowed approximate distinct-users per event type (SURVEY §2
+    * B20): the streaming twin of the batch `distinct_kmv` — the SAME
+    * [[graft.functions.Sketches.KMinValues]] typed aggregate runs
+    * inside the streaming state store, so per-(window, type) distinct
+    * state is k longs FOREVER regardless of how many users the window
+    * sees (exact streaming count-distinct state grows with the
+    * distinct count — the precise failure mode sketches exist for).
+    * Append mode: a window's estimate emits once, when the watermark
+    * closes it. */
+  def windowedDistinctUsers(events: DataFrame, windowDur: String = "1 hour",
+                            watermark: String = "10 minutes", k: Int = 256,
+                            seed: Long = 7L): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(graft.functions.Sketches.kMinValues(
+        graft.functions.Hashing.hashLong64(col("user_id"), seed), k).as("kmv"))
+      .select(col("window.start").as("start"), col("event_type"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        graft.operators.Sketch.kmvEstimate(col("kmv"), k).as("est_distinct"))
+
   /** Streaming exact dedup on document content (SURVEY §2 B10): the
     * ingest-time twin of [[graft.operators.Dedup.exact]]. State is
     * keyed by the 8-byte content fingerprint, NOT the text —

@@ -367,4 +367,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(m(60L) == false,
       "buckets idle past the TTL are gone — the late dup re-claims them (batch pass catches it)")
   }
+
+  test("B20: windowed distinct sketch streams — below-k windows exact, agg state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val events = in.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStreams.windowedDistinctUsers(events, windowDur = "1 minute",
+        watermark = "0 seconds", k = 64)
+      .writeStream.format("memory").queryName("b20").outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // one window [60,120): users 1,2,3 for "view" — 2 arrives twice,
+    // split ACROSS batches so the sketch buffer must survive the store
+    in.addData((t(70), "view", 1L), (t(75), "view", 2L))
+    q.processAllAvailable()
+    in.addData((t(80), "view", 2L), (t(85), "view", 3L))
+    q.processAllAvailable()
+    in.addData((t(200), "view", 9L)) // advances watermark past 120 -> window closes
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("b20")
+      .select(col("event_type"), col("n_kept"), col("est_distinct"))
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 1, s"exactly the closed window emits, got ${rows.toSeq}")
+    assert(rows(0) == (("view", 3L, 3.0)),
+      "below k the sketch is the exact distinct count — dup user collapsed across batches")
+  }
 }
