@@ -144,6 +144,7 @@ object SparkEntry {
     "sessionize" -> (Analytics.sessionize _),
     "event_windowed_agg" -> (Analytics.eventWindowedAgg _),
     "user_funnel" -> (Analytics.userFunnel _),
+    "q6_forecast_revenue" -> (Analytics.q6ForecastRevenue _),
     "rollup_summary" -> (Analytics.rollupSummary _),
     "event_pivot" -> (Analytics.eventPivot _),
     "asof_join" -> ((s, d) => {
@@ -784,6 +785,13 @@ object SparkEntry {
         |       CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
         |                 AND first_view < first_purchase THEN 1 ELSE 0 END AS converted
         |FROM a""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "rollup_summary" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,

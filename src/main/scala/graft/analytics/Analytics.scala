@@ -140,6 +140,20 @@ object Analytics {
         when(col("first_view").isNotNull && col("first_purchase").isNotNull &&
           col("first_view") < col("first_purchase"), lit(1)).otherwise(lit(0)))
 
+  /** TPC-H Q6-style forecast-revenue delta: the canonical "every
+    * predicate reaches the scan" query — three range filters and a
+    * two-column projection over the fact table, one partial-aggregated
+    * scalar out. Plan-audited: all three filters in `PushedFilters`,
+    * `ReadSchema` is exactly the four referenced columns. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec6))
+        .cast("double").as("revenue"))
+
   /** Multi-level aggregate via ROLLUP (SURVEY §2 C11): per
     * (flag, status), per flag, and grand total in ONE pass — Spark
     * plans rollup as a single Expand(3 projections)+aggregate, so

@@ -200,6 +200,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 2, s"expected ≤ 2 exchanges, found $n")
   }
 
+  test("q6: all three range predicates pushed to the scan; ReadSchema is the 4 referenced columns") {
+    val p = formatted("q6_forecast_revenue")
+    val pushed = raw"PushedFilters: \[(.*?)\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c filter must reach the parquet scan, pushed=[$pushed]")
+    }
+    val read = raw"ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length == 4,
+      s"scan must read exactly the 4 referenced columns, got $read")
+  }
+
   test("rollup_summary: one scan, one Expand, one exchange — not three UNION'd aggregates") {
     val p = formatted("rollup_summary")
     assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 1,
