@@ -498,6 +498,88 @@ object DuckSql {
        |  FROM scored)
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Oracle for `zorder_key`: the Morton interleave
+    * ([[graft.operators.ZOrder.zValue]]) as plain integer arithmetic —
+    * bit i of x lands at 2i, bit i of y at 2i+1. */
+  def zorderOracle(bits: Int): String = {
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"((x // ${1L << i}) % 2) * ${BigInt(1) << (2 * i)}",
+          s"((y // ${1L << i}) % 2) * ${BigInt(1) << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+       |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zk FROM b""".stripMargin
+  }
+
+  /** Oracle for `page_rank`: replay of the deterministic integer
+    * PageRank ([[graft.operators.Graph.pageRank]]) — synthetic edge
+    * graph from event ids (src = splitmix64(id, 21) % n, dst =
+    * splitmix64(id, 22) % (src+1)), `iters` unrolled Lloyd-style
+    * iteration CTEs, all integer arithmetic (`//` floor division
+    * matches Spark's `div` on nonnegative ranks). */
+  def pageRankOracle(n: Int, iters: Int, initRank: Long, topK: Int): String = {
+    val base = initRank * 15L / 100L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST($base + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS pr
+         |FROM n LEFT JOIN (
+         |  SELECT e.dst AS node, sum(r.pr // d.deg) AS sc
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT event_id FROM events),
+       |s1 AS (SELECT event_id, CAST((h // 2) % $n AS BIGINT) AS src
+       |       FROM ${hashLongCtes("ids", "event_id", "event_id", 21L, "h")} a),
+       |s2 AS (SELECT src, CAST((h // 2) % (src + 1) AS BIGINT) AS dst
+       |       FROM ${hashLongCtes("s1", "event_id, src", "event_id", 22L, "h")} b),
+       |edges AS (SELECT DISTINCT src, dst FROM s2),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT CAST(unnest(range($n)) AS BIGINT) AS node),
+       |r0 AS (SELECT node, CAST($initRank AS BIGINT) AS pr FROM n),
+       |$iterCtes
+       |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT $topK""".stripMargin
+  }
+
+  /** Oracle for `heavy_hitters_cms`: replay of the Count-Min doc-
+    * frequency sketch ([[graft.operators.Sketch.heavyHittersCms]]) —
+    * per-doc distinct bigram hashes (hash64 of `w1_w2`, seed 3, the
+    * [[graft.functions.Hashing.HashedShinglesN]] convention), one
+    * depth×width counter matrix (row r's cell = splitmix64(bg, seed=r)
+    * → `(h//2) % width`), estimate = min over the item's depth cells,
+    * candidates from the 1-in-`sampleMod` doc_id hash sample. All
+    * integer arithmetic — bit-exact. */
+  def cmsOracle(depth: Int, width: Int, minCount: Long, sampleMod: Int,
+                seed: Long): String = {
+    val bgHash = finalize(
+      "(SELECT doc_id, " + fnvFold("bg", 3) + " AS h0 FROM bgs)",
+      "doc_id", "h0", "h")
+    val cells = (0 until depth).map { r =>
+      s"""SELECT bg, df, $r AS r, CAST((h // 2) % $width AS BIGINT) AS cell
+         |FROM ${hashLongCtes("dfc", "bg, df", "bg", r.toLong, "h")} c$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bgs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
+       |             THEN [w[i] || '_' || w[i+1] for i in range(1, len(w))]
+       |             ELSE CAST([] AS VARCHAR[]) END)) AS bg
+       |        FROM d),
+       |items AS (SELECT doc_id, ${signed("h")} AS bg FROM $bgHash bh),
+       |dfc AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM items GROUP BY bg),
+       |cm AS (
+       |$cells),
+       |cc AS (SELECT r, cell, CAST(sum(df) AS BIGINT) AS c FROM cm GROUP BY r, cell),
+       |est AS (SELECT cm.bg, CAST(min(cc.c) AS BIGINT) AS est, min(cm.df) AS df
+       |        FROM cm JOIN cc USING (r, cell) GROUP BY cm.bg),
+       |ids AS (SELECT doc_id FROM documents),
+       |sampled AS (SELECT doc_id
+       |            FROM ${hashLongCtes("ids", "doc_id", "doc_id", seed, "h")} s
+       |            WHERE (h // 2) % $sampleMod = 0),
+       |cand AS (SELECT DISTINCT bg FROM items JOIN sampled USING (doc_id))
+       |SELECT e.bg, e.est, e.df
+       |FROM est e JOIN cand USING (bg)
+       |WHERE e.est >= $minCount""".stripMargin
+  }
+
   /** Oracle for `distinct_kmv`: replay of the KMV distinct sketch
     * ([[graft.operators.Sketch.distinctKmvChecked]]) — splitmix64 of
     * each distinct user_id, mask to [0, 2⁶³), k smallest per

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Cluster, Corpus, Dedup, RangeJoin, Sampling, Sketch}
+import graft.operators.{Ann, AsOf, Bloom, Cluster, Corpus, Dedup, Graph, RangeJoin, Sampling, Sketch, ZOrder}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -147,6 +147,10 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Analytics.q6ForecastRevenue _),
     "rollup_summary" -> (Analytics.rollupSummary _),
     "event_pivot" -> (Analytics.eventPivot _),
+    "cohort_retention" -> (Analytics.cohortRetention _),
+    "cdc_scd2" -> ((s, d) =>
+      // SCD Type-2 version history: change-detected validity intervals
+      Changelog.scd2(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
     "asof_join" -> ((s, d) => {
       // each purchase picks up the user's latest view at-or-before it
       val log = Changelog.fromEvents(ev(s, d))
@@ -340,6 +344,41 @@ object SparkEntry {
       // (the recall-gate pattern: the approximation cost is a result)
       Sketch.distinctKmvChecked(
         Tables.events(s, d), col("event_type"), col("user_id"), 256)),
+    "heavy_hitters_cms" -> ((s, d) =>
+      // Count-Min heavy bigrams + exact df verify (est can only over-
+      // count; the one-sided error is a query result, not a claim)
+      Sketch.heavyHittersCms(Tables.documents(s, d))),
+    "bloom_prune" -> ((s, d) => {
+      // bloom-prefiltered selective join: result-identical to the
+      // plain join (no false negatives); the big side drops ~90% of
+      // its rows map-side before any exchange
+      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      Bloom.prunedJoin(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          cust, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
+    }),
+    "zorder_key" -> ((s, d) =>
+      // the Morton key behind the z-ordered layout (LayoutSpec holds
+      // the file-pruning evidence; this pins the interleave itself)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zValue(col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zk"))),
+    "page_rank" -> ((s, d) => {
+      // deterministic integer PageRank over a synthetic event-derived
+      // link graph (dst <= src: hub structure toward low node ids)
+      val n = 1000
+      val edges = ev(s, d).select(
+          (shiftrightunsigned(Hashing.hashLong64(col("event_id"), 21L), 1) % n).as("src"),
+          shiftrightunsigned(Hashing.hashLong64(col("event_id"), 22L), 1).as("h2"))
+        .select(col("src"), (col("h2") % (col("src") + 1)).as("dst"))
+        .distinct()
+      val nodes = s.range(n).select(col("id").as("node"))
+      Graph.pageRank(edges, nodes, iters = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
     "weighted_sample" -> ((s, d) =>
       // length-weighted per-language sample (weight = n_chars)
       Sampling.weightedSample(
@@ -807,6 +846,35 @@ object SparkEntry {
         |       count(*) FILTER (event_type = 'signup') AS n_signup,
         |       count(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id * 100 + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS visitor,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT visitor, min(day) AS cohort_day FROM e GROUP BY visitor)
+        |SELECT f.cohort_day,
+        |       CAST(e.day - f.cohort_day AS INT) AS day_offset,
+        |       count(DISTINCT e.visitor) AS active_users
+        |FROM e JOIN f USING (visitor)
+        |GROUP BY 1, 2""".stripMargin,
+    "cdc_scd2" -> (logCte +
+      """, wp AS (
+        |  SELECT pos, op, tbl, id, val,
+        |         lag(op) OVER (PARTITION BY tbl, id ORDER BY pos) AS prev_op,
+        |         lag(val) OVER (PARTITION BY tbl, id ORDER BY pos) AS prev_val
+        |  FROM committed),
+        |ch AS (
+        |  SELECT * FROM wp
+        |  WHERE (op = 'upsert' AND (prev_op IS NULL OR prev_op = 'delete'
+        |          OR val IS DISTINCT FROM prev_val))
+        |     OR (op = 'delete' AND prev_op = 'upsert')),
+        |v AS (
+        |  SELECT tbl, id, val, op, pos AS valid_from,
+        |         lead(pos) OVER (PARTITION BY tbl, id ORDER BY pos) AS valid_to
+        |  FROM ch)
+        |SELECT tbl, id, val, valid_from, valid_to,
+        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM v WHERE op = 'upsert'""".stripMargin),
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "near_dup_jaccard" ->
@@ -1183,6 +1251,15 @@ object SparkEntry {
     // Catalyst expressions (HUGEINT mod-2^64 arithmetic — see DuckSql)
     "doc_fingerprint" -> DuckSql.fingerprintOracle,
     "distinct_kmv" -> DuckSql.kmvOracle(k = 256, seed = 7L),
+    "heavy_hitters_cms" -> DuckSql.cmsOracle(
+      depth = 4, width = 512, minCount = 30L, sampleMod = 20, seed = 11L),
+    "page_rank" -> DuckSql.pageRankOracle(
+      n = 1000, iters = 3, initRank = 1000000000L, topK = 20),
+    "bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000""".stripMargin,
+    "zorder_key" -> DuckSql.zorderOracle(bits = 16),
     "weighted_sample" ->
       s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", 23L, "h")} t),
          |pr AS (SELECT doc_id, lang, n_chars,

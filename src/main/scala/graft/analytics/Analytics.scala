@@ -190,4 +190,34 @@ object Analytics {
         coalesce(col("purchase"), lit(0L)).as("n_purchase"),
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("error"), lit(0L)).as("n_error"))
+
+  /** Daily cohort retention (SURVEY §2 C15): visitors grouped by the
+    * day of their FIRST event; for each (cohort_day, day_offset) cell,
+    * how many of that cohort's visitors were active offset days later
+    * — the activation/retention matrix behind every "live views for
+    * analytics" dashboard. The visitor key is (user_id, `k` from the
+    * `props` JSON attribute) — the parse stays in the Java∩RE2 regex
+    * subset so any engine replays it; offsets are integer day
+    * arithmetic on truncated dates, so the matrix is exact.
+    *
+    * Plan shape at 100 TB: one groupBy(visitor) aggregate for
+    * first-seen (visitor-sized output, map-side combined), a key-hash
+    * join back to the events on the visitor key (both sides hashed by
+    * the same key, AQE splits skewed visitors), then a two-phase
+    * distinct-count keyed (cohort, offset, visitor) whose first phase
+    * dedups map-side. The matrix itself is days × offsets —
+    * driver-trivial. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(
+        (col("user_id") * 100 +
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")).as("visitor"),
+        timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
+    val firstSeen = ev.groupBy(col("visitor"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(firstSeen, Seq("visitor"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("visitor")).as("active_users"))
+  }
 }

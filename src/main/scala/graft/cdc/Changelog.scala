@@ -396,6 +396,48 @@ object Changelog {
       )
   }
 
+  /** Slowly-changing-dimension TYPE-2 history: every (tbl, id) becomes
+    * a sequence of non-overlapping versions `[valid_from, valid_to)`
+    * with the value that held over that interval — the warehouse shape
+    * every CDC consumer eventually materializes ("what did this row
+    * say WHEN the order shipped", joinable with [[graft.operators.AsOf]]).
+    * [[entityState]] keeps only the latest row; SCD2 keeps them all,
+    * change-detected:
+    *
+    *  - an upsert OPENS a version only if it changes the value (a
+    *    no-op upsert — same `val` as the live version — extends the
+    *    current version instead of splitting it; null-safe compare);
+    *  - a delete CLOSES the live version (its pos becomes `valid_to`)
+    *    and emits no row; repeated deletes are no-ops;
+    *  - the last open version per key has `valid_to` NULL and
+    *    `is_current` 1.
+    *
+    * Plan shape: both windows (the change-point `lag`, then the
+    * version-closing `lead` over change points only) run over the SAME
+    * `(tbl, id) ORDER BY pos` partitioning, so the whole operator is
+    * ONE key-hash exchange + one sort — identical cost to the
+    * [[entityState]] fold it generalizes. Input: a primitive-op log
+    * (run [[expandUpdateImages]] first if updates carry images). */
+  def scd2(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("id")).orderBy(col("pos"))
+    val withPrev = log
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("prev_val", lag(col("val"), 1).over(w))
+    // change points: upserts that alter the value (vs the surviving
+    // predecessor) and deletes that close a live version
+    val changes = withPrev.filter(
+      (col("op") === "upsert" &&
+        (col("prev_op").isNull || col("prev_op") === "delete" ||
+          !(col("val") <=> col("prev_val")))) ||
+      (col("op") === "delete" && col("prev_op") === "upsert"))
+    changes
+      .withColumn("valid_to", lead(col("pos"), 1).over(w))
+      .filter(col("op") === "upsert")
+      .select(col("tbl"), col("id"), col("val"),
+        col("pos").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+  }
+
   /** Replica-drift detection: diff a materialized copy against what
     * the log says the state IS — the consistency check every CDC
     * deployment eventually needs ("is the downstream table still in

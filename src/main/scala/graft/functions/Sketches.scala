@@ -117,6 +117,85 @@ object Sketches {
     override def prettyName: String = "kmin_values"
   }
 
+  /** Count-Min sketch aggregate (Cormode & Muthukrishnan 2005): a
+    * depth×width matrix of counters; each input value increments one
+    * counter per row (row r's cell = splitmix64(v, seed=r) mapped to
+    * [0, width)), and a point query reads the MINIMUM of its depth
+    * cells — an estimate that can only OVERCOUNT (collisions add,
+    * never subtract), with error ≤ 2N/width at probability 1−2^−depth.
+    *
+    * Why a 100 TB engine needs it: exact per-item frequencies of an
+    * unbounded vocabulary shuffle the vocabulary; the sketch is a
+    * FIXED depth·width·8 bytes regardless of item count, merges by
+    * elementwise addition (associative/commutative → Spark partial-
+    * aggregates it map-side, the exchange carries one matrix per
+    * partition), and the same matrix answers any later point query.
+    *
+    * Determinism: counters are exact integers and the cell function is
+    * splitmix64 — the whole matrix replays bit-identically in DuckDB.
+    */
+  case class CountMinSketch(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+    require(depth >= 1 && depth <= 16, "CountMinSketch: depth in [1, 16]")
+    require(width >= 2, "CountMinSketch: width >= 2")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val x = v.asInstanceOf[Long]
+        var r = 0
+        while (r < depth) {
+          val cell = ((Hashing.hashLong(x, r.toLong) >>> 1) % width).toInt
+          buf(r * width + cell) += 1L
+          r += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](depth * width)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): CountMinSketch =
+      copy(child = newChild)
+    override def prettyName: String = "count_min_sketch"
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
 
   /** Aggregate Column: ascending array of the k smallest distinct
@@ -124,4 +203,9 @@ object Sketches {
     * (e.g. [[Hashing.hashLong64]]). */
   def kMinValues(hashed: Column, k: Int): Column =
     toColumn(KMinValues(toExpr(hashed), k).toAggregateExpression())
+
+  /** Aggregate Column: row-major depth×width Count-Min counter matrix
+    * over an already-hashed long column. */
+  def countMin(hashed: Column, depth: Int, width: Int): Column =
+    toColumn(CountMinSketch(toExpr(hashed), depth, width).toAggregateExpression())
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, Sketches}
+import graft.functions.{Hashing, Sketches, TextFunctions}
 
 /** Sketch-based approximate aggregates (SURVEY §2 D29).
   *
@@ -69,5 +69,67 @@ object Sketch {
       .withColumn("rel_err",
         abs((col("est_distinct") - col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double")))
+  }
+
+  /** Point query against a [[graft.functions.Sketches.CountMinSketch]]
+    * matrix column: minimum of the item's `depth` cells. Pure column
+    * expression — probing N items against a broadcast 1-row sketch is
+    * map-side. Never underestimates. */
+  def cmsEstimate(cms: Column, hashed: Column, depth: Int, width: Int): Column =
+    (0 until depth).map { r =>
+      element_at(cms,
+        (lit(r.toLong * width) +
+          shiftrightunsigned(Hashing.hashLong64(hashed, r.toLong), 1) % width
+          + 1L).cast("int"))
+    }.reduce(least(_, _))
+
+  /** Heavy hitters over the corpus bigram vocabulary via Count-Min
+    * (SURVEY §2 D31): which bigrams appear in ≥ `minCount` documents —
+    * the approximate sibling of the exact [[Corpus.topNgrams]] (D19).
+    * The exact version shuffles the whole vocabulary (fine when the
+    * vocabulary is bounded; at 100 TB of web text with URLs/ids/typos
+    * it isn't); this one never holds per-item counts:
+    *
+    *  1. ONE corpus pass folds every (doc, bigram) occurrence into a
+    *     single depth×width Count-Min matrix (partial-aggregated
+    *     map-side; the exchange carries one ~16 KB matrix per
+    *     partition, regardless of vocabulary size). Bigrams ride as
+    *     the codegen'd [[Hashing.HashedShinglesN]] 64-bit hashes —
+    *     per-doc distinct, so the matrix counts DOC frequency, same
+    *     contract as D19;
+    *  2. candidate bigrams come from a deterministic 1-in-`sampleMod`
+    *     hash-sample of documents — an item hitting `minCount` docs
+    *     misses an f-fraction sample with prob (1−f)^minCount, so
+    *     recall comes from the sample (and sharpens as minCount
+    *     grows), precision from the sketch;
+    *  3. candidates probe the broadcast matrix map-side; the estimate
+    *     can only OVERCOUNT, so `est >= minCount` keeps every truly
+    *     frequent candidate — no false negatives past sampling.
+    *
+    * The output also carries each kept candidate's EXACT doc
+    * frequency (a candidate-bounded aggregate — validation in the
+    * style of [[distinctKmvChecked]]; the scale path drops it), so
+    * the CMS one-sided error (`est >= df`, strict where cells
+    * collide) is visible in the result. All integers — hash-exact
+    * oracle. */
+  def heavyHittersCms(docs: DataFrame, depth: Int = 4, width: Int = 512,
+                      minCount: Long = 30L, sampleMod: Int = 20,
+                      seed: Long = 11L): DataFrame = {
+    val items = docs.select(col("doc_id"),
+      explode(Hashing.hashedShinglesNCol(
+        TextFunctions.tokens(col("text")), 2)).as("bg"))
+    val sketch = items.agg(Sketches.countMin(col("bg"), depth, width).as("cms"))
+    val cand = items
+      .filter(shiftrightunsigned(Hashing.hashLong64(col("doc_id"), seed), 1)
+        % sampleMod === 0)
+      .select(col("bg")).distinct()
+    val exact = items.join(broadcast(cand), Seq("bg")).groupBy(col("bg"))
+      .agg(count(lit(1)).as("df"))
+    cand
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", cmsEstimate(col("cms"), col("bg"), depth, width))
+      .filter(col("est") >= minCount)
+      .join(exact, Seq("bg"))
+      .select(col("bg"), col("est"), col("df"))
   }
 }

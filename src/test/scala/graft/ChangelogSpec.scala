@@ -271,4 +271,30 @@ class ChangelogSpec extends AnyFunSuite {
     assert(Changelog.snapshotDiff(repaired, log).count() == 0,
       "repaired replica must diff empty")
   }
+
+  test("scd2: change-detected versions, deletes close, no-op upserts extend") {
+    val l = log(
+      (1, "upsert", "t", 1, 0, 1.0, "x"),  // opens v1 [1, 3)
+      (2, "upsert", "t", 1, 0, 1.0, "x"),  // no-op: same value, extends v1
+      (3, "upsert", "t", 1, 0, 2.0, "x"),  // change: closes v1, opens v2 [3, 5)
+      (5, "delete", "t", 1, 0, 0.0, "x"),  // closes v2, emits nothing
+      (6, "delete", "t", 1, 0, 0.0, "x"),  // repeated delete: no-op
+      (8, "upsert", "t", 1, 0, 2.0, "x"),  // reopen after delete [8, null)
+      (4, "upsert", "t", 2, 0, 9.0, "x"))  // independent key, current
+    val out = Changelog.scd2(l)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(5)))
+      .toSet
+    assert(out == Set(
+      (1L, 1.0, 1L, 3L, 0),   // v1 closed by the pos-3 change
+      (1L, 2.0, 3L, 5L, 0),   // v2 closed by the delete
+      (1L, 2.0, 8L, -1L, 1),  // reopened, current
+      (2L, 9.0, 4L, -1L, 1)))
+    // versions replay to entity state: current scd2 rows == entityState
+    val current = Changelog.scd2(l).filter(col("is_current") === 1)
+      .select(col("tbl"), col("id"), col("val"))
+    val state = Changelog.entityState(l).select(col("tbl"), col("id"), col("val"))
+    assert(current.exceptAll(state).count() == 0 && state.exceptAll(current).count() == 0)
+  }
 }

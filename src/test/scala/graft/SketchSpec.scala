@@ -57,4 +57,63 @@ class SketchSpec extends AnyFunSuite {
     assert(!p.contains("Expand"),
       s"no Expand — that is the exact count-distinct plan the sketch replaces:\n$p")
   }
+
+  // ---- Count-Min (SURVEY §2 D31) ----
+
+  import graft.functions.{Hashing, Sketches}
+
+  test("count-min: never underestimates, exact when width avoids collisions") {
+    // 10 items with known counts 1..10, width 1024 >> 10 items: with
+    // 4 independent rows the chance of a colliding min-cell is nil —
+    // every estimate must be exact; with width 4 collisions are
+    // guaranteed — estimates must only ever OVERcount
+    val df = spark.range(55) // item i repeated i+1 times, i in 0..9
+      .select(floor((sqrt(col("id") * 8 + 1) - 1) / 2).as("item"))
+    val exact = df.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    def estimates(width: Int) = {
+      val sk = df.agg(Sketches.countMin(col("item"), 4, width).as("cms"))
+      exact.crossJoin(broadcast(sk))
+        .withColumn("est", Sketch.cmsEstimate(col("cms"), col("item"), 4, width))
+        .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("est")))
+    }
+    estimates(1024).foreach { case (n, est) => assert(est == n, s"wide: $est != $n") }
+    estimates(4).foreach { case (n, est) => assert(est >= n, s"narrow: $est < $n") }
+  }
+
+  test("count-min: partition-order invariant (elementwise-sum merge)") {
+    val df = spark.range(30000).select((col("id") % 517).as("item"))
+    def matrix(parts: Int) =
+      df.repartition(parts).agg(Sketches.countMin(col("item"), 4, 128).as("cms"))
+        .collect()(0).getSeq[Long](0)
+    assert(matrix(1) == matrix(16))
+  }
+
+  test("heavy hitters: every sampled item with df >= minCount is kept, est >= df") {
+    // 40 docs sharing one heavy bigram; planted rare bigrams besides
+    val docs = spark.range(40)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma rare"), col("id").cast("string"), lit(" tail")).as("text"))
+    val out = Sketch.heavyHittersCms(docs, depth = 4, width = 256,
+        minCount = 10L, sampleMod = 2, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the two heavy bigrams (alpha_beta, beta_gamma) have df = 40;
+    // every candidate the sample surfaced with df >= 10 must be kept
+    assert(out.length == 2, s"expect the 2 heavy bigrams, got ${out.toSeq}")
+    out.foreach { case (_, est, df) =>
+      assert(df == 40L && est >= df, s"est $est vs df $df")
+    }
+  }
+
+  test("count-min plan: single partial-aggregated matrix, no vocabulary shuffle") {
+    val docs = spark.range(100)
+      .select(col("id").as("doc_id"), lit("a b c d e").as("text"))
+    val items = docs.select(col("doc_id"),
+      explode(Hashing.hashedShinglesNCol(split(col("text"), " "), 2)).as("bg"))
+    val p = items.agg(Sketches.countMin(col("bg"), 4, 512).as("cms"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_count_min_sketch"),
+      s"matrix must fold map-side before the exchange:\n$p")
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
+      s"one single-partition exchange of the matrices only:\n$p")
+  }
 }
