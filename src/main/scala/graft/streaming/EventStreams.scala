@@ -44,6 +44,29 @@ object EventStreams {
         size(col("kmv")).cast("long").as("n_kept"),
         graft.operators.Sketch.kmvEstimate(col("kmv"), k).as("est_distinct"))
 
+  /** Windowed Count-Min bigram sketch on the live path (SURVEY §2
+    * B21): the streaming twin of the batch `heavy_hitters_cms` — the
+    * SAME [[graft.functions.Sketches.CountMinSketch]] typed aggregate
+    * runs inside the streaming state store, so per-window frequency
+    * state is one depth×width counter matrix FOREVER, regardless of
+    * the window's vocabulary (exact streaming per-item counting grows
+    * state with the vocabulary — the failure mode the sketch
+    * removes). The emitted matrix answers any later point query via
+    * [[graft.operators.Sketch.cmsEstimate]] — consumers choose their
+    * probes after the fact, which per-item state could only do by
+    * keeping everything. Append mode: one matrix per window, when the
+    * watermark closes it. `docs` needs (ts: timestamp, text). */
+  def windowedTokenSketch(docs: DataFrame, windowDur: String = "1 hour",
+                          watermark: String = "10 minutes",
+                          depth: Int = 4, width: Int = 512): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(Hashing.hashedShinglesNCol(
+        TextFunctions.tokens(col("text")), 2)).as("bg"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.Sketches.countMin(col("bg"), depth, width).as("cms"))
+      .select(col("window.start").as("start"), col("cms"))
+
   /** Streaming exact dedup on document content (SURVEY §2 B10): the
     * ingest-time twin of [[graft.operators.Dedup.exact]]. State is
     * keyed by the 8-byte content fingerprint, NOT the text —

@@ -391,4 +391,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0) == (("view", 3L, 3.0)),
       "below k the sketch is the exact distinct count — dup user collapsed across batches")
   }
+
+  test("B21 windowed count-min sketch merges across micro-batches == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val q = EventStreams.windowedTokenSketch(docs, windowDur = "1 minute",
+        watermark = "0 seconds", depth = 4, width = 128)
+      .writeStream.format("memory").queryName("b21").outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // one window [60,120): the same heavy bigram arrives in BOTH
+    // micro-batches — the matrices must merge in the state store
+    in.addData((t(70), "alpha beta x1"), (t(75), "alpha beta x2"))
+    q.processAllAvailable()
+    in.addData((t(80), "alpha beta x3"))
+    q.processAllAvailable()
+    in.addData((t(200), "late doc")) // watermark past 120 -> window closes
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("b21").select(col("start"), col("cms")).collect()
+    assert(out.length == 1, s"exactly the closed window emits, got ${out.length}")
+    assert(out(0).getTimestamp(0) == t(60))
+    val streamed = out(0).getSeq[Long](1)
+    // the batch aggregate over the same three docs is the ground truth
+    val batch = Seq("alpha beta x1", "alpha beta x2", "alpha beta x3").toDF("text")
+      .select(explode(graft.functions.Hashing.hashedShinglesNCol(
+        split(col("text"), " "), 2)).as("bg"))
+      .agg(graft.functions.Sketches.countMin(col("bg"), 4, 128).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    assert(streamed == batch, "state-store merge must equal the one-shot batch matrix")
+    // and the merged matrix answers the point query: alpha_beta df = 3
+    val est = Seq(1).toDF("x")
+      .select(graft.operators.Sketch.cmsEstimate(
+        typedlit(streamed), graft.functions.Hashing.fingerprint(lit("alpha_beta")),
+        4, 128).as("est"))
+      .collect()(0).getLong(0)
+    assert(est >= 3L && est <= 6L, s"alpha_beta estimate off: $est")
+  }
 }
