@@ -498,6 +498,36 @@ object DuckSql {
        |  FROM scored)
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Oracle for `table_stats`: per-column count/null/min/max, the KMV
+    * NDV replay ([[kmvOracle]] pattern, one block per column), exact
+    * NDV and the measured error — mirrors
+    * [[graft.operators.Sketch.tableStatsChecked]]. */
+  def tableStatsOracle(table: String, cols: Seq[String], k: Int,
+                       seed: Long): String = {
+    val scale = dlit((k - 1).toDouble * math.pow(2.0, 63))
+    val blocks = cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count($c) FROM $table) AS n_vals,
+         |  (SELECT count(*) - count($c) FROM $table) AS n_null,
+         |  (SELECT CAST(min($c) AS DOUBLE) FROM $table) AS min_v,
+         |  (SELECT CAST(max($c) AS DOUBLE) FROM $table) AS max_v,
+         |  (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |               ELSE $scale / CAST(max(h63) AS DOUBLE) END
+         |   FROM (SELECT h63, row_number() OVER (ORDER BY h63) AS rn
+         |         FROM (SELECT DISTINCT h % 9223372036854775808 AS h63
+         |               FROM ${hashLongCtes(
+                             s"(SELECT DISTINCT $c AS v FROM $table WHERE $c IS NOT NULL)",
+                             "v", "v", seed, "h")} t) m) r
+         |   WHERE rn <= $k) AS ndv_est,
+         |  (SELECT count(DISTINCT $c) FROM $table) AS ndv_exact""".stripMargin
+    }
+    s"""SELECT u.*, abs((ndv_est - CAST(ndv_exact AS DOUBLE)) /
+       |               CAST(ndv_exact AS DOUBLE)) AS rel_err
+       |FROM (
+       |${blocks.mkString("\nUNION ALL\n")}
+       |) u""".stripMargin
+  }
+
   /** Oracle for `zorder_key`: the Morton interleave
     * ([[graft.operators.ZOrder.zValue]]) as plain integer arithmetic —
     * bit i of x lands at 2i, bit i of y at 2i+1. */

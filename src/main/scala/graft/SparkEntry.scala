@@ -348,6 +348,13 @@ object SparkEntry {
       // Count-Min heavy bigrams + exact df verify (est can only over-
       // count; the one-sided error is a query result, not a claim)
       Sketch.heavyHittersCms(Tables.documents(s, d))),
+    "table_stats" -> ((s, d) =>
+      // one-scan ANALYZE: count/null/min/max + KMV NDV per column,
+      // with exact NDV + measured error (the checked-variant pattern)
+      Sketch.tableStatsChecked(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+    "gap_fill" -> (Analytics.gapFillHourly _),
+    "ts_anomaly" -> (Analytics.tsAnomaly _),
     "bloom_prune" -> ((s, d) => {
       // bloom-prefiltered selective join: result-identical to the
       // plain join (no false negatives); the big side drops ~90% of
@@ -1259,6 +1266,45 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "table_stats" -> DuckSql.tableStatsOracle("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"), k = 256, seed = 7L),
+    "gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr, value
+        |  FROM events),
+        |h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |      FROM e GROUP BY 1, 2),
+        |st AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+        |      FROM (SELECT DISTINCT event_type FROM h) k CROSS JOIN st)
+        |SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n,
+        |       CAST(last_value(h.sv IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_sum
+        |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr""".stripMargin,
+    "ts_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+        |  FROM events),
+        |h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |st AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        |g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+        |      FROM (SELECT DISTINCT event_type FROM h) k CROSS JOIN st),
+        |dense AS (SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n
+        |          FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+        |sts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |               CAST(sum(n) AS BIGINT) AS s1,
+        |               CAST(sum(n * n) AS BIGINT) AS s2
+        |        FROM dense GROUP BY event_type)
+        |SELECT d.event_type, d.hr, d.n,
+        |       CAST(CASE WHEN (d.n * nh - s1) * (d.n * nh - s1)
+        |                      > 9 * (nh * s2 - s1 * s1)
+        |                 THEN 1 ELSE 0 END AS INT) AS anomaly
+        |FROM dense d JOIN sts USING (event_type)""".stripMargin,
     "zorder_key" -> DuckSql.zorderOracle(bits = 16),
     "weighted_sample" ->
       s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", 23L, "h")} t),

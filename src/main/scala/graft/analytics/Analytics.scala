@@ -220,4 +220,65 @@ object Analytics {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("visitor")).as("active_users"))
   }
+
+  /** Hourly gap fill + last-observation-carried-forward (SURVEY §2
+    * C16): time series from event streams have holes (no events that
+    * hour ⇒ no row), and every downstream consumer — charting,
+    * anomaly detection, feature windows — needs the DENSE series.
+    * Counts fill with 0; the running sum carries the last observed
+    * value forward (NULL before a key's first observation — there is
+    * nothing to carry).
+    *
+    * Shape: the dense (key × hour) grid is keys ⨯ a broadcast 1-row
+    * min/max stats frame exploded through `sequence` — the attachFile
+    * control-table pattern; the grid is |keys|·|hours| rows, tiny
+    * relative to the events that produced it. One left join back to
+    * the hourly aggregate (already map-side combined), one per-key
+    * ordered window for the carry-forward. Money stays decimal until
+    * the final cast. */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("ts div 3600000000000").as("hr"), col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sv"))
+    val stats = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(stats))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_sum",
+        last(col("sv"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("event_type"), col("hr"), col("n"), col("filled_sum"))
+  }
+
+  /** 3σ anomaly flags over the dense hourly series (SURVEY §2 C17) —
+    * in EXACT INTEGER arithmetic. The float formulation
+    * (|n−μ| > 3σ with μ, σ derived by division/sqrt) puts a
+    * rounding-sensitive comparison at the flag boundary; multiplying
+    * through by the hour count nh and squaring gives the equivalent
+    * `(n·nh − Σn)² > 9·(nh·Σn² − (Σn)²)` — counts in, integers
+    * throughout, not one float op, so the flags are hash-exact in any
+    * engine. (Bound: holds while n·nh < 2³¹·√ of headroom — per-key
+    * hourly counts at 100 TB stay far under it; overflow would need
+    * n·nh ≥ 3·10⁹.)
+    *
+    * Shape: the dense series ([[gapFillHourly]] minus the carry
+    * window) plus one per-key moment aggregate (keys-sized, map-side
+    * combined, broadcast back). Gap-filling first matters: silent
+    * empty hours are exactly the anomalies a sparse series cannot
+    * flag. */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dense = gapFillHourly(s, dir).select(col("event_type"), col("hr"), col("n"))
+    val stats = dense.groupBy(col("event_type")).agg(
+      count(lit(1)).as("nh"), sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val dev = col("n") * col("nh") - col("s1")
+    dense.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hr"), col("n"),
+        when(dev * dev > (col("nh") * col("s2") - col("s1") * col("s1")) * 9, lit(1))
+          .otherwise(lit(0)).as("anomaly"))
+  }
 }

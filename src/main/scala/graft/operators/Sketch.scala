@@ -71,6 +71,59 @@ object Sketch {
           col("exact_distinct").cast("double")))
   }
 
+  /** One-pass per-column table statistics — the ANALYZE twin
+    * (SURVEY §2 E11). Optimizers and layout tools live on exactly
+    * four numbers per column (count, null count, min/max, NDV); at
+    * 100 TB the first three partial-aggregate trivially but exact NDV
+    * per column is the count-distinct scale-killer D29 retires — so
+    * NDV here is the SAME KMV sketch, one per column, all folded in
+    * ONE scan (a single partial-aggregated 1-row frame; no Expand, no
+    * per-column passes). The 1-row result melts to (col_name, stats)
+    * rows via a generate — no second scan.
+    *
+    * Columns must cast losslessly to long for the NDV hash (keys,
+    * ints, dates-as-days); fractional columns need a caller-chosen
+    * integer encoding — a truncating cast would silently merge
+    * distinct values. */
+  def tableStats(df: DataFrame, statCols: Seq[String],
+                 k: Int = 256, seed: Long = 7L): DataFrame = {
+    require(statCols.nonEmpty, "tableStats: need at least one column")
+    val aggs = count(lit(1)).as("__total") +: statCols.flatMap { c => Seq(
+      count(col(c)).as(s"__${c}_n"),
+      min(col(c)).cast("double").as(s"__${c}_min"),
+      max(col(c)).cast("double").as(s"__${c}_max"),
+      Sketches.kMinValues(Hashing.hashLong64(col(c).cast("long"), seed), k)
+        .as(s"__${c}_kmv"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(statCols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col(s"__${c}_n").as("n_vals"),
+          (col("__total") - col(s"__${c}_n")).as("n_null"),
+          col(s"__${c}_min").as("min_v"),
+          col(s"__${c}_max").as("max_v"),
+          kmvEstimate(col(s"__${c}_kmv"), k).as("ndv_est"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+  }
+
+  /** [[tableStats]] plus exact NDV and measured relative error per
+    * column (the [[distinctKmvChecked]] validation pattern — the
+    * exact side is one pruned single-column scan per column and lives
+    * only in this validation query). */
+  def tableStatsChecked(df: DataFrame, statCols: Seq[String],
+                        k: Int = 256, seed: Long = 7L): DataFrame = {
+    val exact = statCols.map { c =>
+      df.select(col(c)).agg(count_distinct(col(c)).as("ndv_exact"))
+        .select(lit(c).as("col_name"), col("ndv_exact"))
+    }.reduce(_ unionByName _)
+    tableStats(df, statCols, k, seed).join(exact, "col_name")
+      .withColumn("rel_err",
+        abs((col("ndv_est") - col("ndv_exact").cast("double")) /
+          col("ndv_exact").cast("double")))
+  }
+
   /** Point query against a [[graft.functions.Sketches.CountMinSketch]]
     * matrix column: minimum of the item's `depth` cells. Pure column
     * expression — probing N items against a broadcast 1-row sketch is

@@ -234,4 +234,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "the pivot phase must combine map-side too")
     assert(!p.contains("Expand"), "pivot-on-agg must not Expand the scan")
   }
+
+  test("tableStats scale path: one scan, all per-column sketches partial, no Expand") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Sketch.tableStats(
+        graft.Tables.lineitem(spark, sf),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+      .queryExecution.explainString(FormattedMode)
+    assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 1,
+      s"ANALYZE must fold every column's stats in ONE pass:\n$p")
+    assert(p.contains("partial_kmin_values"),
+      "per-column NDV sketches must combine map-side")
+    assert(!p.contains("Expand"),
+      "no Expand — the exact multi-distinct plan is what the sketches replace")
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
+      s"one single-row exchange of the combined stats:\n$p")
+  }
 }
