@@ -112,5 +112,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_bigrams"),
       info("graft_bigrams", "graft_bigrams(array<string>) - distinct adjacent bigrams"),
       (exprs: Seq[Expression]) => graft.functions.TextFunctions.DistinctBigrams(exprs.head)))
+    // sketch AGGREGATES: the analyzer wraps a bare AggregateFunction
+    // returned from a registered builder in its AggregateExpression,
+    // so `SELECT g, graft_kmv(graft_hashlong(v, 7), 256) ... GROUP BY g`
+    // runs the same partial-aggregated sketch as the Column API
+    e.injectFunction((FunctionIdentifier("graft_kmv"),
+      info("graft_kmv", "graft_kmv(hashed, k) - k smallest distinct 63-bit hashes (KMV sketch)"),
+      (exprs: Seq[Expression]) => graft.functions.Sketches.KMinValues(exprs.head,
+        intLit(exprs(1), "graft_kmv", "k"))))
+    e.injectFunction((FunctionIdentifier("graft_cms"),
+      info("graft_cms", "graft_cms(hashed, depth, width) - Count-Min counter matrix"),
+      (exprs: Seq[Expression]) => graft.functions.Sketches.CountMinSketch(exprs.head,
+        intLit(exprs(1), "graft_cms", "depth"),
+        intLit(exprs(2), "graft_cms", "width"))))
+    // composed scalar: the z-value is a tree of built-in shift/and/or
+    // expressions (the same shape ZOrder.zValue builds via Columns)
+    e.injectFunction((FunctionIdentifier("graft_zvalue"),
+      info("graft_zvalue", "graft_zvalue(x, y[, bits]) - Morton bit-interleave of two longs"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Literal, ShiftLeft, ShiftRightUnsigned}
+        val bits = if (exprs.length > 2) intLit(exprs(2), "graft_zvalue", "bits") else 16
+        require(bits >= 1 && bits <= 31, s"graft_zvalue: bits in [1, 31], got $bits")
+        (0 until bits).map { i =>
+          val xb = ShiftLeft(BitwiseAnd(
+            ShiftRightUnsigned(exprs.head, Literal(i)), Literal(1L)), Literal(2 * i))
+          val yb = ShiftLeft(BitwiseAnd(
+            ShiftRightUnsigned(exprs(1), Literal(i)), Literal(1L)), Literal(2 * i + 1))
+          BitwiseOr(xb, yb): Expression
+        }.reduce(BitwiseOr(_, _))
+      }))
   }
 }

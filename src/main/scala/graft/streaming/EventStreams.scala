@@ -67,6 +67,30 @@ object EventStreams {
       .agg(graft.functions.Sketches.countMin(col("bg"), depth, width).as("cms"))
       .select(col("window.start").as("start"), col("cms"))
 
+  /** Live 3σ anomaly flags (SURVEY §2 B22): the streaming twin of the
+    * batch `ts_anomaly` — arriving windows are flagged against a
+    * BROADCAST per-key moments frame (`(event_type, nh, s1, s2)`,
+    * typically the batch [[graft.analytics.Analytics.tsAnomaly]]
+    * stats over a reference period). Stream-static broadcast join +
+    * the SAME integer-exact test `(n·nh − s1)² > 9·(nh·s2 − s1²)` —
+    * no float at the flag boundary, so live and batch flags agree
+    * bit-for-bit on the same data. Append mode: a window is judged
+    * once, when the watermark closes it. */
+  def anomalyFlags(events: DataFrame, stats: DataFrame,
+                   windowDur: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val dev = col("n") * col("nh") - col("s1")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+      .join(broadcast(stats), "event_type")
+      .select(col("start"), col("event_type"), col("n"),
+        when(dev * dev > (col("nh") * col("s2") - col("s1") * col("s1")) * 9, lit(1))
+          .otherwise(lit(0)).as("anomaly"))
+  }
+
   /** Streaming exact dedup on document content (SURVEY §2 B10): the
     * ingest-time twin of [[graft.operators.Dedup.exact]]. State is
     * keyed by the 8-byte content fingerprint, NOT the text —

@@ -104,4 +104,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_hashlong(42L, CAST(13 AS TINYINT)) = graft_hashlong(42L, 13)")
       .collect()(0).getBoolean(0))
   }
+
+  test("sketch aggregates from SQL: graft_kmv / graft_cms match the Column API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.range(10000)
+      .select((col("id") % 5).cast("string").as("g"), (col("id") % 321).as("v"))
+      .createOrReplaceTempView("gx_agg")
+    // KMV: SQL aggregate == Column-API aggregate, group by group
+    val sqlKmv = spark.sql(
+      """SELECT g, graft_kmv(graft_hashlong(v, 7), 64) AS kmv
+        |FROM gx_agg GROUP BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    val colKmv = spark.table("gx_agg")
+      .groupBy(col("g"))
+      .agg(graft.functions.Sketches.kMinValues(
+        graft.functions.Hashing.hashLong64(col("v"), 7L), 64).as("kmv"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(sqlKmv == colKmv)
+    // CMS: the SQL matrix answers point queries identically
+    val sqlCms = spark.sql(
+      "SELECT graft_cms(graft_hashlong(v, 0), 4, 128) AS cms FROM gx_agg")
+      .collect()(0).getSeq[Long](0)
+    val colCms = spark.table("gx_agg")
+      .agg(graft.functions.Sketches.countMin(
+        graft.functions.Hashing.hashLong64(col("v"), 0L), 4, 128).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    assert(sqlCms == colCms)
+    // parameter hygiene matches the rest of the surface
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_kmv(graft_hashlong(v, 7), v) FROM gx_agg").collect()
+    }
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
+  }
+
+  test("graft_zvalue interleaves like the operator, default and explicit bits") {
+    val r = spark.sql(
+      "SELECT graft_zvalue(3L, 2L, 4) AS a, graft_zvalue(65535L, 0L) AS b")
+      .collect()(0)
+    assert(r.getLong(0) == 13L)
+    assert(r.getLong(1) == 0x55555555L) // 16 one-bits at even positions
+    val viaOp = spark.range(1).select(
+      graft.operators.ZOrder.zValue(
+        org.apache.spark.sql.functions.lit(12345L),
+        org.apache.spark.sql.functions.lit(54321L)).as("z")).collect()(0).getLong(0)
+    val viaSql = spark.sql("SELECT graft_zvalue(12345L, 54321L) AS z")
+      .collect()(0).getLong(0)
+    assert(viaOp == viaSql)
+  }
 }

@@ -427,4 +427,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(est >= 3L && est <= 6L, s"alpha_beta estimate off: $est")
   }
+
+  test("B22 live anomaly flags match the batch integer test against broadcast stats") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference moments: "view" averages 2/hour over 100 hours with
+    // tiny variance (s2 slightly above s1²/nh) — a 10-event hour is
+    // way past 3σ, a 2-event hour is not
+    val stats = Seq(("view", 100L, 200L, 410L)).toDF("event_type", "nh", "s1", "s2")
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = EventStreams.anomalyFlags(events, stats, windowDur = "1 minute",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b22").outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    in.addData((t(70), "view"), (t(75), "view")) // window [60,120): n=2, normal
+    q.processAllAvailable()
+    in.addData((120L to 129L).map(s => (t(s), "view")): _*) // [120,180): n=10, spike
+    q.processAllAvailable()
+    in.addData((t(300), "view")) // close both windows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("b22")
+      .select(col("start"), col("n"), col("anomaly"))
+      .as[(java.sql.Timestamp, Long, Int)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2, s"two closed windows, got ${rows.toSeq}")
+    assert(rows(0) == ((t(60), 2L, 0)), s"normal hour flagged: ${rows(0)}")
+    assert(rows(1) == ((t(120), 10L, 1)), s"spike not flagged: ${rows(1)}")
+    // the flag is the same integer predicate the batch operator uses:
+    // (n·nh − s1)² > 9·(nh·s2 − s1²) → (10·100−200)² = 640000 > 9·(41000−40000) = 9000 ✓
+    //                                  (2·100−200)²  = 0      > 9000 ✗
+  }
 }
