@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Bloom, Cluster, Corpus, Dedup, Graph, RangeJoin, Sampling, Sketch, ZOrder}
+import graft.operators.{Ann, AsOf, Bloom, Cluster, Corpus, Dedup, Dq, Graph, RangeJoin, Sampling, Sketch, ZOrder}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -348,6 +348,40 @@ object SparkEntry {
       // Count-Min heavy bigrams + exact df verify (est can only over-
       // count; the one-sided error is a query result, not a claim)
       Sketch.heavyHittersCms(Tables.documents(s, d))),
+    "scd2_temporal_join" -> ((s, d) => {
+      // leakage-safe point-in-time join: each view event picks up the
+      // dimension version valid AT ITS OWN position
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val versions = Changelog.scd2(log)
+      val facts = log.filter(col("etype") === "view")
+        .select(col("pos").as("fpos"), col("tbl"), col("id"))
+      Changelog.temporalJoin(facts, versions, Seq("tbl", "id"), "fpos")
+        .select(col("fpos"), col("tbl"), col("id"),
+          col("dim_val"), col("dim_valid_from"))
+    }),
+    "dq_check" -> ((s, d) => {
+      // deterministic planted damage (the snapshot-diff pattern):
+      // NULLed and rerouted custkeys, negated prices, bogus status,
+      // duplicated keys — each rule must count exactly its breakage
+      val base = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+          .when(col("o_orderkey") % 107 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderkey"),
+        when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 101 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      val damaged = base.unionByName(base.filter(col("o_orderkey") % 103 === 0))
+      Dq.check(damaged, Seq(
+          Dq.Rule("custkey_not_null", col("o_custkey").isNull),
+          Dq.Rule("totalprice_nonneg", col("o_totalprice") < 0),
+          Dq.Rule("status_accepted", !col("o_orderstatus").isin("O", "F", "P"))),
+          uniqueKeys = Seq(("orderkey_unique", col("o_orderkey"))))
+        .unionByName(Dq.refIntegrity("custkey_in_customer", damaged, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+    }),
+    "feature_snapshot" -> ((s, d) => Analytics.featureSnapshot(s, d)),
     "table_stats" -> ((s, d) =>
       // one-scan ANALYZE: count/null/min/max + KMV NDV per column,
       // with exact NDV + measured error (the checked-variant pattern)
@@ -1266,6 +1300,76 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "scd2_temporal_join" -> (logCte +
+      """, wp AS (
+        |  SELECT pos, op, tbl, id, val,
+        |         lag(op) OVER (PARTITION BY tbl, id ORDER BY pos) AS prev_op,
+        |         lag(val) OVER (PARTITION BY tbl, id ORDER BY pos) AS prev_val
+        |  FROM committed),
+        |ch AS (
+        |  SELECT * FROM wp
+        |  WHERE (op = 'upsert' AND (prev_op IS NULL OR prev_op = 'delete'
+        |          OR val IS DISTINCT FROM prev_val))
+        |     OR (op = 'delete' AND prev_op = 'upsert')),
+        |v AS (
+        |  SELECT tbl, id, val, op, pos AS valid_from,
+        |         lead(pos) OVER (PARTITION BY tbl, id ORDER BY pos) AS valid_to
+        |  FROM ch),
+        |vers AS (SELECT tbl, id, val, valid_from, valid_to FROM v WHERE op = 'upsert'),
+        |facts AS (SELECT pos AS fpos, tbl, id FROM committed WHERE etype = 'view'),
+        |cand AS (
+        |  SELECT f.fpos, f.tbl, f.id, vr.val, vr.valid_from, vr.valid_to,
+        |         row_number() OVER (PARTITION BY f.fpos ORDER BY vr.valid_from DESC) AS rn
+        |  FROM facts f JOIN vers vr
+        |    ON vr.tbl = f.tbl AND vr.id = f.id AND vr.valid_from <= f.fpos),
+        |sel AS (SELECT * FROM cand WHERE rn = 1)
+        |SELECT f.fpos, f.tbl, f.id,
+        |       CASE WHEN s.valid_to IS NULL OR f.fpos < s.valid_to
+        |            THEN s.val END AS dim_val,
+        |       CASE WHEN s.valid_to IS NULL OR f.fpos < s.valid_to
+        |            THEN s.valid_from END AS dim_valid_from
+        |FROM facts f LEFT JOIN sel s USING (fpos)""".stripMargin),
+    "dq_check" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              WHEN o_orderkey % 107 = 0 THEN o_custkey + 10000000
+        |              ELSE o_custkey END AS o_custkey,
+        |         o_orderkey,
+        |         CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+        |              ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders),
+        |d AS (SELECT * FROM base
+        |      UNION ALL SELECT * FROM base WHERE o_orderkey % 103 = 0)
+        |SELECT 'custkey_not_null' AS rule,
+        |       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+        |       CAST(count(*) AS BIGINT) AS checked FROM d
+        |UNION ALL
+        |SELECT 'totalprice_nonneg', count(*) FILTER (o_totalprice < 0), count(*) FROM d
+        |UNION ALL
+        |SELECT 'status_accepted',
+        |       count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')), count(*) FROM d
+        |UNION ALL
+        |SELECT 'orderkey_unique', count(*) - count(DISTINCT o_orderkey), count(*) FROM d
+        |UNION ALL
+        |SELECT 'custkey_in_customer',
+        |       count(*) FILTER (o_custkey IS NOT NULL AND
+        |                        o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |       count(*) FROM d""".stripMargin,
+    "feature_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_type
+        |  FROM events
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) < 1706140800000000)
+        |SELECT user_id,
+        |       count(*) FILTER (us >= 1705536000000000) AS n_7d,
+        |       count(*) FILTER (us >= 1706054400000000) AS n_1d,
+        |       count(*) FILTER (us >= 1705536000000000 AND event_type = 'purchase') AS n_buy_7d,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              FILTER (us >= 1705536000000000) AS DOUBLE) AS spend_7d,
+        |       max(us) AS last_us
+        |FROM e GROUP BY user_id""".stripMargin,
     "table_stats" -> DuckSql.tableStatsOracle("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"), k = 256, seed = 7L),
     "gap_fill" ->

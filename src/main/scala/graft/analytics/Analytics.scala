@@ -281,4 +281,35 @@ object Analytics {
         when(dev * dev > (col("nh") * col("s2") - col("s1") * col("s1")) * 9, lit(1))
           .otherwise(lit(0)).as("anomaly"))
   }
+
+  /** Per-entity feature snapshot at a cutoff (SURVEY §2 C18) — the
+    * feature-store materialization: trailing-window activity counts,
+    * decimal-exact trailing spend, recency — all STRICTLY BEFORE the
+    * cutoff, so a model trained on these features at label time T
+    * cannot see the future (the leakage bug the temporal join and
+    * this operator jointly eliminate).
+    *
+    * One scan (the cutoff predicate prunes at the parquet level),
+    * conditional partial aggregates per window, one user-keyed
+    * exchange. Adding a feature window adds a counter, never a pass.
+    * Times compared as epoch-micros longs. */
+  def featureSnapshot(s: SparkSession, dir: String,
+                      cutoffUs: Long = 1706140800000000L): DataFrame = {
+    // default cutoff 2024-01-25T00:00Z — inside the 30-day event span
+    val day = 86400000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("value"), col("event_type"))
+      .filter(col("us") < cutoffUs)
+    def inLast(days: Int): org.apache.spark.sql.Column =
+      col("us") >= cutoffUs - days * day
+    ev.groupBy(col("user_id")).agg(
+      sum(when(inLast(7), 1L).otherwise(0L)).as("n_7d"),
+      sum(when(inLast(1), 1L).otherwise(0L)).as("n_1d"),
+      sum(when(inLast(7) && col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_buy_7d"),
+      sum(when(inLast(7), col("value").cast(dec2)).otherwise(lit(null).cast(dec2)))
+        .cast("double").as("spend_7d"),
+      max(col("us")).as("last_us"))
+  }
 }

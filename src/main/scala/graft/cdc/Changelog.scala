@@ -438,6 +438,29 @@ object Changelog {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** Point-in-time (temporal) join of facts against the [[scd2]]
+    * version history: each fact picks up the dimension version that
+    * was VALID AT ITS OWN TIME — the leakage-safe feature join every
+    * training pipeline needs (joining today's dimension value onto
+    * last month's fact leaks the future into the features; the
+    * temporal join structurally cannot).
+    *
+    * Implementation: [[graft.operators.AsOf.join]] on `valid_from`
+    * (one key exchange, no per-fact version explosion — the union+
+    * window plan), then dimension columns are NULLed where the
+    * matched version was already closed at fact time (`valid_to` ≤ t:
+    * the entity did not exist then — a LEFT temporal join). */
+  def temporalJoin(facts: DataFrame, versions: DataFrame, keys: Seq[String],
+                   factTime: String, prefix: String = "dim_"): DataFrame = {
+    val j = graft.operators.AsOf.join(facts, versions, keys, factTime,
+        "valid_from", prefix)
+      .withColumn("__live", col(prefix + "valid_from").isNotNull &&
+        (col(prefix + "valid_to").isNull || col(factTime) < col(prefix + "valid_to")))
+    versions.columns.filterNot(keys.contains).foldLeft(j) { (df, c) =>
+      df.withColumn(prefix + c, when(col("__live"), col(prefix + c)))
+    }.drop("__live")
+  }
+
   /** Replica-drift detection: diff a materialized copy against what
     * the log says the state IS — the consistency check every CDC
     * deployment eventually needs ("is the downstream table still in

@@ -297,4 +297,28 @@ class ChangelogSpec extends AnyFunSuite {
     val state = Changelog.entityState(l).select(col("tbl"), col("id"), col("val"))
     assert(current.exceptAll(state).count() == 0 && state.exceptAll(current).count() == 0)
   }
+
+  test("temporalJoin: each fact sees the version valid at its own time") {
+    import spark.implicits._
+    val l = log(
+      (1, "upsert", "t", 1, 0, 1.0, "x"),  // v1 [1, 3)
+      (3, "upsert", "t", 1, 0, 2.0, "x"),  // v2 [3, 5)
+      (5, "delete", "t", 1, 0, 0.0, "x"),  // gone [5, 8)
+      (8, "upsert", "t", 1, 0, 3.0, "x"))  // v3 [8, ∞)
+    val versions = Changelog.scd2(l)
+    val facts = Seq((0L, "t", 1L), (2L, "t", 1L), (3L, "t", 1L),
+        (6L, "t", 1L), (9L, "t", 1L))
+      .toDF("fpos", "tbl", "id")
+    val out = Changelog.temporalJoin(facts, versions, Seq("tbl", "id"), "fpos")
+      .collect()
+      .map(r => (r.getAs[Long]("fpos"),
+        Option(r.getAs[java.lang.Double]("dim_val")).map(_.toDouble)))
+      .toMap
+    assert(out == Map(
+      0L -> None,        // before the first version: nothing to see
+      2L -> Some(1.0),   // v1 live
+      3L -> Some(2.0),   // inclusive boundary: v2 opens AT the fact time
+      6L -> None,        // deleted at 5 — the entity did not exist
+      9L -> Some(3.0)))  // reopened
+  }
 }
