@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{Changelog, RowFormat, SchemaRegistry}
 import graft.analytics.Analytics
-import graft.operators.{Ann, AsOf, Bloom, Cluster, Corpus, Dedup, Dq, Graph, RangeJoin, Sampling, Sketch, ZOrder}
+import graft.operators.{Ann, AsOf, Bloom, Cluster, Corpus, Dedup, Dq, Graph, RangeJoin, Sampling, Sketch, Skew, ZOrder}
 import graft.functions.{Hashing, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -348,6 +348,37 @@ object SparkEntry {
       // Count-Min heavy bigrams + exact df verify (est can only over-
       // count; the one-sided error is a query result, not a claim)
       Sketch.heavyHittersCms(Tables.documents(s, d))),
+    "cdc_position_gap" -> ((s, d) =>
+      // holes in the committed stream per binlog file: a gap of one tx
+      // width is a rollback (expected); larger would be capture loss
+      Changelog.positionGaps(
+        Changelog.filterCommitted(Changelog.attachFile(Changelog.fromEvents(ev(s, d)))),
+        maxStep = 5L)),
+    "skew_join" -> ((s, d) => {
+      // salted join, oracle-checked result-identical to the plain join
+      // (the partition-balance evidence lives in SkewBucketSpec)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_orderkey"), col("l_quantity"))
+      val p = Tables.part(s, d).select(col("p_partkey").as("pk"), col("p_name"))
+      Skew.saltedJoin(li, p, Seq("pk"), col("l_orderkey"), buckets = 8)
+        .select(col("pk"), col("l_orderkey"), col("l_quantity"), col("p_name"))
+    }),
+    "url_normalize" -> ((s, d) => {
+      // planted URL variety (documents carry no URLs): mixed-case
+      // scheme/host, utm params, fragments, trailing slashes
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, lit("Example.COM")).otherwise(lit("cdn.site.org")),
+        lit("/Path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=x&id="), (col("doc_id") % 20).cast("string"),
+            lit("&utm_campaign=y"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Corpus.normalizeUrls(
+          Tables.documents(s, d).select(col("doc_id")).withColumn("url", url))
+        .select(col("doc_id"), col("url"), col("url_norm"), col("host"))
+    }),
     "scd2_temporal_join" -> ((s, d) => {
       // leakage-safe point-in-time join: each view event picks up the
       // dimension version valid AT ITS OWN position
@@ -1300,6 +1331,51 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "cdc_position_gap" -> (logCte +
+      """, f AS (
+        |  SELECT pos, tx, etype,
+        |         last_value(CASE WHEN etype = 'signup'
+        |                         THEN 'bin.' || lpad(CAST(id AS VARCHAR), 6, '0') END IGNORE NULLS)
+        |           OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fraw
+        |  FROM log),
+        |att AS (SELECT pos, tx, coalesce(fraw, 'bin.000000') AS file
+        |        FROM f WHERE etype <> 'signup'),
+        |c AS (SELECT * FROM att
+        |      WHERE tx NOT IN (SELECT DISTINCT tx FROM log WHERE etype = 'error')),
+        |g AS (SELECT file, pos,
+        |             lag(pos) OVER (PARTITION BY file ORDER BY pos) AS prev_pos
+        |      FROM c)
+        |SELECT file, prev_pos AS from_pos, pos AS to_pos, pos - prev_pos AS gap
+        |FROM g WHERE pos - prev_pos > 5""".stripMargin),
+    "skew_join" ->
+      """SELECT l_partkey AS pk, l_orderkey, l_quantity, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "url_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'cdn.site.org' END) ||
+        |  '/Path/' || (doc_id % 50) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=x&id=' || (doc_id % 20) || '&utm_campaign=y'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS a FROM d),
+        |n2 AS (SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(a, 'utm_[^&#]*&', '', 'g'),
+        |                        '[?&]utm_[^&#]*', '', 'g') AS b
+        |       FROM n1),
+        |n3 AS (SELECT doc_id, url,
+        |         lower(regexp_extract(b, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+        |         regexp_replace(b, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g') AS c
+        |       FROM n2),
+        |n4 AS (SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(c, '/\?', '?', 'g'), '/$', '', 'g') AS url_norm
+        |       FROM n3)
+        |SELECT doc_id, url, url_norm,
+        |       regexp_extract(url_norm, '://([^/?#]*)', 1) AS host
+        |FROM n4""".stripMargin,
     "scd2_temporal_join" -> (logCte +
       """, wp AS (
         |  SELECT pos, op, tbl, id, val,

@@ -438,6 +438,24 @@ object Changelog {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** Capture-gap detection (SURVEY §2 A29): adjacent-position jumps
+    * larger than `maxStep` within a binlog file — the integrity check
+    * that distinguishes "filtered on purpose" from "events lost in
+    * capture". On the committed stream a jump of exactly one tx width
+    * marks a rolled-back transaction (expected); anything larger
+    * means a capture hole a CDC deployment must re-snapshot across.
+    * Output is gap-sized (one row per hole), and the window
+    * partitions by `file` — binlog files are bounded, so no partition
+    * exceeds one file's events (the [[groupTableMaps]] scale
+    * argument). `log` must already carry `file` ([[attachFile]]). */
+  def positionGaps(log: DataFrame, maxStep: Long): DataFrame = {
+    val w = Window.partitionBy(col("file")).orderBy(col("pos"))
+    log.withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .filter(col("pos") - col("prev_pos") > maxStep)
+      .select(col("file"), col("prev_pos").as("from_pos"),
+        col("pos").as("to_pos"), (col("pos") - col("prev_pos")).as("gap"))
+  }
+
   /** Point-in-time (temporal) join of facts against the [[scd2]]
     * version history: each fact picks up the dimension version that
     * was VALID AT ITS OWN TIME — the leakage-safe feature join every

@@ -211,6 +211,31 @@ object Corpus {
       .withColumn("n_norm_chars", length(col("norm_text")))
   }
 
+  /** URL canonicalization (SURVEY §2 D33) — the step BEFORE URL-level
+    * dedup in every web-corpus pipeline: the same page arrives as
+    * `HTTPS://Site.com/a/?utm_source=x`, `https://site.com/a` and
+    * `https://site.com/a/#frag`, and text dedup pays for every copy
+    * that URL dedup would have dropped for free. Canonical form:
+    * fragment stripped, `utm_*` tracking params dropped (dangling
+    * `?`/`&` repaired), scheme+host lowercased (the PATH stays
+    * case-sensitive — per-spec, only the authority is
+    * case-insensitive), trailing slash removed. Emits the host as a
+    * column (the per-domain stratum key `domain_mix`/`corpus_stats`
+    * consume). Map-only; every pattern in the Java∩RE2 subset so the
+    * chain — order and all — replays in the oracle verbatim. */
+  def normalizeUrls(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[^&#]*&", ""), "[?&]utm_[^&#]*", "")
+    val lowHead = concat(
+      lower(regexp_extract(noUtm, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)),
+      regexp_replace(noUtm, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    val norm = regexp_replace(regexp_replace(lowHead, "/\\?", "?"), "/$", "")
+    urls
+      .withColumn("url_norm", norm)
+      .withColumn("host", regexp_extract(col("url_norm"), "://([^/?#]*)", 1))
+  }
+
   /** Per-document term-frequency table: one row per distinct
     * (doc_id, term) with its in-document count. The shared first stage
     * of [[tfidfTopK]] and [[termRarity]].

@@ -88,6 +88,22 @@ class JoinViewSpec extends AnyFunSuite {
     assert(view(dir).contains((7L, 99L, 9.9, Some(700.0))))
   }
 
+  test("end-to-end: materialize() maintains the view through the streaming path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val ck = tmp()
+    val in = MemoryStream[JoinChange]
+    val q = JoinView.materialize(in.toDS(), dir, ck, numBuckets = 8)
+    in.addData(JoinChange(1, "upsert", "fact", 1, 10, 1.0))
+    q.processAllAvailable()
+    assert(view(dir) == Set((10L, 1L, 1.0, None)))
+    in.addData(JoinChange(2, "upsert", "dim", 10, 0, 100.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(view(dir) == Set((10L, 1L, 1.0, Some(100.0))))
+  }
+
   test("random history converges to the batch join of the folded sides") {
     val dir = tmp()
     val rnd = new scala.util.Random(42)
