@@ -498,6 +498,45 @@ object DuckSql {
        |  FROM scored)
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Oracle for `join_size_est`: the KMV set-operation estimator
+    * ([[graft.operators.Sketch.joinSizeEst]]) — both key sketches
+    * replayed, kmin of their union, the both-sketches membership
+    * ratio, and `ratio · est_union`, op order identical. */
+  def joinSizeOracle(k: Int, seed: Long): String = {
+    val scale = dlit((k - 1).toDouble * math.pow(2.0, 63))
+    s"""WITH av AS (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL),
+       |bv AS (SELECT DISTINCT c_custkey AS v FROM customer
+       |       WHERE c_custkey IS NOT NULL AND c_acctbal > 5000),
+       |am AS (SELECT DISTINCT h % 9223372036854775808 AS h63
+       |       FROM ${hashLongCtes("av", "v", "v", seed, "h")} t1),
+       |ar AS (SELECT h63, row_number() OVER (ORDER BY h63) AS rn FROM am),
+       |ka AS (SELECT h63 FROM ar WHERE rn <= $k),
+       |bm AS (SELECT DISTINCT h % 9223372036854775808 AS h63
+       |       FROM ${hashLongCtes("bv", "v", "v", seed, "h")} t2),
+       |br AS (SELECT h63, row_number() OVER (ORDER BY h63) AS rn FROM bm),
+       |kb AS (SELECT h63 FROM br WHERE rn <= $k),
+       |um AS (SELECT DISTINCT h63 FROM
+       |        (SELECT h63 FROM ka UNION ALL SELECT h63 FROM kb) z),
+       |ur AS (SELECT h63, row_number() OVER (ORDER BY h63) AS rn FROM um),
+       |u AS (SELECT h63 FROM ur WHERE rn <= $k),
+       |nu AS (SELECT count(*) AS n_u, CAST(max(h63) AS BIGINT) AS kth FROM u),
+       |ni AS (SELECT count(*) AS n_i FROM u JOIN ka USING (h63) JOIN kb USING (h63)),
+       |st AS (SELECT (SELECT count(*) FROM ka) AS n_a_kept,
+       |              (SELECT count(*) FROM kb) AS n_b_kept),
+       |ex AS (SELECT count(*) AS exact_common
+       |       FROM (SELECT v FROM av INTERSECT SELECT v FROM bv) q),
+       |sel AS (SELECT n_a_kept, n_b_kept, CAST(n_i AS BIGINT) AS n_inter,
+       |          CASE WHEN n_u < $k THEN CAST(n_u AS DOUBLE)
+       |               ELSE $scale / CAST(kth AS DOUBLE) END AS est_union,
+       |          CAST(n_i AS DOUBLE) / CAST(n_u AS DOUBLE) AS ratio
+       |        FROM nu, ni, st)
+       |SELECT n_a_kept, n_b_kept, n_inter, est_union,
+       |       ratio * est_union AS est_common, exact_common,
+       |       abs(((ratio * est_union) - CAST(exact_common AS DOUBLE)) /
+       |           CAST(exact_common AS DOUBLE)) AS rel_err
+       |FROM sel, ex""".stripMargin
+  }
+
   /** Oracle for `table_stats`: per-column count/null/min/max, the KMV
     * NDV replay ([[kmvOracle]] pattern, one block per column), exact
     * NDV and the measured error — mirrors

@@ -348,6 +348,25 @@ object SparkEntry {
       // Count-Min heavy bigrams + exact df verify (est can only over-
       // count; the one-sided error is a query result, not a claim)
       Sketch.heavyHittersCms(Tables.documents(s, d))),
+    "join_size_est" -> ((s, d) =>
+      // KMV set-operation estimator: distinct-key overlap of two
+      // relations WITHOUT joining them, + exact overlap and error.
+      // The dim side is filtered so the overlap is PARTIAL — the
+      // intersection ratio actually estimates, not just echoes 1
+      Sketch.joinSizeEstChecked(
+        Tables.orders(s, d), col("o_custkey"),
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000), col("c_custkey"))),
+    "dedup_containment" -> ((s, d) => {
+      // plant EXCERPTS (first half of every 20th doc, as a new doc):
+      // contained ~fully in their source but Jaccard ≈ 0.5 — the
+      // pairs a symmetric near-dup pass structurally misses
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            (size(split(col("text"), " ")) / 2).cast("int")), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts))
+    }),
     "cdc_position_gap" -> ((s, d) =>
       // holes in the committed stream per binlog file: a gap of one tx
       // width is a rollback (expected); larger would be capture loss
@@ -1331,6 +1350,35 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "join_size_est" -> DuckSql.joinSizeOracle(k = 256, seed = 7L),
+    "dedup_containment" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         string_split(array_to_string(w[1:CAST(len(w) // 2 AS INT)], ' '), ' ') AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 20 = 0),
+        |d AS (SELECT doc_id, w FROM d0),
+        |s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |        THEN [w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]
+        |        ELSE CAST([] AS VARCHAR[]) END)) AS g
+        |      FROM d),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+        |keptg AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 200),
+        |kp AS (SELECT doc_id, g FROM s JOIN keptg USING (g)),
+        |cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM kp x JOIN kp y ON x.g = y.g AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+        |          FROM cand c JOIN s sa ON sa.doc_id = c.a_id
+        |                      JOIN s sb ON sb.doc_id = c.b_id AND sb.g = sa.g
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.i AS n_shared,
+        |       CAST(i.i AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS c
+        |FROM inter i JOIN sz za ON za.doc_id = i.a_id
+        |             JOIN sz zb ON zb.doc_id = i.b_id
+        |WHERE CAST(i.i AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.8""".stripMargin,
     "cdc_position_gap" -> (logCte +
       """, f AS (
         |  SELECT pos, tx, etype,

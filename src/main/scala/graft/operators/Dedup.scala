@@ -99,6 +99,48 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("j"))
   }
 
+  /** Containment near-dup pairs (SURVEY §2 D34): pairs where the
+    * SMALLER document's shingle set is ≥ `threshold` contained in the
+    * larger's — the near-superset case (a doc quoted whole inside a
+    * longer page) that symmetric Jaccard structurally misses: with
+    * |A| ≪ |B|, J = |A∩B|/|A∪B| ≈ |A|/|B| stays tiny even at full
+    * containment. Because the sizes may differ arbitrarily,
+    * [[jaccardPairs]]' length-bucket blocking cannot generate these
+    * candidates; a POSTING-LIST self-join on shingle hashes does
+    * (pairs sharing ≥ `minShared` shingles), with `maxDf` as both the
+    * boilerplate guard and the mega-bucket defense (per-shingle
+    * fan-out ≤ C(maxDf, 2) — the [[substrPairs]] scale argument).
+    * Verify = exact sorted-merge intersection on the full sets;
+    * containment is ONE integer division. 16 B posting rows; shingle
+    * arrays ride only the candidate-sized verify join. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       minShared: Int = 2, maxDf: Int = 200): DataFrame = {
+    val t = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .persist()
+    val posts = t.select(col("doc_id"), explode(col("sh")).as("g"))
+    val kept = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val kp = posts.join(kept, Seq("g"))
+    val cand = kp.as("x").join(kp.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    cand
+      .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        size(col("sh")).as("a_n")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        size(col("sh")).as("b_n")), Seq("b_id"))
+      .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("c",
+        col("i").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
+      .where(col("c") >= threshold)
+      .select(col("a_id"), col("b_id"), col("i").cast("long").as("n_shared"), col("c"))
+  }
+
   /** Reconstitute the per-document near-dup rollup from group-level
     * pair verdicts. Exactness argument: within a group every member
     * pair is a candidate AND a verified dup (identical signatures ⇒

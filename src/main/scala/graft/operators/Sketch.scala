@@ -124,6 +124,55 @@ object Sketch {
           col("ndv_exact").cast("double")))
   }
 
+  /** Sketch-based JOIN-SIZE estimation (SURVEY §2 E13) — the
+    * optimizer statistic [[tableStats]]' NDV can't give: how many
+    * DISTINCT KEYS two relations share, without joining them. The
+    * classic KMV set-operation estimator (Beyer et al., SIGMOD'07):
+    * kmin(A ∪ B) = kmin(kminA ∪ kminB), so the k-smallest of the two
+    * sketches' union is itself the union's sketch; the fraction ρ of
+    * those k that appear in BOTH sketches estimates the Jaccard of
+    * the key sets, and `ρ · est(|A ∪ B|)` estimates the overlap. Two
+    * dim-sized sketch aggregates (each partial-aggregated over its
+    * relation), one cross join of 1-row frames — the relations are
+    * never joined.
+    *
+    * Determinism: array ops over exact hashes; `ratio` is one integer
+    * division and `est_common` one multiply, in fixed order — the
+    * oracle replays every step. */
+  def joinSizeEst(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                  k: Int = 256, seed: Long = 7L): DataFrame = {
+    val sa = a.agg(Sketches.kMinValues(Hashing.hashLong64(aKey, seed), k).as("ka"))
+    val sb = b.agg(Sketches.kMinValues(Hashing.hashLong64(bKey, seed), k).as("kb"))
+    sa.crossJoin(sb)
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k))
+      .withColumn("n_inter",
+        size(array_intersect(array_intersect(col("u"), col("ka")), col("kb"))))
+      .withColumn("est_union", kmvEstimate(col("u"), k))
+      .withColumn("ratio",
+        col("n_inter").cast("double") / size(col("u")).cast("double"))
+      .select(
+        size(col("ka")).cast("long").as("n_a_kept"),
+        size(col("kb")).cast("long").as("n_b_kept"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("est_union"),
+        (col("ratio") * col("est_union")).as("est_common"))
+  }
+
+  /** [[joinSizeEst]] plus the exact distinct-key overlap and measured
+    * relative error — the validation companion (the exact side joins
+    * the deduped key sets; it is the plan the estimator replaces). */
+  def joinSizeEstChecked(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                         k: Int = 256, seed: Long = 7L): DataFrame = {
+    val exact = a.select(aKey.as("__k")).distinct()
+      .join(b.select(bKey.as("__k")).distinct(), Seq("__k"))
+      .agg(count(lit(1)).as("exact_common"))
+    joinSizeEst(a, aKey, b, bKey, k, seed).crossJoin(exact)
+      .withColumn("rel_err",
+        abs((col("est_common") - col("exact_common").cast("double")) /
+          col("exact_common").cast("double")))
+  }
+
   /** Point query against a [[graft.functions.Sketches.CountMinSketch]]
     * matrix column: minimum of the item's `depth` cells. Pure column
     * expression — probing N items against a broadcast 1-row sketch is
