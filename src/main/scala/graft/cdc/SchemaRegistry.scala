@@ -235,7 +235,17 @@ object SchemaRegistry {
     // signature O(log-size/10) columns at sf0.1 — a degenerate table,
     // not a realistic evolution. %100 keeps tens of versions.
     val isAlter = col("etype") === "purchase" && col("id") % 100 === 3
+    // the registry (control-sized: one row per schema version) feeds
+    // BOTH the attach and the latest-version projection; persist so
+    // neither use re-derives it from a log scan. (Measured at sf0.1:
+    // this is hygiene, not the bottleneck — the query's ~4.5 s is the
+    // per-row interpreted HOF stack of the DEMO SYNTHESIS, i.e. the
+    // transform/encode lambdas fabricating binary values plus the
+    // per-charset decode — linear map-side work with no shuffle, so
+    // it scales horizontally; a codegen kernel would only speed up
+    // verification scaffolding, not the engine path.)
     val registry = demoRegistry(committed, isAlter)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val attached = attach(committed.filter(!isAlter), registry)
       .withColumn("vals_raw",
         transform(sequence(lit(1), col("n_cols")),
