@@ -40,7 +40,11 @@ object Bloom {
       "Bloom.buildBits: mBits must be a power of two >= 64")
     require(kHashes >= 1 && kHashes <= 16, "Bloom.buildBits: kHashes in [1, 16]")
     val words = new Array[Long](mBits / 64)
+    // NULL keys contribute no bits (a NULL never equi-joins, so the
+    // prefilter owes it nothing — and a NULL bit position would NPE
+    // the driver-side fold below)
     val masks = keys
+      .filter(key.isNotNull)
       .select((0 until kHashes).map { r =>
         (shiftrightunsigned(Hashing.hashLong64(key, r.toLong), 1) % mBits).as(s"b$r")
       }: _*)

@@ -68,12 +68,16 @@ object Dedup {
     // (Hashing.SortedIntersectCount). Jaccard values are unchanged —
     // |∩| on 64-bit-hashed distinct shingles equals |∩| on the strings
     // (collision odds ~1e-15 per pair).
+    // project + shingle BEFORE the fan-out repartition: the shuffle
+    // then carries (doc_id, bucket, hashed-shingle array) — never raw
+    // text (caught by the plan audit; the hash arrays are the compact
+    // payload the verify join needs anyway)
     val t = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         expr("n_chars div 100").as("bucket"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val a = t.select(col("doc_id").as("a_id"), col("bucket").as("a_bucket"))
     val b = t.select(col("doc_id").as("b_id"),
@@ -115,10 +119,12 @@ object Dedup {
     * arrays ride only the candidate-sized verify join. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
                        minShared: Int = 2, maxDf: Int = 200): DataFrame = {
+    // shingle before the fan-out repartition — hashed arrays through
+    // the shuffle, never raw text (see jaccardPairs)
     val t = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val posts = t.select(col("doc_id"), explode(col("sh")).as("g"))
     val kept = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))

