@@ -439,6 +439,7 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
     "gap_fill" -> (Analytics.gapFillHourly _),
     "ts_anomaly" -> (Analytics.tsAnomaly _),
+    "trending_topk" -> ((s, d) => Analytics.trendingTopK(s, d)),
     "bloom_prune" -> ((s, d) => {
       // bloom-prefiltered selective join: result-identical to the
       // plain join (no false negatives); the big side drops ~90% of
@@ -1350,6 +1351,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "trending_topk" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |  FROM events),
+        |c AS (SELECT hr, item, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT hr, item, n,
+        |             CAST(row_number() OVER (PARTITION BY hr
+        |                    ORDER BY n DESC, item) AS INT) AS rk
+        |      FROM c)
+        |SELECT hr, item, n, rk FROM r WHERE rk <= 3""".stripMargin,
     "join_size_est" -> DuckSql.joinSizeOracle(k = 256, seed = 7L),
     "dedup_containment" ->
       """WITH d0 AS (

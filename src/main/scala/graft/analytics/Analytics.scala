@@ -282,6 +282,23 @@ object Analytics {
           .otherwise(lit(0)).as("anomaly"))
   }
 
+  /** Trending items per hour (SURVEY §2 C19): the top-k items by
+    * event count in every hour — the "what's hot right now" panel of
+    * the live-views use case. Two-phase: the (hour, item) count
+    * combines map-side before its exchange, and the per-hour rank cap
+    * runs as a partial WindowGroupLimit BEFORE the hour exchange
+    * (each map partition ships ≤ k rows per hour) — at 100 TB the
+    * second shuffle carries hours × k rows, not the counts. Total
+    * (n desc, item) order makes the top-k set unique. */
+  def trendingTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      expr("ts div 3600000000000").as("hr"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("item"))
+    val counts = ev.groupBy(col("hr"), col("item")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("hr")).orderBy(col("n").desc, col("item"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Per-entity feature snapshot at a cutoff (SURVEY §2 C18) — the
     * feature-store materialization: trailing-window activity counts,
     * decimal-exact trailing spend, recency — all STRICTLY BEFORE the

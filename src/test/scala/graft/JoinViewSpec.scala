@@ -8,15 +8,28 @@ import org.apache.spark.sql.functions._
 import graft.streaming.JoinView
 import graft.streaming.JoinView.JoinChange
 
+/** Injected mid-stream failure marker for the supervised-restart
+  * scenario (the [[SupervisorSpec]] PoisonPill pattern). */
+object JvPoison {
+  @volatile var armed = false
+}
+
 /** Incrementally-maintained join view (SURVEY §2 B23): retroactive
   * enrichment, re-enrichment on dim updates, FK moves via update
-  * images, replay idempotence, bucket-local maintenance, and
-  * convergence against the batch join of the folded sides. */
+  * images, replay idempotence, bucket-local maintenance, supervised
+  * restart from checkpoint, and convergence against the batch join
+  * of the folded sides. */
 class JoinViewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private def tmp() = Files.createTempDirectory("graft_jv").toString
+
+  private def pollUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
 
   private def view(dir: String): Set[(Long, Long, Double, Option[Double])] =
     JoinView.readCurrent(spark, dir)
@@ -102,6 +115,40 @@ class JoinViewSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     assert(view(dir) == Set((10L, 1L, 1.0, Some(100.0))))
+  }
+
+  test("supervised restart from checkpoint: view converges after an injected failure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val ck = tmp()
+    val in = MemoryStream[JoinChange]
+    JvPoison.armed = false
+    def start() = {
+      val guarded = in.toDS().map { c =>
+        if (JvPoison.armed && c.id == 666L)
+          throw new RuntimeException("injected failure")
+        c
+      }
+      JoinView.materialize(guarded, dir, ck, numBuckets = 8)
+    }
+    val sq = graft.streaming.Supervisor.supervise(() => start(),
+      maxRestarts = 3, startWaitMs = 10, sleep = _ => (),
+      onRestart = (_, _) => JvPoison.armed = false)
+    assert(pollUntil(30000)(sq.current.exists(_.isActive)), "first incarnation starts")
+    in.addData(JoinChange(1, "upsert", "fact", 1, 10, 1.0))
+    sq.current.get.processAllAvailable()
+    // the failing batch carries BOTH a dim and the poison fact: after
+    // the restart replays it, the dim must still enrich retroactively
+    JvPoison.armed = true
+    in.addData(JoinChange(2, "upsert", "dim", 10, 0, 100.0),
+      JoinChange(3, "upsert", "fact", 666, 10, 6.0))
+    assert(pollUntil(60000)(sq.restarts == 1 && sq.current.exists(_.isActive)),
+      s"supervisor must restart the query (restarts=${sq.restarts})")
+    sq.current.get.processAllAvailable()
+    assert(sq.stop(), "supervision loop exits")
+    assert(view(dir) == Set((10L, 1L, 1.0, Some(100.0)), (10L, 666L, 6.0, Some(100.0))),
+      "replayed batch applies exactly once, enrichment included")
   }
 
   test("random history converges to the batch join of the folded sides") {
