@@ -367,6 +367,14 @@ object SparkEntry {
             (size(split(col("text"), " ")) / 2).cast("int")), " ").as("text"))
       Dedup.containmentPairs(docs.unionByName(excerpts))
     }),
+    "cdc_erasure" -> ((s, d) => {
+      // right-to-be-forgotten sweep: subjects = ids divisible by 9;
+      // the plan deletes exactly their LIVE keys, across tables
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val subjects = ev(s, d).select(col("user_id").as("id"))
+        .filter(col("id") % 9 === 0).distinct()
+      Changelog.erasurePlan(log, subjects)
+    }),
     "cdc_position_gap" -> ((s, d) =>
       // holes in the committed stream per binlog file: a gap of one tx
       // width is a rollback (expected); larger would be capture loss
@@ -1391,6 +1399,15 @@ object SparkEntry {
         |FROM inter i JOIN sz za ON za.doc_id = i.a_id
         |             JOIN sz zb ON zb.doc_id = i.b_id
         |WHERE CAST(i.i AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.8""".stripMargin,
+    "cdc_erasure" -> (logCte +
+      """, r AS (
+        |  SELECT tbl, id, val, op,
+        |         row_number() OVER (PARTITION BY tbl, id ORDER BY pos DESC) AS rn
+        |  FROM committed),
+        |live AS (SELECT tbl, id FROM r WHERE rn = 1 AND op = 'upsert'),
+        |subj AS (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 9 = 0)
+        |SELECT tbl, id, 'delete' AS op, CAST(NULL AS DOUBLE) AS val
+        |FROM live WHERE id IN (SELECT id FROM subj)""".stripMargin),
     "cdc_position_gap" -> (logCte +
       """, f AS (
         |  SELECT pos, tx, etype,

@@ -438,6 +438,29 @@ object Changelog {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** Erasure plan (SURVEY §2 A30) — the "right to be forgotten"
+    * sweep every CDC deployment eventually owes its compliance team:
+    * given the set of subject ids, emit the changelog segment that
+    * removes EVERY live row those subjects still have, across all
+    * tables. Like [[repairPlan]], the output is a valid changelog, so
+    * erasure flows through the NORMAL write path (entity fold,
+    * [[graft.streaming.UpsertSink.mergeBatch]], downstream replicas) —
+    * no bespoke deleter to get wrong, and replicas converge by
+    * replaying the same segment. Deletes are emitted only for keys
+    * that are actually LIVE (erasing an already-deleted key would be
+    * a no-op row, but emitting it anyway would make the plan grow
+    * with history, not with live data); the subject set rides a
+    * broadcast semi-join against the one key-hash fold
+    * [[entityState]] already pays. One op per (tbl, live id) makes
+    * the fold order-free. */
+  def erasurePlan(log: DataFrame, subjectIds: DataFrame): DataFrame = {
+    val subjects = subjectIds.select(col("id")).distinct()
+    entityState(log)
+      .join(broadcast(subjects), Seq("id"), "left_semi")
+      .select(col("tbl"), col("id"), lit("delete").as("op"),
+        lit(null).cast("double").as("val"))
+  }
+
   /** Capture-gap detection (SURVEY §2 A29): adjacent-position jumps
     * larger than `maxStep` within a binlog file — the integrity check
     * that distinguishes "filtered on purpose" from "events lost in

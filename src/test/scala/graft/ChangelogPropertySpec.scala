@@ -40,6 +40,34 @@ class ChangelogPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // (deleted intervals are legitimate gaps between versions — the
+  // property is strict ordering without OVERLAP, one open tail, and
+  // exact agreement of the open versions with the entity fold)
+  test("scd2: versions never overlap, at most one open tail, current == state") {
+    check(Prop.forAll(genOps) { ops =>
+      val vers = Changelog.scd2(toDf(ops)).collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4),
+            r.getDouble(2), r.getInt(5))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+      // per key: strictly ordered, non-overlapping intervals; at most
+      // one open (current) version, and it is the last
+      val tiled = vers.values.forall { vs =>
+        vs.sliding(2).forall {
+          case Array((_, to1, _, _), (from2, _, _, _)) => to1 <= from2
+          case _ => true
+        } && vs.count(_._2 == Long.MaxValue) <= 1 &&
+          vs.dropRight(1).forall(_._4 == 0) &&
+          vs.forall { case (f, t, _, cur) => f < t && ((cur == 1) == (t == Long.MaxValue)) }
+      }
+      // current versions reproduce the serial fold exactly
+      val current = vers.collect {
+        case (k, vs) if vs.nonEmpty && vs.last._2 == Long.MaxValue => k -> vs.last._3
+      }
+      tiled && current == serialFold(ops)
+    }, 8)
+  }
+
   test("entityState equals into-entity-map for arbitrary histories") {
     check(Prop.forAll(genOps) { ops =>
       val planned = Changelog.entityState(toDf(ops)).collect()

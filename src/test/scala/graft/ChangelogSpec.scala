@@ -298,6 +298,30 @@ class ChangelogSpec extends AnyFunSuite {
     assert(current.exceptAll(state).count() == 0 && state.exceptAll(current).count() == 0)
   }
 
+  test("erasurePlan: deletes exactly the subjects' live keys; applying it erases them") {
+    import spark.implicits._
+    val l = log(
+      (1, "upsert", "t", 1, 0, 1.0, "x"),
+      (2, "upsert", "t", 2, 0, 2.0, "x"),
+      (3, "upsert", "u", 1, 0, 3.0, "x"),
+      (4, "delete", "t", 2, 0, 0.0, "x"),  // id 2 already gone
+      (5, "upsert", "t", 3, 0, 5.0, "x"))
+    val subjects = Seq(1L, 2L).toDF("id") // 2's rows are all dead already
+    val plan = Changelog.erasurePlan(l, subjects)
+    val planned = plan.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(planned == Set(("t", 1L, "delete"), ("u", 1L, "delete")),
+      "only LIVE subject keys get a tombstone — across every table")
+    // applying the plan through the normal fold leaves no subject rows
+    val maxPos = 5L
+    val applied = Changelog.entityState(l.select(col("pos"), col("op"), col("tbl"),
+        col("id"), col("val"))
+      .unionByName(plan.select(lit(maxPos + 1).as("pos"), col("op"), col("tbl"),
+        col("id"), col("val"))))
+    assert(applied.join(subjects, Seq("id"), "left_semi").count() == 0,
+      "post-erasure state holds nothing for the subjects")
+    assert(applied.count() == 1, "non-subject rows survive (t,3)")
+  }
+
   test("temporalJoin: each fact sees the version valid at its own time") {
     import spark.implicits._
     val l = log(
