@@ -406,6 +406,24 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id")).withColumn("url", url))
         .select(col("doc_id"), col("url"), col("url_norm"), col("host"))
     }),
+    "url_dedup" -> ((s, d) => {
+      // URL-level dedup: canonical-URL groups (D33's payoff — copies
+      // that differ only in case/tracking/fragment collapse BEFORE
+      // any text is fetched or shingled); keep = lowest doc_id
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, lit("Example.COM")).otherwise(lit("cdn.site.org")),
+        lit("/Path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=x&id="), (col("doc_id") % 20).cast("string"),
+            lit("&utm_campaign=y"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Corpus.normalizeUrls(
+          Tables.documents(s, d).select(col("doc_id")).withColumn("url", url))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
     "scd2_temporal_join" -> ((s, d) => {
       // leakage-safe point-in-time join: each view event picks up the
       // dimension version valid AT ITS OWN position
@@ -1453,6 +1471,31 @@ object SparkEntry {
         |SELECT doc_id, url, url_norm,
         |       regexp_extract(url_norm, '://([^/?#]*)', 1) AS host
         |FROM n4""".stripMargin,
+    "url_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'cdn.site.org' END) ||
+        |  '/Path/' || (doc_id % 50) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=x&id=' || (doc_id % 20) || '&utm_campaign=y'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS a FROM d),
+        |n2 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(a, 'utm_[^&#]*&', '', 'g'),
+        |                        '[?&]utm_[^&#]*', '', 'g') AS b
+        |       FROM n1),
+        |n3 AS (SELECT doc_id,
+        |         lower(regexp_extract(b, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+        |         regexp_replace(b, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g') AS c
+        |       FROM n2),
+        |n4 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(c, '/\?', '?', 'g'), '/$', '', 'g') AS url_norm
+        |       FROM n3)
+        |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n4 GROUP BY url_norm""".stripMargin,
     "scd2_temporal_join" -> (logCte +
       """, wp AS (
         |  SELECT pos, op, tbl, id, val,

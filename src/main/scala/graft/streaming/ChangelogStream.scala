@@ -182,6 +182,58 @@ object ChangelogStream {
     * Events are ordered by pos within each (file, batch) group before
     * pairing (binlog order; groups are bounded by one file's share of
     * a micro-batch). */
+  /** One closed SCD2 version: `[validFrom, validTo)` with the value
+    * that held over the interval. */
+  case class ClosedVersion(tbl: String, id: Long, value: Double,
+                           validFrom: Long, validTo: Long)
+
+  /** One key's open SCD2 version (streaming state). */
+  case class OpenVersion(validFrom: Long, value: Double, lastPos: Long,
+                         live: Boolean)
+
+  /** Streaming SCD Type-2 (SURVEY §2 B24) — the live twin of
+    * [[graft.cdc.Changelog.scd2]]: each key's OPEN version rides the
+    * state store (16 B + a double per key), and a version row is
+    * emitted APPEND-MODE exactly when it CLOSES — a value-changing
+    * upsert closes the previous version, a delete closes the live one
+    * (emitting nothing new), a same-value upsert extends (no-op, the
+    * batch operator's change detection). Append output means the
+    * history sink receives each closed interval exactly once — the
+    * current open rows remain the [[entityState]] stream's product
+    * (SCD2's history + entityState's present = the warehouse pair).
+    * Position-monotone per key within a batch is sorted; re-delivery
+    * of the current position is a no-op (the entityState guard). */
+  def scd2Versions(changes: Dataset[Change]): Dataset[ClosedVersion] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(c => (c.tbl, c.id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), rows: Iterator[Change], state: GroupState[OpenVersion]) => {
+          val out = Seq.newBuilder[ClosedVersion]
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(c => (c.pos, c.op == "upsert")).foreach { c =>
+            if (cur == null || c.pos > cur.lastPos ||
+                (c.pos == cur.lastPos && c.op == "upsert")) {
+              c.op match {
+                case "upsert" if cur == null || !cur.live =>
+                  cur = OpenVersion(c.pos, c.value, c.pos, live = true)
+                case "upsert" if cur.value != c.value =>
+                  out += ClosedVersion(key._1, key._2, cur.value, cur.validFrom, c.pos)
+                  cur = OpenVersion(c.pos, c.value, c.pos, live = true)
+                case "upsert" => // same-value no-op: extend
+                  cur = cur.copy(lastPos = c.pos)
+                case "delete" if cur != null && cur.live =>
+                  out += ClosedVersion(key._1, key._2, cur.value, cur.validFrom, c.pos)
+                  cur = cur.copy(lastPos = c.pos, live = false)
+                case _ => // delete on dead/absent key: no-op
+                  if (cur != null) cur = cur.copy(lastPos = c.pos)
+              }
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
+
   def groupTableMaps(raw: Dataset[RawEvent]): Dataset[RawEvent] = {
     import raw.sparkSession.implicits._
     val mutations = Set("write", "update", "delete")

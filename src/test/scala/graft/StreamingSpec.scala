@@ -428,6 +428,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= 3L && est <= 6L, s"alpha_beta estimate off: $est")
   }
 
+  test("B24 streaming SCD2 emits exactly the batch operator's closed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = ChangelogStream.scd2Versions(in.toDS())
+      .writeStream.format("memory").queryName("b24").outputMode("append").start()
+    // the ChangelogSpec scd2 scenario, split across micro-batches so
+    // open versions must survive the state store
+    in.addData(Change(1, "upsert", "t", 1, 1.0), Change(2, "upsert", "t", 1, 1.0))
+    q.processAllAvailable()
+    in.addData(Change(3, "upsert", "t", 1, 2.0), Change(4, "upsert", "t", 2, 9.0))
+    q.processAllAvailable()
+    in.addData(Change(5, "delete", "t", 1, 0.0), Change(6, "delete", "t", 1, 0.0),
+      Change(8, "upsert", "t", 1, 2.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("b24")
+      .select(col("id"), col("value"), col("validFrom"), col("validTo"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    // batch twin over the same history: its CLOSED rows (valid_to set)
+    val history = Seq((1L, "upsert", "t", 1L, 1.0), (2L, "upsert", "t", 1L, 1.0),
+      (3L, "upsert", "t", 1L, 2.0), (4L, "upsert", "t", 2L, 9.0),
+      (5L, "delete", "t", 1L, 0.0), (6L, "delete", "t", 1L, 0.0),
+      (8L, "upsert", "t", 1L, 2.0))
+      .toDF("pos", "op", "tbl", "id", "val")
+    val batchClosed = graft.cdc.Changelog.scd2(history)
+      .filter(col("valid_to").isNotNull)
+      .select(col("id"), col("val"), col("valid_from"), col("valid_to"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(streamed == batchClosed,
+      s"streamed closed versions $streamed != batch $batchClosed")
+    assert(streamed == Set((1L, 1.0, 1L, 3L), (1L, 2.0, 3L, 5L)),
+      "v1 closed by the change at 3, v2 by the delete at 5; the reopen stays open")
+  }
+
   test("B22 live anomaly flags match the batch integer test against broadcast stats") {
     implicit val sqlCtx = spark.sqlContext
     // reference moments: "view" averages 2/hour over 100 hours with
