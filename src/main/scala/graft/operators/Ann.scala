@@ -176,19 +176,6 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
-  /** Index quality gate: per-query recall counts of an approximate
-    * result set against the exact ground truth — the number every ANN
-    * deployment watches before trading brute-force cost for bucketed
-    * speed. Both inputs are `(q_id, n_id, ...)` top-k frames (the
-    * shape [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]] emit), so the
-    * operator composes over any pair of them — and at scale both are
-    * query-set-sized (n_queries × k rows), never corpus-sized, so
-    * every join here is a hash join over tiny frames.
-    *
-    * Counts, not ratios: `n_hit / n_exact` is the recall, but the
-    * emitted columns stay exact integers so the result hash-matches
-    * in any engine; a missing query on the approximate side yields
-    * `(n_approx, n_hit) = (0, 0)`, not a dropped row. */
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage-side move that makes a 100 TB float32 corpus a 25 TB
     * int8 one (plus one double scale per vector) before it ever hits
@@ -391,6 +378,19 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Index quality gate: per-query recall counts of an approximate
+    * result set against the exact ground truth — the number every ANN
+    * deployment watches before trading brute-force cost for bucketed
+    * speed. Both inputs are `(q_id, n_id, ...)` top-k frames (the
+    * shape [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]] emit), so the
+    * operator composes over any pair of them — and at scale both are
+    * query-set-sized (n_queries × k rows), never corpus-sized, so
+    * every join here is a hash join over tiny frames.
+    *
+    * Counts, not ratios: `n_hit / n_exact` is the recall, but the
+    * emitted columns stay exact integers so the result hash-matches
+    * in any engine; a missing query on the approximate side yields
+    * `(n_approx, n_hit) = (0, 0)`, not a dropped row. */
   def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))

@@ -103,7 +103,13 @@ object Sampling {
     * top-n runs as a partial WindowGroupLimit BEFORE the one stratum
     * exchange, so each partition ships at most n rows per stratum —
     * never the corpus. Ties (two ids with equal priority) break by
-    * id, so the sample is total-order stable. */
+    * id, so the sample is total-order stable.
+    *
+    * Weights must be strictly positive: a zero weight has no defined
+    * priority (h/0 = ∞) and a negative one would sort FIRST and be
+    * silently always selected. Non-positive and NULL weights are
+    * filtered out defensively — a row with no usable weight is not in
+    * the sampling population. */
   def weightedSample(df: DataFrame, id: Column, weight: Column, stratum: Column,
                      n: Int, seed: Long = 23L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
@@ -111,7 +117,8 @@ object Sampling {
     // exact integer (DuckDB replay: h % 2^63, same division)
     val h63 = Hashing.hashLong64(id, seed).bitwiseAND(Long.MaxValue)
     val w = Window.partitionBy(stratum).orderBy(col("priority"), id)
-    df.withColumn("priority", h63.cast("double") / weight.cast("double"))
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("priority", h63.cast("double") / weight.cast("double"))
       .withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= n)
   }

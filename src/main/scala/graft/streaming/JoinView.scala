@@ -149,6 +149,9 @@ object JoinView {
   def mergeBatch(batch: Dataset[JoinChange], viewDir: String, batchId: Long,
                  numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
     if (currentVersion(viewDir).contains(s"v$batchId")) return
+    // An empty batch 0 writes no parquet, so the manifest/pointer
+    // writes below must not assume the parquet writer created viewDir.
+    Files.createDirectories(Paths.get(viewDir))
     storedNumBuckets(viewDir).foreach { stored =>
       require(stored == numBuckets,
         s"view at $viewDir was created with numBuckets=$stored; got $numBuckets")

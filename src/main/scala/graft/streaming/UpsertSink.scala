@@ -198,6 +198,10 @@ object UpsertSink {
   def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long,
                  numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
     if (alreadyPublished(tableDir, batchId)) return
+    // An empty batch 0 (which Spark does deliver to foreachBatch)
+    // writes no parquet, so nothing else would create the table dir —
+    // the manifest/pointer writes below must not be the first touch.
+    Files.createDirectories(Paths.get(tableDir))
     // Validate against the recorded layout BEFORE touching anything: a
     // restart (or second caller) passing a different bucket count would
     // rehash keys into buckets the batch never marks as touched, so
