@@ -34,6 +34,15 @@ import graft.functions.{Hashing, TextFunctions}
   * AQE-splittable; signatures are computed in one codegen'd pass per
   * row ([[graft.functions.Hashing]]); no driver-side loops, no forced
   * broadcasts of corpus-sized relations anywhere.
+  *
+  * Cache lifetime: operators that return a frame derived from a
+  * persisted intermediate (the shingle/signature projections) leave
+  * that intermediate cached — unpersisting before the caller
+  * materializes would recompute it per downstream action. The blocks
+  * are LRU-evictable; a caller running many dedup queries in one
+  * session can `spark.catalog.clearCache()` between them. Operators
+  * that fully materialize internally ([[connectedComponents]],
+  * [[Graph.pageRank]]) unpersist their own scratch frames.
   */
 object Dedup {
 

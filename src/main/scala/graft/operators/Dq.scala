@@ -29,18 +29,21 @@ object Dq {
             uniqueKeys: Seq[(String, Column)] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "Dq.check: no rules")
     val ruleAggs = rules.map(r =>
-      coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"__v_${r.name}"))
+      coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)))
     // uniqueness counts over NON-NULL keys (count(k) skips nulls like
     // count_distinct does) — NULL keys are the not-null rule's
     // business, same contract as refIntegrity
-    val uniqAggs = uniqueKeys.map { case (n, k) =>
-      (count(k) - count_distinct(k)).as(s"__v_$n")
-    }
+    val uniqAggs = uniqueKeys.map { case (_, k) => count(k) - count_distinct(k) }
     val names = rules.map(_.name) ++ uniqueKeys.map(_._1)
-    val aggs = (ruleAggs ++ uniqAggs) :+ count(lit(1)).as("__n")
+    // aggregates are aliased POSITIONALLY (`__v_0`, `__v_1`, …): rule
+    // names surface only as string literals in the output rows, so a
+    // name containing a dot or backtick can never break col()
+    // resolution
+    val aggs = (ruleAggs ++ uniqAggs).zipWithIndex
+      .map { case (a, i) => a.as(s"__v_$i") } :+ count(lit(1)).as("__n")
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(names.map { n =>
-        struct(lit(n).as("rule"), col(s"__v_$n").as("violations"),
+      .select(explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("rule"), col(s"__v_$i").as("violations"),
           col("__n").as("checked"))
       }: _*)).as("s"))
       .select(col("s.*"))

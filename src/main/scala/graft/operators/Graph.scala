@@ -43,7 +43,10 @@ object Graph {
     * frame re-derives from the source scan every round. Rank frames
     * chain linearly (each referenced once), so no lineage truncation
     * is needed (contrast [[Dedup.connectedComponents]], whose jump
-    * step references its frame twice and must checkpoint). */
+    * step references its frame twice and must checkpoint). The final
+    * ranks are eagerly localCheckpoint-ed so the edge cache can be
+    * unpersisted HERE — otherwise every pageRank call would leak its
+    * cached edge blocks for the life of the session. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                initRank: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "pageRank: iters >= 1")
@@ -62,6 +65,10 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
     }
-    ranks
+    // node-sized frame: materializing it here is what the caller's
+    // first action would do anyway, and it frees the edge cache
+    val out = ranks.localCheckpoint(true)
+    linked.unpersist()
+    out
   }
 }

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.ChangelogStream.ImagedChange
+
+/** Debezium CDC-envelope decoder — the public-format bridge between a
+  * real change-data-capture feed and this engine's canonical changelog
+  * schema.
+  *
+  * The reference IS a MySQL binlog client (`src/dumpr/binlog.clj:1-60`
+  * — BinaryLogClient lifecycle + listener wiring); this environment
+  * has no database, so the engine seats live ingestion as
+  * file/MemoryStream sources. What a production deployment actually
+  * consumes, though, is almost never the raw binlog — it's Debezium's
+  * JSON envelope on a Kafka topic, the de-facto public CDC wire format:
+  *
+  * {{{
+  *   {"payload": {
+  *      "before": {...}|null, "after": {...}|null,
+  *      "source": {"name": "srv1", "db": "shop", "table": "orders",
+  *                 "file": "mysql-bin.000003", "pos": 154,
+  *                 "gtid": "uuid:17", "ts_ms": ...},
+  *      "op": "c"|"u"|"d"|"r",       // create/update/delete/snapshot-read
+  *      "ts_ms": ..., "transaction": {"id": ...}|null}}
+  * }}}
+  *
+  * (with `schemas.enable=false` the payload arrives unwrapped at the
+  * top level — both forms decode here; a Kafka *tombstone* — null
+  * message value — and any unparseable line route to the DLQ frame,
+  * the [[graft.cdc.RowFormat]] quarantine contract on the stream.)
+  *
+  * Everything is `from_json` + codegen'd column ops — stream-safe
+  * (usable inside `readStream` transformations) and whole-stage
+  * codegen'd; no UDFs, no driver-side parsing. At 100 TB/day of CDC
+  * the decode is a map-only pass that fuses into whatever keyed fold
+  * follows it.
+  */
+object Debezium {
+
+  /** Debezium `source` block (the connector-agnostic core fields). */
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("name", StringType),      // logical server name
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("file", StringType),      // binlog file (MySQL)
+    StructField("pos", LongType),         // byte offset in file
+    StructField("gtid", StringType),      // "source_uuid:txno" (if GTID mode)
+    StructField("ts_ms", LongType)))
+
+  /** Full envelope for a given row schema (shared by before/after). */
+  def envelopeSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row),
+    StructField("after", row),
+    StructField("source", sourceSchema),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("transaction", StructType(Seq(
+      StructField("id", StringType),
+      StructField("total_order", LongType))))))
+
+  /** The canonical demo row (the fixture schema every sink here
+    * speaks); real deployments pass their own `rowSchema`. */
+  val canonicalRow: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("value", DoubleType)))
+
+  /** Monotone single-long encoding of a (binlog-file, byte-pos)
+    * position: `fileOrdinal << 40 | pos`. Binlog files are named with
+    * a rotating numeric suffix (`mysql-bin.000003`) and are far
+    * smaller than 2^40 bytes (1 TB; server cap is 1 GB), so the
+    * encoding orders exactly like (file, pos) lexicographically —
+    * giving the single-`pos` streaming operators
+    * ([[graft.streaming.ChangelogStream.entityState]],
+    * [[graft.streaming.UpsertSink]]) a correct total order across file
+    * rotations. Null-safe: a missing file reads as ordinal 0. */
+  def filePos(file: Column, pos: Column): Column =
+    shiftleft(coalesce(
+      regexp_extract(file, "(\\d+)$", 1).cast("long"), lit(0L)), 40)
+      .bitwiseOR(coalesce(pos, lit(0L)))
+
+  /** Decode a frame of raw Debezium JSON strings (`jsonCol`) into
+    * typed envelope columns. Handles both the schema-wrapped and the
+    * flat form by parsing the line both ways and coalescing on a
+    * field the envelope always carries (`op`). Output columns:
+    * `before`, `after`, `op`, `src_name`, `db`, `tbl_name`, `file`,
+    * `pos`, `gtid`, `ts_ms`, `tx_id` + every input column except
+    * `jsonCol`. Undecodable lines yield NULL `op` — route them with
+    * [[decodeWithDlq]]. */
+  def decode(raw: DataFrame, rowSchema: StructType = canonicalRow,
+             jsonCol: String = "value"): DataFrame = {
+    val env = envelopeSchema(rowSchema)
+    val wrapped = StructType(Seq(StructField("payload", env)))
+    val passThrough = raw.columns.filterNot(_ == jsonCol).map(col)
+    val flat = from_json(col(jsonCol), env)
+    val inPayload = from_json(col(jsonCol), wrapped).getField("payload")
+    raw
+      .withColumn("__env",
+        when(inPayload.getField("op").isNotNull, inPayload).otherwise(flat))
+      .select(passThrough :+ col("__env"): _*)
+      .select(
+        passThrough ++ Seq(
+          col("__env.before").as("before"),
+          col("__env.after").as("after"),
+          col("__env.op").as("op"),
+          col("__env.source.name").as("src_name"),
+          col("__env.source.db").as("db"),
+          col("__env.source.table").as("tbl_name"),
+          col("__env.source.file").as("file"),
+          col("__env.source.pos").as("pos"),
+          col("__env.source.gtid").as("gtid"),
+          col("__env.ts_ms").as("ts_ms"),
+          col("__env.transaction.id").as("tx_id")): _*)
+  }
+
+  /** [[decode]] split into (good, dlq): a line that parses to no `op`
+    * (corrupt JSON, a Kafka tombstone's null value, a non-envelope
+    * message) lands in the DLQ frame with the raw line preserved for
+    * replay — the streaming twin of [[graft.cdc.RowFormat]]'s
+    * normalize/quarantine split. Both frames derive from one decode —
+    * on a stream each micro-batch evaluates it once per sink. */
+  def decodeWithDlq(raw: DataFrame, rowSchema: StructType = canonicalRow,
+                    jsonCol: String = "value"): (DataFrame, DataFrame) = {
+    val decoded = decode(raw, rowSchema, jsonCol)
+    val bad = raw.withColumn("__env", from_json(col(jsonCol), envelopeSchema(rowSchema)))
+      .withColumn("__envp",
+        from_json(col(jsonCol), StructType(Seq(StructField("payload", envelopeSchema(rowSchema)))))
+          .getField("payload"))
+      .filter(col("__env.op").isNull && col("__envp.op").isNull)
+      .select(col(jsonCol).as("raw"))
+    (decoded.filter(col("op").isNotNull), bad)
+  }
+
+  /** Canonical-row envelope → [[ImagedChange]] stream: `c`/`r` (insert
+    * / snapshot read) and `u` map to upserts/updates with both images
+    * (a PK-changing update carries `before.id ≠ after.id` — exactly
+    * [[graft.streaming.ChangelogStream.expandUpdates]]'s contract),
+    * `d` to a delete keyed by the before-image. Positions encode via
+    * [[filePos]] so downstream folds order correctly across binlog
+    * file rotations. Compose:
+    * `toImagedChanges(decode(raw)) |> expandUpdates |> entityState`
+    * (or `UpsertSink.materialize`) — the full reference pipeline from
+    * a public wire format, no broker required. */
+  def toImagedChanges(decoded: DataFrame): Dataset[ImagedChange] = {
+    import decoded.sparkSession.implicits._
+    decoded.select(
+      filePos(col("file"), col("pos")).as("pos"),
+      when(col("op") === "d", lit("delete"))
+        .when(col("op") === "u", lit("update"))
+        .otherwise(lit("upsert")).as("op"),
+      coalesce(col("tbl_name"), lit("?")).as("tbl"),
+      coalesce(col("before.id"), col("after.id")).as("oldId"),
+      coalesce(col("after.id"), col("before.id")).as("id"),
+      coalesce(col("after.value"), lit(0.0)).as("value"))
+      .as[ImagedChange]
+  }
+}

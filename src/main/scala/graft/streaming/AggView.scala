@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,16 +30,20 @@ import graft.streaming.ChangelogStream.{Change, Entity}
   *     (exactly what entityState already pays); output: append-only
   *     delta facts, batch-sized.
   *  2. [[mergeBatch]]: deltas aggregate per group (map-side combined)
-  *     and merge into the published view by full-outer join. The view
-  *     table is GROUP-cardinality — tables/domains/regions, a
-  *     dim-sized frame by construction — so rewriting it per batch is
-  *     O(groups), not O(table): this is the right shape here, unlike
-  *     [[UpsertSink]]'s key-cardinality snapshot, which is why that
-  *     sink buckets and this one does not. Publish is the same
-  *     versioned-dir + atomic `_CURRENT` pointer flip, idempotent per
-  *     batchId (replay after a crash between flip and checkpoint
-  *     commit is a no-op; a replay whose state already reflected the
-  *     batch emits zero deltas, which the guard also absorbs).
+  *     and merge into the published view, which is hash-bucketed by
+  *     `pmod(xxhash64(grp), numBuckets)` on the [[ViewLayout]] shared
+  *     with [[UpsertSink]]/[[JoinView]] — so a batch rewrites ONLY the
+  *     buckets containing changed groups, O(batch + touched-bucket
+  *     data), never O(groups). A dim-cardinality view (tables,
+  *     regions) fits one bucket and behaves like the old
+  *     whole-view-rewrite; a user who aims the view at a PER-USER
+  *     group key gets bucket-local maintenance instead of an
+  *     O(all-users) single-task rewrite every micro-batch. Publish is
+  *     the layout's versioned-dir + manifest + atomic `_CURRENT`
+  *     pointer flip, idempotent per batchId (replay after a crash
+  *     between flip and checkpoint commit is a no-op; a replay whose
+  *     state already reflected the batch emits zero deltas, which the
+  *     guard also absorbs).
   *
   * Money-grade sums should switch `value` to decimal end-to-end; the
   * double here follows the changelog fixture's schema.
@@ -81,71 +85,92 @@ object AggView {
         })
   }
 
-  private val current = "_CURRENT"
-
-  private def currentVersion(dir: String): Option[String] = {
-    val p = Paths.get(dir, current)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim) else None
+  private def emptyView(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[GroupAgg].toDF()
   }
 
   /** The currently-published view (empty if never published). */
   def readCurrent(spark: SparkSession, dir: String): DataFrame =
-    currentVersion(dir) match {
-      case Some(v) => spark.read.parquet(s"$dir/$v")
-      case None =>
-        import spark.implicits._
-        Seq.empty[GroupAgg].toDF()
+    ViewLayout.currentVersion(dir) match {
+      case Some(v) =>
+        val dirs = ViewLayout.readBucketManifest(dir, v).values.toSeq.sorted
+        if (dirs.isEmpty) emptyView(spark)
+        else spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+          .select(col("grp"), col("sumVal"), col("cnt"))
+      case None => emptyView(spark)
     }
-
-  /** Delete all but the newest `retain` version dirs (min 2: a reader
-    * that resolved the pointer just before a flip may still be
-    * scanning the previous version). */
-  def pruneVersions(dir: String, retain: Int): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-      f.delete(); ()
-    }
-    val versions = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(_.getName.drop(1).toLong)
-    versions.dropRight(math.max(retain, 2)).foreach(deleteRec)
-  }
 
   /** Stage 2: fold one batch of deltas into the published view.
     * Idempotent per batchId. Groups whose count returns to zero leave
     * the view (a fully-deleted group is absent, not a 0-row);
+    * `numBuckets` fixes the view's group-bucket count at creation
+    * (enforced via `_META`, exactly as [[UpsertSink.mergeBatch]]);
     * `retainVersions` bounds on-disk history — without it a
     * long-running view accumulates one version dir per micro-batch
     * forever. */
   def mergeBatch(deltas: Dataset[GroupDelta], dir: String, batchId: Long,
-                 retainVersions: Int = 2): Unit = {
-    if (currentVersion(dir).contains(s"v$batchId")) return
+                 numBuckets: Int = 16, retainVersions: Int = 2): Unit = {
+    if (ViewLayout.currentVersion(dir).contains(s"v$batchId")) return
+    // An empty batch 0 writes no parquet, so the manifest/pointer
+    // writes below must not assume the parquet writer created dir.
+    Files.createDirectories(Paths.get(dir))
+    ViewLayout.requireSameBuckets(dir, numBuckets, "agg view")
     val spark = deltas.sparkSession
+    val version = s"v$batchId"
     val agg = deltas.groupBy(col("grp"))
       .agg(sum(col("dSum")).as("dSum"), sum(col("dCnt")).as("dCnt"))
-    val merged = readCurrent(spark, dir).as("c")
-      .join(agg.as("d"), Seq("grp"), "full_outer")
-      .select(col("grp"),
-        (coalesce(col("sumVal"), lit(0.0)) + coalesce(col("dSum"), lit(0.0))).as("sumVal"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dCnt"), lit(0L))).as("cnt"))
-      .where(col("cnt") > 0)
-    val version = s"v$batchId"
-    // the view is dim-sized: one output file keeps readers trivial
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$version")
-    val tmp = Paths.get(dir, s".$current.tmp")
-    Files.write(tmp, version.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, current),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    pruneVersions(dir, retainVersions)
+      .withColumn("__bucket", pmod(xxhash64(col("grp")), lit(numBuckets)))
+    // The touched-bucket set is at most numBuckets ints — driver-sized
+    // by construction.
+    val touched = agg.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prior = ViewLayout.currentVersion(dir)
+      .map(v => ViewLayout.readBucketManifest(dir, v)).getOrElse(Map.empty)
+
+    if (touched.nonEmpty) {
+      val curDirs = prior.filter { case (b, _) => touched.contains(b.toLong) }
+        .values.toSeq.sorted.map(d => s"$dir/$d")
+      val cur = (if (curDirs.isEmpty) emptyView(spark)
+                 else spark.read.parquet(curDirs: _*)
+                   .select(col("grp"), col("sumVal"), col("cnt")))
+        .withColumn("__bucket", pmod(xxhash64(col("grp")), lit(numBuckets)))
+      val merged = cur.as("c")
+        .join(agg.as("d"), col("c.grp") === col("d.grp"), "full_outer")
+        .select(coalesce(col("c.grp"), col("d.grp")).as("grp"),
+          (coalesce(col("c.sumVal"), lit(0.0)) + coalesce(col("d.dSum"), lit(0.0))).as("sumVal"),
+          (coalesce(col("c.cnt"), lit(0L)) + coalesce(col("d.dCnt"), lit(0L))).as("cnt"),
+          coalesce(col("c.__bucket"), col("d.__bucket")).as("__bucket"))
+        .where(col("cnt") > 0)
+      // the repartition shuffles only the touched buckets' rows (view
+      // slices + batch deltas), never the whole view
+      merged.repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$dir/$version")
+    }
+
+    // A touched bucket may come back EMPTY (every group retired) —
+    // then no __bucket=<b> dir materializes and the bucket leaves the
+    // manifest. Untouched buckets keep their previous dirs.
+    val written = ViewLayout.writtenBuckets(dir, version)
+    val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
+    val body = manifest.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b $d" }.mkString("\n")
+    ViewLayout.writeAtomic(dir, s"$version.manifest", body)
+    if (ViewLayout.storedNumBuckets(dir).isEmpty)
+      ViewLayout.writeAtomic(dir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(dir, ViewLayout.currentFile, version)
+    ViewLayout.pruneVersions(dir, retainVersions)(
+      v => ViewLayout.readBucketManifest(dir, v).values)
   }
 
   /** Maintain a live (grp, sumVal, cnt) view of `changes` at `dir`. */
   def materialize(changes: Dataset[Change], grpOf: (String, Long) => String,
-                  dir: String, checkpointDir: String): StreamingQuery =
+                  dir: String, checkpointDir: String, numBuckets: Int = 16,
+                  retainVersions: Int = 2): StreamingQuery =
     aggDeltas(changes, grpOf).writeStream
       .foreachBatch((batch: Dataset[GroupDelta], batchId: Long) =>
-        mergeBatch(batch, dir, batchId))
+        mergeBatch(batch, dir, batchId, numBuckets, retainVersions))
       .option("checkpointLocation", checkpointDir)
       .start()
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,49 +47,15 @@ object JoinView {
   case class JoinChange(pos: Long, op: String, side: String,
                         id: Long, fk: Long, value: Double)
 
-  private val current = "_CURRENT"
-  private val meta = "_META"
-
-  private def writeAtomic(dir: String, name: String, body: String): Unit = {
-    val tmp = Paths.get(dir, s".$name.tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
-
-  private def currentVersion(viewDir: String): Option[String] = {
-    val p = Paths.get(viewDir, current)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim) else None
-  }
-
-  def storedNumBuckets(viewDir: String): Option[Int] = {
-    val p = Paths.get(viewDir, meta)
-    if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
-      .collectFirst { case s if s.startsWith("numBuckets=") =>
-        s.stripPrefix("numBuckets=").trim.toInt }
-  }
+  def storedNumBuckets(viewDir: String): Option[Int] =
+    ViewLayout.storedNumBuckets(viewDir)
 
   /** Manifest: bucket → dir, plus the dim-state dir ("dim <dir>"). */
   private def readManifest(viewDir: String,
                            version: String): (Map[Int, String], Option[String]) = {
-    val p = Paths.get(viewDir, s"$version.manifest")
-    if (!Files.exists(p)) (Map.empty, None)
-    else {
-      val lines = new String(Files.readAllBytes(p), "UTF-8").linesIterator
-        .filter(_.nonEmpty).toSeq
-      val dim = lines.collectFirst {
-        case l if l.startsWith("dim ") => l.stripPrefix("dim ").trim }
-      val buckets = lines.flatMap { line =>
-        line.split(" ", 2) match {
-          case Array(b, dir) if b.forall(_.isDigit) && dir.nonEmpty =>
-            Some(b.toInt -> dir)
-          case _ => None
-        }
-      }.toMap
-      (buckets, dim)
-    }
+    val dim = ViewLayout.manifestLines(viewDir, version).collectFirst {
+      case l if l.startsWith("dim ") => l.stripPrefix("dim ").trim }
+    (ViewLayout.readBucketManifest(viewDir, version), dim)
   }
 
   private def emptyView(spark: SparkSession): DataFrame = {
@@ -105,7 +71,7 @@ object JoinView {
 
   /** The currently-published enriched view (empty if none). */
   def readCurrent(spark: SparkSession, viewDir: String): DataFrame =
-    currentVersion(viewDir) match {
+    ViewLayout.currentVersion(viewDir) match {
       case Some(v) =>
         val (buckets, _) = readManifest(viewDir, v)
         if (buckets.isEmpty) emptyView(spark)
@@ -118,47 +84,30 @@ object JoinView {
 
   /** The currently-published dim state (empty if none). */
   def readDim(spark: SparkSession, viewDir: String): DataFrame =
-    currentVersion(viewDir).flatMap(v => readManifest(viewDir, v)._2) match {
+    ViewLayout.currentVersion(viewDir).flatMap(v => readManifest(viewDir, v)._2) match {
       case Some(d) => spark.read.parquet(s"$viewDir/$d")
       case None => emptyDim(spark)
     }
 
-  private def pruneVersions(viewDir: String, retain: Int): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-      f.delete(); ()
-    }
-    val root = new java.io.File(viewDir)
-    val manifests = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
-      .sortBy(_.getName.stripSuffix(".manifest").drop(1).toLong)
-    val (dead, retained) = manifests.splitAt(manifests.length - math.max(retain, 2))
-    val live = retained.map(_.getName.stripSuffix(".manifest")).flatMap { v =>
+  private def pruneVersions(viewDir: String, retain: Int): Unit =
+    ViewLayout.pruneVersions(viewDir, retain) { v =>
       val (b, d) = readManifest(viewDir, v)
       b.values ++ d
-    }.map(_.split("/", 2).head).toSet
-    dead.foreach(_.delete())
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !live.contains(f.getName))
-      .foreach(deleteRec)
-  }
+    }
 
   /** Merge one batch of two-sided changes and publish. Idempotent per
     * batchId ([[UpsertSink.mergeBatch]]'s guard); `numBuckets` pinned
     * at creation. */
   def mergeBatch(batch: Dataset[JoinChange], viewDir: String, batchId: Long,
                  numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
-    if (currentVersion(viewDir).contains(s"v$batchId")) return
+    if (ViewLayout.currentVersion(viewDir).contains(s"v$batchId")) return
     // An empty batch 0 writes no parquet, so the manifest/pointer
     // writes below must not assume the parquet writer created viewDir.
     Files.createDirectories(Paths.get(viewDir))
-    storedNumBuckets(viewDir).foreach { stored =>
-      require(stored == numBuckets,
-        s"view at $viewDir was created with numBuckets=$stored; got $numBuckets")
-    }
+    ViewLayout.requireSameBuckets(viewDir, numBuckets, "view")
     val spark = batch.sparkSession
     val version = s"v$batchId"
-    val (priorBuckets, priorDim) = currentVersion(viewDir)
+    val (priorBuckets, priorDim) = ViewLayout.currentVersion(viewDir)
       .map(v => readManifest(viewDir, v)).getOrElse((Map.empty[Int, String], None))
 
     // last op per key on each side; upsert wins a same-pos tie (the
@@ -246,10 +195,10 @@ object JoinView {
       .filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
     val body = dimDirRel.map(d => s"dim $d").toSeq ++
       manifest.toSeq.sortBy(_._1).map { case (b, dir) => s"$b $dir" }
-    writeAtomic(viewDir, s"$version.manifest", body.mkString("\n"))
+    ViewLayout.writeAtomic(viewDir, s"$version.manifest", body.mkString("\n"))
     if (storedNumBuckets(viewDir).isEmpty)
-      writeAtomic(viewDir, meta, s"numBuckets=$numBuckets")
-    writeAtomic(viewDir, current, version)
+      ViewLayout.writeAtomic(viewDir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(viewDir, ViewLayout.currentFile, version)
     pruneVersions(viewDir, retainVersions)
   }
 

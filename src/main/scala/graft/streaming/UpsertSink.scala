@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,56 +66,16 @@ import graft.streaming.ChangelogStream.Change
   */
 object UpsertSink {
 
-  private val current = "_CURRENT"
-  private val meta = "_META"
-
   /** The table's recorded bucket count, if it has ever published.
     * `numBuckets` is part of the on-disk layout: rows land in
     * `pmod(hash, n)` buckets, so merging with a DIFFERENT n would look
     * up keys in the wrong buckets and silently resurrect stale rows. */
-  def storedNumBuckets(tableDir: String): Option[Int] = {
-    val p = Paths.get(tableDir, meta)
-    if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
-      .collectFirst { case s if s.startsWith("numBuckets=") =>
-        s.stripPrefix("numBuckets=").trim.toInt }
-  }
-
-  /** Atomic small-file write: tmp + ATOMIC_MOVE, same as the pointer.
-    * A crash mid-write can never leave a torn file visible. */
-  private def writeAtomic(tableDir: String, name: String, body: String): Unit = {
-    val tmp = Paths.get(tableDir, s".$name.tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(tableDir, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def storedNumBuckets(tableDir: String): Option[Int] =
+    ViewLayout.storedNumBuckets(tableDir)
 
   /** True iff `v<batchId>` is already the published snapshot. */
   private def alreadyPublished(tableDir: String, batchId: Long): Boolean =
-    currentVersion(tableDir).contains(s"v$batchId")
-
-  private def currentVersion(tableDir: String): Option[String] = {
-    val ptr = Paths.get(tableDir, current)
-    if (Files.exists(ptr)) Some(new String(Files.readAllBytes(ptr), "UTF-8").trim)
-    else None
-  }
-
-  /** Manifest for `version`: bucket id → table-relative data dir. */
-  private def readManifest(tableDir: String, version: String): Map[Int, String] = {
-    val p = Paths.get(tableDir, s"$version.manifest")
-    if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
-      .filter(_.nonEmpty).flatMap { line =>
-        // tolerate a torn line (pre-fix manifests were written in
-        // place): a truncated entry is skipped, not a crash — the
-        // pruner must never die on a crash orphan it is there to clean
-        line.split(" ", 2) match {
-          case Array(b, dir) if b.forall(_.isDigit) && dir.nonEmpty => Some(b.toInt -> dir)
-          case _ => None
-        }
-      }.toMap
-  }
+    ViewLayout.currentVersion(tableDir).contains(s"v$batchId")
 
   private def emptySnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -124,7 +84,7 @@ object UpsertSink {
 
   /** Read the currently-published snapshot (empty frame if none). */
   def readCurrent(spark: SparkSession, tableDir: String): DataFrame =
-    currentVersion(tableDir) match {
+    ViewLayout.currentVersion(tableDir) match {
       case Some(v) => readManifestSnapshot(spark, tableDir, v)
       case None => emptySnapshot(spark)
     }
@@ -154,7 +114,7 @@ object UpsertSink {
 
   private def readManifestSnapshot(spark: SparkSession, tableDir: String,
                                    version: String): DataFrame = {
-    val dirs = readManifest(tableDir, version).values.toSeq.sorted
+    val dirs = ViewLayout.readBucketManifest(tableDir, version).values.toSeq.sorted
     if (dirs.isEmpty) emptySnapshot(spark)
     else spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
   }
@@ -166,25 +126,9 @@ object UpsertSink {
     * pointer flip. On an object store you'd defer this to a table
     * format's vacuum with a reader lease — same policy, different
     * mechanism. */
-  def pruneVersions(tableDir: String, retain: Int): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-      f.delete(); ()
-    }
-    val root = new java.io.File(tableDir)
-    val manifests = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
-      .sortBy(_.getName.stripSuffix(".manifest").drop(1).toLong)
-    val (dead, retained) = manifests.splitAt(manifests.length - math.max(retain, 2))
-    // live = every version dir a retained manifest still points into
-    val live = retained.map(_.getName.stripSuffix(".manifest"))
-      .flatMap(v => readManifest(tableDir, v).values)
-      .map(_.split("/", 2).head).toSet
-    dead.foreach(_.delete())
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !live.contains(f.getName))
-      .foreach(deleteRec)
-  }
+  def pruneVersions(tableDir: String, retain: Int): Unit =
+    ViewLayout.pruneVersions(tableDir, retain)(
+      v => ViewLayout.readBucketManifest(tableDir, v).values)
 
   /** Merge one batch of changes into the snapshot and publish.
     * Idempotent per batchId: a replay of an already-published batch
@@ -206,12 +150,7 @@ object UpsertSink {
     // restart (or second caller) passing a different bucket count would
     // rehash keys into buckets the batch never marks as touched, so
     // stale rows for updated/deleted keys would silently survive.
-    storedNumBuckets(tableDir).foreach { stored =>
-      require(stored == numBuckets,
-        s"table at $tableDir was created with numBuckets=$stored; " +
-          s"mergeBatch called with numBuckets=$numBuckets — the bucket " +
-          "count is fixed at table creation (rehashing would corrupt the merge)")
-    }
+    ViewLayout.requireSameBuckets(tableDir, numBuckets, "table")
     val spark = batch.sparkSession
     // op desc tie-break: a PK swap expanded by ChangelogStream
     // .expandUpdates puts a tombstone and an upsert of the same key at
@@ -227,8 +166,8 @@ object UpsertSink {
     // by construction, like the ANN codebooks.
     val touched = folded.select("__bucket").distinct()
       .collect().map(_.getLong(0)).toSet
-    val prior = currentVersion(tableDir)
-      .map(v => readManifest(tableDir, v)).getOrElse(Map.empty)
+    val prior = ViewLayout.currentVersion(tableDir)
+      .map(v => ViewLayout.readBucketManifest(tableDir, v)).getOrElse(Map.empty)
     val version = s"v$batchId"
 
     if (touched.nonEmpty) {
@@ -257,18 +196,14 @@ object UpsertSink {
     // A touched bucket may come back EMPTY (every key deleted) — then
     // no __bucket=<b> dir materializes and the bucket simply leaves
     // the manifest. Untouched buckets keep their previous dirs.
-    val written = Option(new java.io.File(s"$tableDir/$version").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map(f => f.getName.stripPrefix("__bucket=").toInt -> s"$version/${f.getName}")
-      .toMap
+    val written = ViewLayout.writtenBuckets(tableDir, version)
     val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
     val manifestBody = manifest.toSeq.sortBy(_._1)
       .map { case (b, dir) => s"$b $dir" }.mkString("\n")
-    writeAtomic(tableDir, s"$version.manifest", manifestBody)
+    ViewLayout.writeAtomic(tableDir, s"$version.manifest", manifestBody)
     if (storedNumBuckets(tableDir).isEmpty)
-      writeAtomic(tableDir, meta, s"numBuckets=$numBuckets")
-    writeAtomic(tableDir, current, version)
+      ViewLayout.writeAtomic(tableDir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(tableDir, ViewLayout.currentFile, version)
     pruneVersions(tableDir, retainVersions)
   }
 

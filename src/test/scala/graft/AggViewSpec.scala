@@ -59,13 +59,45 @@ class AggViewSpec extends AnyFunSuite {
     assert(view(dir) == Map("t" -> ((3.0, 2L)), "u" -> ((5.0, 1L))))
     AggView.mergeBatch(Seq(AggView.GroupDelta("t", -1.0, 0L)).toDS(), dir, 1L)
     assert(view(dir) == Map("t" -> ((2.0, 2L)), "u" -> ((5.0, 1L))))
-    // version retention: batches 2 and 3 age out v0/v1 (retain 2)
+    // version retention (retain 2): batches 2 and 3 age out the v0/v1
+    // MANIFESTS; version DIRS survive exactly while a retained
+    // manifest still references them (structural sharing: "u" was
+    // last written at v0, so v0's bucket dir stays live)
     AggView.mergeBatch(Seq(AggView.GroupDelta("t", 0.5, 0L)).toDS(), dir, 2L)
     AggView.mergeBatch(Seq(AggView.GroupDelta("t", 0.5, 0L)).toDS(), dir, 3L)
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
+      .map(_.getName).toSet
+    assert(manifests == Set("v2.manifest", "v3.manifest"),
+      s"old manifests must be pruned, got $manifests")
     val dirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).toSet
-    assert(dirs == Set("v2", "v3"), s"old versions must be pruned, got $dirs")
+    assert(!dirs.contains("v1"), s"v1 is referenced by no retained manifest, got $dirs")
     assert(view(dir) == Map("t" -> ((3.0, 2L)), "u" -> ((5.0, 1L))))
+  }
+
+  test("a 1-group batch rewrites exactly 1 bucket; untouched buckets are shared") {
+    val dir = Files.createTempDirectory("graft_aggview_bucket").toString
+    // groups hashing to distinct buckets (numBuckets=16 default):
+    // whatever the hash values, assert on the WRITTEN dir counts
+    val d0 = Seq(AggView.GroupDelta("t", 3.0, 2L), AggView.GroupDelta("u", 5.0, 1L)).toDS()
+    AggView.mergeBatch(d0, dir, 0L)
+    def bucketDirs(v: String): Set[String] =
+      Option(new java.io.File(s"$dir/$v").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(_.getName).toSet
+    val b0 = bucketDirs("v0")
+    assert(b0.size == 2, s"t and u should land in distinct buckets, got $b0")
+    // batch 1 touches only "t": exactly ONE bucket dir under v1, and
+    // the manifest points u's bucket back at v0 (no rewrite, no read)
+    AggView.mergeBatch(Seq(AggView.GroupDelta("t", 1.0, 0L)).toDS(), dir, 1L)
+    val b1 = bucketDirs("v1")
+    assert(b1.size == 1, s"a 1-group batch must rewrite exactly 1 bucket, got $b1")
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "v1.manifest")), "UTF-8")
+    assert(manifest.linesIterator.count(_.contains("v0/")) == 1,
+      s"u's bucket must still point at v0:\n$manifest")
+    assert(view(dir) == Map("t" -> ((4.0, 2L)), "u" -> ((5.0, 1L))))
   }
 
   test("PK-swap image order flows through delta maintenance") {

@@ -43,6 +43,18 @@ class DqSpec extends AnyFunSuite {
       "a NULL key must not read as a duplicate")
   }
 
+  test("rule names with dots/backticks are data, not column references") {
+    // aggregates alias positionally — a hostile rule name can never
+    // break col() resolution
+    val out = Dq.check(frame(), Seq(
+        Dq.Rule("price.non`neg", col("price") < 0),
+        Dq.Rule("status in {O,F,P}", !col("status").isin("O", "F", "P"))),
+        uniqueKeys = Seq(("id.unique", col("id"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map(
+      "price.non`neg" -> 1L, "status in {O,F,P}" -> 1L, "id.unique" -> 1L))
+  }
+
   test("clean data yields zero violations on every rule") {
     val clean = frame().filter(col("id") === 1)
     val out = Dq.check(clean, Seq(
