@@ -390,12 +390,22 @@ object Ann {
     * Counts, not ratios: `n_hit / n_exact` is the recall, but the
     * emitted columns stay exact integers so the result hash-matches
     * in any engine; a missing query on the approximate side yields
-    * `(n_approx, n_hit) = (0, 0)`, not a dropped row. */
+    * `(n_approx, n_hit) = (0, 0)`, not a dropped row.
+    *
+    * Each input is referenced TWICE below (the hit semi-join and its
+    * own count), and its lineage is the full index pipeline — PQ
+    * sub-trainings, ADC scans, the brute ground-truth scan. Without
+    * truncation every reference re-executes that pipeline, doubling
+    * the dominant corpus-scan term at any scale. Both frames are
+    * query-set-sized, so eager localCheckpoint costs n_queries × k
+    * rows of storage and runs each pipeline exactly once. */
   def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+    val a = approx.localCheckpoint(true)
+    val e = exact.localCheckpoint(true)
+    val hits = a.join(e.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))
-    val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_approx"))
-    val nExact = exact.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_exact"))
+    val nApprox = a.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_approx"))
+    val nExact = e.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_exact"))
     nExact.join(nApprox, Seq("q_id"), "left")
       .join(hits, Seq("q_id"), "left")
       .na.fill(0, Seq("n_approx", "n_hit"))
