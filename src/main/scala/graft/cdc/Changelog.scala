@@ -50,7 +50,7 @@ object Changelog {
     *  - rollback markers: a tx containing an `error` event rolls back
     */
   def fromEvents(events: DataFrame): DataFrame =
-    events.select(
+    graft.Tables.normalizeTs(events).select(
       col("event_id").as("pos"),
       when(col("event_type") === "click", lit("delete")).otherwise(lit("upsert")).as("op"),
       when(col("user_id") % 2 === 0, lit("customer")).otherwise(lit("orders")).as("tbl"),
