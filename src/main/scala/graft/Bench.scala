@@ -108,9 +108,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
       s""""samples":$samples,"status":$status,"canary":$canaries,""" +
-      s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}""")
+      s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated in the driver's capture; a file copy
+    // keeps the per-query medians/samples recoverable regardless
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -14,11 +14,21 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures must be first-class artifacts, not stderr lines: a query
+    // that throws writes <out>/<name>/_ERROR (parquet readers ignore
+    // underscore files; an _ERROR-only dir fails the driver's read →
+    // its per-query `err` field populates) and lands in _failures.json
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        new java.io.File(s"$outDir/$name").mkdirs()
+        val head = (msg +: e.getStackTrace.take(8).map("  at " + _)).mkString("\n")
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), head + "\n")
       }
       // operators persist() intermediates (dedup groups/bands); release
       // them so cached partitions don't accumulate across the queries
@@ -40,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }
