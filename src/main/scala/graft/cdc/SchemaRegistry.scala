@@ -1,8 +1,14 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Versioned table-schema registry — the Spark-native analogue of the
   * reference's schema pipeline (`src/dumpr/table_schema.clj:41-66`
@@ -39,6 +45,155 @@ object SchemaRegistry {
   case class ColSpec(name: String, ctype: String, charset: String = null)
 
   private val TextTypes = Seq("tinytext", "text", "mediumtext", "longtext", "varchar", "char")
+
+  /** Native synthesis of the demo's raw row values: `n` binary cells
+    * of `tbl:id:ordinal` UTF-8 bytes, one tight JVM loop per row
+    * (r6-ADVICE: codegen the synthesized values — the interpreted
+    * `transform(sequence, encode∘concat_ws)` lambda stack was the
+    * dominant cost of `cdc_schema_migrate`). Bit-identical output to
+    * that HOF pipeline; the downstream per-charset DECODE still runs
+    * on the engine path. */
+  case class SynthVals(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): SynthVals = copy(f, s, t)
+    override def nullSafeEval(tbl: Any, id: Any, n: Any): Any =
+      SchemaRegistry.synthVals(tbl.asInstanceOf[UTF8String],
+        id.asInstanceOf[Long], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, i, n) =>
+        s"${ev.value} = graft.cdc.SchemaRegistry.synthVals($t, $i, $n);")
+  }
+
+  /** Kernel for [[SynthVals]] (also called from generated code). */
+  def synthVals(tbl: UTF8String, id: Long, n: Int): ArrayData = {
+    val prefix = tbl.toString + ":" + id + ":"
+    val out = new Array[Any](math.max(n, 0))
+    var j = 1
+    while (j <= n) {
+      out(j - 1) = (prefix + j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper for [[SynthVals]]. */
+  def synthValsCol(tbl: Column, id: Column, n: Column): Column =
+    toColumn(SynthVals(toExpr(tbl), toExpr(id), toExpr(n.cast("int"))))
+
+  /** Native per-charset decode of a raw `array<binary>` row under its
+    * attached schema arrays — the codegen'd twin of
+    * [[decodeWithSchema]]: same TextTypes gate, same MySQL→JVM charset
+    * mapping, same "unknown charset name RAISES" contract as Spark's
+    * `decode` (names outside the decodable set throw instead of
+    * resolving through the JVM alias registry). The decode is REAL
+    * (`java.nio.charset` per cell); only the per-element lambda
+    * interpretation of the HOF form is eliminated. */
+  case class DecodeVals(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): DecodeVals = copy(f, s, t)
+    override def nullSafeEval(vals: Any, types: Any, charsets: Any): Any =
+      SchemaRegistry.decodeVals(vals.asInstanceOf[ArrayData],
+        types.asInstanceOf[ArrayData], charsets.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, t, c) =>
+        s"${ev.value} = graft.cdc.SchemaRegistry.decodeVals($v, $t, $c);")
+  }
+
+  private val textTypeSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String](); TextTypes.foreach(s.add); s
+  }
+  private val charsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+  /** Spark `decode`'s accepted canonical names (others raise, like the
+    * reference's `Charset/forName` on an unknown name). */
+  private val decodableSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("iso-8859-1", "us-ascii", "utf-8", "utf-16", "utf-16be", "utf-16le", "utf-32")
+      .foreach(s.add)
+    s
+  }
+  private def charsetFor(name: String): java.nio.charset.Charset = {
+    if (!decodableSet.contains(name))
+      throw new IllegalArgumentException(s"unsupported charset for decode: $name")
+    charsetCache.computeIfAbsent(name, java.nio.charset.Charset.forName(_))
+  }
+  /** `mysqlToSparkCharset`, kernel form. */
+  private def mapCharset(cs: String): String = cs match {
+    case null | "utf8mb4" | "utf8mb3" | "utf8" => "utf-8"
+    case "latin1" => "iso-8859-1"
+    case "ascii" => "us-ascii"
+    case "utf16" => "utf-16"
+    case "utf16le" => "utf-16le"
+    case "utf32" => "utf-32"
+    case other => other
+  }
+
+  /** Kernel for [[DecodeVals]] (also called from generated code).
+    * Pairs up to the shorter of values/types, like `zipmap`. */
+  def decodeVals(vals: ArrayData, types: ArrayData, charsets: ArrayData): ArrayData = {
+    val n = math.min(vals.numElements(), types.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val raw = vals.getBinary(i)
+      if (raw != null) {
+        val t = if (types.isNullAt(i)) null else types.getUTF8String(i).toString
+        val cs =
+          if (t != null && textTypeSet.contains(t)) {
+            val c = if (i < charsets.numElements() && !charsets.isNullAt(i))
+              charsets.getUTF8String(i).toString else null
+            mapCharset(c)
+          } else "utf-8"
+        out(i) = UTF8String.fromString(new String(raw, charsetFor(cs)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Native migrated-signature builder — the codegen'd twin of the
+    * `array_join(transform(sequence…))` projection in [[migrateDemo]]:
+    * one StringBuilder pass over `(target_cols, align_idx, vals_dec)`.
+    * Absent alignments (NULL index) and NULL values render `∅`. */
+  case class AlignSig(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): AlignSig = copy(f, s, t)
+    override def nullSafeEval(cols: Any, idx: Any, vals: Any): Any =
+      SchemaRegistry.alignSig(cols.asInstanceOf[ArrayData],
+        idx.asInstanceOf[ArrayData], vals.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, x, v) =>
+        s"${ev.value} = graft.cdc.SchemaRegistry.alignSig($c, $x, $v);")
+  }
+
+  /** Kernel for [[AlignSig]] (also called from generated code). */
+  def alignSig(targetCols: ArrayData, alignIdx: ArrayData, valsDec: ArrayData): UTF8String = {
+    val n = targetCols.numElements()
+    val sb = new java.lang.StringBuilder(n * 16)
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(',')
+      sb.append(targetCols.getUTF8String(k).toString).append('=')
+      val absent = alignIdx.isNullAt(k)
+      val v: UTF8String = if (absent) null else {
+        val i = alignIdx.getInt(k) - 1
+        if (i < 0 || i >= valsDec.numElements() || valsDec.isNullAt(i)) null
+        else valsDec.getUTF8String(i)
+      }
+      sb.append(if (v == null) "∅" else v.toString)
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   /** Registry rows at version 0 (pre-ALTER base schemas):
     * `(tbl, version, from_pos, col_names, col_types, col_charsets)`.
@@ -221,6 +376,51 @@ object SchemaRegistry {
           concat(c, lit("="), coalesce(element_at(col("row_map"), c), lit("∅")))), ","))
   }
 
+  /** Scale path for migrate-on-read: the name-alignment of every
+    * schema version onto its table's LATEST version, computed ONCE on
+    * the control-sized registry. `align_idx(k)` is the 1-based ordinal
+    * of the latest schema's k-th column inside this version's
+    * `col_names` (NULL when that column didn't exist yet). A log row
+    * then migrates by pure O(1) array indexing — the O(width²)
+    * per-row name scan of the naive map-lookup plan moves onto
+    * ~#versions rows of schema METADATA, where it belongs. Semantics
+    * are identical to [[migrateToLatest]] (align by name); only the
+    * place the name matching happens changes. */
+  def alignToLatest(registry: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl")).orderBy(col("version").desc)
+    val latest = registry
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("tbl"), col("version").as("target_version"),
+        col("col_names").as("target_cols"))
+    registry.select(col("tbl"), col("version"), col("col_names"))
+      .join(latest, Seq("tbl"))
+      .withColumn("align_idx", transform(col("target_cols"),
+        c => {
+          val p = array_position(col("col_names"), c)
+          when(p > 0, p.cast("int"))
+        }))
+      .select(col("tbl"), col("version").as("schema_version"),
+        col("target_version"), col("target_cols"),
+        size(col("target_cols")).as("target_n_cols"), col("align_idx"))
+  }
+
+  /** Like [[convertWithSchema]] but keeps the decoded values as a
+    * POSITIONAL array (`vals_dec`) instead of building a per-row
+    * name→value map: same per-charset decode branches, none of the
+    * map allocation — the companion of [[alignToLatest]]'s
+    * index-based projection. */
+  def decodeWithSchema(attached: DataFrame, valsCol: String): DataFrame = {
+    val n = least(size(col("col_names")), size(col(valsCol)))
+    attached.withColumn("vals_dec",
+      when(n >= 1, transform(sequence(lit(1), n), i => {
+        val ctype = element_at(col("col_types"), i)
+        val cs = element_at(col("col_charsets"), i)
+        val raw = element_at(col(valsCol), i)
+        when(ctype.isin(TextTypes: _*), decodePerCharset(raw, cs))
+          .otherwise(decode(raw, "UTF-8"))
+      })).otherwise(array().cast("array<string>")))
+  }
+
   /** Driver-query wiring (`cdc_schema_migrate`): the [[attachDemo]]
     * pipeline extended end-to-end — attach the as-of schema,
     * synthesize each row's raw binary values (`tbl:id:ordinal` UTF-8
@@ -236,21 +436,22 @@ object SchemaRegistry {
     // not a realistic evolution. %100 keeps tens of versions.
     val isAlter = col("etype") === "purchase" && col("id") % 100 === 3
     // the registry (control-sized: one row per schema version) feeds
-    // BOTH the attach and the latest-version projection; persist so
-    // neither use re-derives it from a log scan. (Measured at sf0.1:
-    // this is hygiene, not the bottleneck — the query's ~4.5 s is the
-    // per-row interpreted HOF stack of the DEMO SYNTHESIS, i.e. the
-    // transform/encode lambdas fabricating binary values plus the
-    // per-charset decode — linear map-side work with no shuffle, so
-    // it scales horizontally; a codegen kernel would only speed up
-    // verification scaffolding, not the engine path.)
+    // the attach, the alignment, and nothing else; persist so neither
+    // use re-derives it from a log scan
     val registry = demoRegistry(committed, isAlter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val attached = attach(committed.filter(!isAlter), registry)
-      .withColumn("vals_raw",
-        transform(sequence(lit(1), col("n_cols")),
-          j => encode(concat_ws(":", col("tbl"), col("id"), j), "UTF-8")))
-    migrateToLatest(convertWithSchema(attached, "vals_raw"), registry)
+      .withColumn("vals_raw", synthValsCol(col("tbl"), col("id"), col("n_cols")))
+    // migrate via the index-aligned scale path: per row, decode is one
+    // native pass and each target cell is one O(1) index into the
+    // decoded positional values — no per-row map building, no per-cell
+    // name scan, no interpreted lambdas
+    attached
+      .withColumn("vals_dec", toColumn(DecodeVals(
+        toExpr(col("vals_raw")), toExpr(col("col_types")), toExpr(col("col_charsets")))))
+      .join(broadcast(alignToLatest(registry)), Seq("tbl", "schema_version"))
+      .withColumn("migrated_sig", toColumn(AlignSig(
+        toExpr(col("target_cols")), toExpr(col("align_idx")), toExpr(col("vals_dec")))))
       .select(col("pos"), col("op"), col("tbl"), col("id"),
         col("schema_version"), col("target_version"),
         col("target_n_cols"), col("migrated_sig"))
