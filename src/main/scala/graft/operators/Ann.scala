@@ -395,13 +395,21 @@ object Ann {
     * Each input is referenced TWICE below (the hit semi-join and its
     * own count), and its lineage is the full index pipeline — PQ
     * sub-trainings, ADC scans, the brute ground-truth scan. Without
-    * truncation every reference re-executes that pipeline, doubling
-    * the dominant corpus-scan term at any scale. Both frames are
-    * query-set-sized, so eager localCheckpoint costs n_queries × k
-    * rows of storage and runs each pipeline exactly once. */
+    * materialization every reference re-executes that pipeline,
+    * doubling the dominant corpus-scan term at any scale. Both frames
+    * are query-set-sized, so persist + an eager count costs
+    * n_queries × k rows of storage and runs each pipeline exactly
+    * once. persist (not localCheckpoint): lineage survives, so on a
+    * cluster an evicted/lost block RECOMPUTES instead of failing the
+    * query, the cached plan stays visible to explain/plan audits, and
+    * `spark.catalog.clearCache()` (bench hygiene) releases the blocks.
+    * NOTE: building this DataFrame eagerly executes both input
+    * pipelines (the materializing counts). */
   def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.localCheckpoint(true)
-    val e = exact.localCheckpoint(true)
+    import org.apache.spark.storage.StorageLevel
+    val a = approx.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    a.count(); e.count()
     val hits = a.join(e.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))
     val nApprox = a.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_approx"))

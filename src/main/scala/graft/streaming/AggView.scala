@@ -118,11 +118,16 @@ object AggView {
     ViewLayout.requireSameBuckets(dir, numBuckets, "agg view")
     val spark = deltas.sparkSession
     val version = s"v$batchId"
+    // persisted: referenced by BOTH the touched-bucket collect and the
+    // merge join below — without it the per-batch delta aggregation
+    // executes twice. MEMORY_AND_DISK keeps lineage, so an evicted
+    // block recomputes instead of failing (batch-sized either way).
     val agg = deltas.groupBy(col("grp"))
       .agg(sum(col("dSum")).as("dSum"), sum(col("dCnt")).as("dCnt"))
       .withColumn("__bucket", pmod(xxhash64(col("grp")), lit(numBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The touched-bucket set is at most numBuckets ints — driver-sized
-    // by construction.
+    // by construction. (This collect also materializes the persist.)
     val touched = agg.select("__bucket").distinct()
       .collect().map(_.getLong(0)).toSet
     val prior = ViewLayout.currentVersion(dir)
@@ -149,6 +154,7 @@ object AggView {
         .parquet(s"$dir/$version")
     }
 
+    agg.unpersist()
     // A touched bucket may come back EMPTY (every group retired) —
     // then no __bucket=<b> dir materializes and the bucket leaves the
     // manifest. Untouched buckets keep their previous dirs.

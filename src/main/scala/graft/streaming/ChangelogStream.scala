@@ -72,14 +72,35 @@ object ChangelogStream {
     * snapshot→stream handoff of the reference
     * (`create-table-stream` then `create-binlog-stream` from
     * `next-position`, reference `README.md` "Initial load").
+    *
+    * `tombstoneTtlMs`: with 0 (default) a deleted entity's tombstone
+    * stays in the state store forever — correct ordering defense, but
+    * on a delete-heavy log the store grows with every entity that EVER
+    * existed, not the live set. With a positive TTL, a tombstone that
+    * sees no further changes for that long is REMOVED from the store
+    * (processing-time timeout): past the TTL a replayed/late position
+    * for the entity is treated as new, the same trade every CDC
+    * consumer makes when it compacts deletes. Live entities are never
+    * timed out — their state IS the view.
     */
   def entityState(
       changes: Dataset[Change],
-      initial: Option[Dataset[Entity]] = None): Dataset[Entity] = {
+      initial: Option[Dataset[Entity]] = None,
+      tombstoneTtlMs: Long = 0): Dataset[Entity] = {
     import changes.sparkSession.implicits._
     val grouped = changes.groupByKey(c => (c.tbl, c.id))
+    val timeoutConf =
+      if (tombstoneTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
 
     def fold(key: (String, Long), rows: Iterator[Change], state: GroupState[Entity]): Iterator[Entity] = {
+      if (tombstoneTtlMs > 0 && state.hasTimedOut) {
+        // only tombstones register timeouts, so this is a quiet
+        // delete leaving the store — no output, downstream already saw
+        // the live=false row when the delete happened
+        state.remove()
+        return Iterator.empty
+      }
       // within one position, deletes apply before upserts: a PK swap
       // expanded by [[expandUpdates]] puts a tombstone and an upsert of
       // the SAME key at the same pos, and the upsert must win. The >=
@@ -93,17 +114,22 @@ object ChangelogStream {
           cur = Entity(key._1, key._2, c.value, c.pos, live = c.op == "upsert")
         }
       }
-      if (cur != null) state.update(cur)
+      if (cur != null) {
+        state.update(cur)
+        // a group invocation clears any previously-registered timeout,
+        // so re-arm it on every tombstone touch and never on live rows
+        if (tombstoneTtlMs > 0 && !cur.live) state.setTimeoutDuration(tombstoneTtlMs)
+      }
       Iterator.single(cur).filter(_ != null)
     }
 
     initial match {
       case Some(init) =>
         grouped.flatMapGroupsWithState(
-          OutputMode.Update, GroupStateTimeout.NoTimeout,
+          OutputMode.Update, timeoutConf,
           init.groupByKey(e => (e.tbl, e.id)))(fold)
       case None =>
-        grouped.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+        grouped.flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fold)
     }
   }
 

@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Set((1L, 9.0, true), (2L, 0.0, false)))
   }
 
+  test("B1 state TTL: expired tombstones leave the state store, live entities stay") {
+    // NOTE: processAllAvailable HANGS under ProcessingTimeTimeout (the
+    // engine always schedules another batch to check timeouts, so the
+    // no-new-data latch never sets) — drive by polling instead.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = ChangelogStream.entityState(in.toDS(), tombstoneTtlMs = 300)
+      .writeStream.format("memory").queryName("b1ttl").outputMode("update")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def awaitOutputRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("b1ttl").count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(spark.table("b1ttl").count() >= n)
+    }
+    in.addData(Change(1, "upsert", "t", 1, 1.0), Change(2, "upsert", "t", 2, 2.0))
+    awaitOutputRows(2)
+    in.addData(Change(3, "delete", "t", 1, 0.0))
+    awaitOutputRows(3) // state now: live id2 + tombstone id1
+    // after the TTL lapses a (possibly empty) batch fires the timeout
+    // and the tombstone leaves the store: numRowsTotal shrinks 2 → 1
+    val deadline = System.currentTimeMillis + 30000
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    while (stateRows != 1 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    val total = stateRows
+    q.stop()
+    assert(total === 1, "tombstone for id 1 should have been removed (only live id 2 remains)")
+    // the timeout path is silent: no extra output row for id 1 beyond its delete
+    assert(spark.table("b1ttl").filter(col("id") === 1).count() === 2) // upsert + delete
+  }
+
   test("B1b: streaming update images — PK change tombstones old key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ChangelogStream.ImagedChange]
