@@ -73,9 +73,11 @@ object UpsertSink {
   def storedNumBuckets(tableDir: String): Option[Int] =
     ViewLayout.storedNumBuckets(tableDir)
 
-  /** True iff `v<batchId>` is already the published snapshot. */
+  /** True iff `batchId` already published the current snapshot (the
+    * `batch <id>` manifest line; version names themselves are a
+    * publish counter — see [[ViewLayout.nextVersion]]). */
   private def alreadyPublished(tableDir: String, batchId: Long): Boolean =
-    ViewLayout.currentVersion(tableDir).contains(s"v$batchId")
+    ViewLayout.publishedBatch(tableDir).contains(batchId)
 
   private def emptySnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -168,7 +170,7 @@ object UpsertSink {
       .collect().map(_.getLong(0)).toSet
     val prior = ViewLayout.currentVersion(tableDir)
       .map(v => ViewLayout.readBucketManifest(tableDir, v)).getOrElse(Map.empty)
-    val version = s"v$batchId"
+    val version = ViewLayout.nextVersion(tableDir)
 
     if (touched.nonEmpty) {
       val curDirs = prior.filter { case (b, _) => touched.contains(b.toLong) }
@@ -198,11 +200,55 @@ object UpsertSink {
     // the manifest. Untouched buckets keep their previous dirs.
     val written = ViewLayout.writtenBuckets(tableDir, version)
     val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
-    val manifestBody = manifest.toSeq.sortBy(_._1)
-      .map { case (b, dir) => s"$b $dir" }.mkString("\n")
+    val manifestBody = (s"batch $batchId" +: manifest.toSeq.sortBy(_._1)
+      .map { case (b, dir) => s"$b $dir" }).mkString("\n")
     ViewLayout.writeAtomic(tableDir, s"$version.manifest", manifestBody)
     if (storedNumBuckets(tableDir).isEmpty)
       ViewLayout.writeAtomic(tableDir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(tableDir, ViewLayout.currentFile, version)
+    pruneVersions(tableDir, retainVersions)
+  }
+
+  /** Re-shard a grown table to `newN` buckets, in place, published as
+    * a new version of the same table dir — the migration path for a
+    * table whose creation-time bucket count no longer fits its size
+    * (`numBuckets` is otherwise fixed: merging under a different count
+    * would look keys up in the wrong buckets).
+    *
+    *  - **Readers are safe throughout**: they resolve the atomic
+    *    `_CURRENT` pointer to a complete manifest — until the flip
+    *    they read the old layout, after it the new one; retention
+    *    keeps the pre-rebucket version readable (time travel and
+    *    in-flight scans of the old dirs keep working until pruned).
+    *  - **The writer must be stopped** for the duration (the usual
+    *    offline re-shard discipline). After the flip `_META` records
+    *    `newN`; a resumed stream must pass the new count — a stale
+    *    writer still passing the old count fails fast at
+    *    `requireSameBuckets` instead of corrupting the table.
+    *  - Version numbers are a publish counter decoupled from batch
+    *    ids, so the rebucket version slots between batches and the
+    *    resumed stream's next batch publishes on top of it; the
+    *    `batch` idempotence line carries over so a crash-replay of the
+    *    last pre-rebucket batch stays a no-op.
+    *
+    * One full-table rewrite — O(table) by nature; the cost paid so
+    * every future batch is O(batch + touched buckets) again at a
+    * bucket size that fits the grown table. */
+  def rebucket(spark: SparkSession, tableDir: String, newN: Int,
+               retainVersions: Int = 2): Unit = {
+    require(newN > 0, s"newN must be positive, got $newN")
+    val lastBatch = ViewLayout.publishedBatch(tableDir)
+    val version = ViewLayout.nextVersion(tableDir)
+    readCurrent(spark, tableDir)
+      .withColumn("__bucket", pmod(xxhash64(col("tbl"), col("id")), lit(newN)))
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$tableDir/$version")
+    val written = ViewLayout.writtenBuckets(tableDir, version)
+    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+      written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
+    ViewLayout.writeAtomic(tableDir, s"$version.manifest", body)
+    ViewLayout.writeAtomic(tableDir, ViewLayout.metaFile, s"numBuckets=$newN")
     ViewLayout.writeAtomic(tableDir, ViewLayout.currentFile, version)
     pruneVersions(tableDir, retainVersions)
   }

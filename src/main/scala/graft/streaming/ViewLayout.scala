@@ -24,15 +24,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    version's directories via the manifest (no copy, no read), so a
   *    micro-batch costs O(batch + touched-bucket data), never O(table);
   *  - **replay idempotence**: the published batch id is recoverable
-  *    from the pointer (`v<batchId>`), so a crash between pointer flip
-  *    and streaming-checkpoint commit replays as a no-op.
+  *    from the current manifest's `batch <id>` line (older layouts:
+  *    from the `v<batchId>` version name), so a crash between pointer
+  *    flip and streaming-checkpoint commit replays as a no-op.
   *
   * Manifest lines a sink doesn't recognize are tolerated by every
   * parser here ([[JoinView]] adds a `dim <dir>` line); torn lines from
   * pre-atomic-write crashes are skipped, not a crash — the pruner must
   * never die on an orphan it exists to clean.
   */
-private[streaming] object ViewLayout {
+private[graft] object ViewLayout {
 
   val currentFile = "_CURRENT"
   val metaFile = "_META"
@@ -72,6 +73,40 @@ private[streaming] object ViewLayout {
         s"$what at $dir was created with numBuckets=$stored; merge called " +
           s"with numBuckets=$numBuckets — the bucket count is fixed at " +
           "creation (rehashing would corrupt the merge)")
+    }
+
+  /** Highest published version number (from the manifest files —
+    * orphan data dirs from a pre-publish crash don't count, so a
+    * replay re-uses and Overwrites the orphan's number). */
+  def maxVersion(dir: String): Option[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.manifest"))
+      .map(_.getName.stripSuffix(".manifest").drop(1).toLong)
+      .sorted.lastOption
+
+  /** Next version name to publish under. Version numbers are a PUBLISH
+    * COUNTER, not batch ids — decoupled so a non-batch publication
+    * (e.g. [[UpsertSink.rebucket]]) can slot between batches without
+    * colliding with the engine's future batch ids. While a stream is
+    * the only publisher the two coincide (batch ids are contiguous
+    * from 0). */
+  def nextVersion(dir: String): String = s"v${maxVersion(dir).map(_ + 1).getOrElse(0L)}"
+
+  /** The batch id recorded in `version`'s manifest (`batch <id>` line —
+    * skipped as a non-bucket line by every other parser). */
+  def manifestBatch(dir: String, version: String): Option[Long] =
+    manifestLines(dir, version).collectFirst {
+      case s if s.startsWith("batch ") => s.stripPrefix("batch ").trim.toLong
+    }
+
+  /** The batch id that published the CURRENT version — the replay-
+    * idempotence token. Back-compat: layouts from before the publish
+    * counter named versions `v<batchId>` directly with no batch line,
+    * so fall back to parsing the version name. */
+  def publishedBatch(dir: String): Option[Long] =
+    currentVersion(dir).flatMap { v =>
+      manifestBatch(dir, v)
+        .orElse(Some(v.drop(1)).filter(_.forall(_.isDigit)).map(_.toLong))
     }
 
   /** All non-empty manifest lines for `version` (raw — for sinks with

@@ -64,6 +64,55 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(snap1 == Set((2L, 2.0), (3L, 3.0)))
   }
 
+  test("rebucket migrates a grown table: same data, new bucket count, safe reads, merges at newN") {
+    val tableDir = Files.createTempDirectory("graft_sink_rebucket").toString
+    val keys = (1L to 120L)
+    UpsertSink.mergeBatch(
+      keys.map(k => Change(k, "upsert", "t", k, k * 1.0)).toDS(),
+      tableDir, 0L, numBuckets = 4, retainVersions = 4)
+    UpsertSink.mergeBatch(
+      Seq(Change(200L, "upsert", "t", 5L, 55.0), Change(201L, "delete", "t", 6L, 0.0)).toDS(),
+      tableDir, 1L, numBuckets = 4, retainVersions = 4)
+    val before = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    // a reader plan resolved BEFORE the rebucket (old version's dirs)
+    val inFlight = UpsertSink.readCurrent(spark, tableDir)
+
+    UpsertSink.rebucket(spark, tableDir, 16, retainVersions = 4)
+
+    assert(UpsertSink.storedNumBuckets(tableDir) == Some(16))
+    val after = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toSet
+    assert(after == before, "rebucket must not change the table contents")
+    // every current bucket dir belongs to the rebucket version, at newN
+    val cur = graft.streaming.ViewLayout.currentVersion(tableDir).get
+    val manifest = graft.streaming.ViewLayout.readBucketManifest(tableDir, cur)
+    assert(manifest.keys.forall(_ < 16) && manifest.values.forall(_.startsWith(s"$cur/")))
+    assert(manifest.size > 4, s"120 keys across 16 buckets should occupy >4, got ${manifest.size}")
+    // read-during-rebucket: the pre-rebucket plan still scans its (retained) dirs
+    assert(inFlight.select("id", "value").as[(Long, Double)].collect().toSet == before)
+    // the old count now fails fast instead of corrupting the merge
+    intercept[IllegalArgumentException] {
+      UpsertSink.mergeBatch(Seq(Change(300L, "upsert", "t", 1L, 9.0)).toDS(),
+        tableDir, 2L, numBuckets = 4, retainVersions = 4)
+    }
+    // a post-rebucket merge at the new count folds correctly and stays
+    // bucket-incremental (one key ⇒ one bucket dir in the new version)
+    UpsertSink.mergeBatch(Seq(Change(300L, "upsert", "t", 1L, 9.0)).toDS(),
+      tableDir, 2L, numBuckets = 16, retainVersions = 4)
+    val v3 = graft.streaming.ViewLayout.currentVersion(tableDir).get
+    val newDirs = Option(new java.io.File(s"$tableDir/$v3").listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map(_.getName).toSet
+    assert(newDirs.size == 1, s"one-key batch after rebucket must rewrite one bucket: $newDirs")
+    val folded = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toMap
+    assert(folded(1L) == 9.0 && folded(5L) == 55.0 && !folded.contains(6L))
+    // replay of the post-rebucket batch id is still a no-op
+    UpsertSink.mergeBatch(Seq(Change(300L, "upsert", "t", 1L, 9.0)).toDS(),
+      tableDir, 2L, numBuckets = 16, retainVersions = 4)
+    assert(graft.streaming.ViewLayout.currentVersion(tableDir).get == v3)
+  }
+
   test("a small batch rewrites only its touched buckets, not the table") {
     val tableDir = Files.createTempDirectory("graft_sink_bucket").toString
     val nb = 16
