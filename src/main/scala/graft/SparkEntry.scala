@@ -21,6 +21,14 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** Demo GTID synthesis (no MySQL in the sandbox): each committed tx
+    * gets `gtid = "src-<tx%3>:<tx>"` — three replication sources whose
+    * executed sets interleave, the shape Debezium's `gtid` column
+    * carries in GTID mode. */
+  private def withDemoGtids(log: org.apache.spark.sql.DataFrame) =
+    log.withColumn("gtid", concat(lit("src-"), (col("tx") % 3).cast("string"),
+      lit(":"), col("tx").cast("string")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. CDC core ----
     "cdc_changelog" -> ((s, d) => Changelog.fromEvents(ev(s, d))),
@@ -52,6 +60,20 @@ object SparkEntry {
         .unionByName(s.range(1)
           .select(lit(Changelog.DefaultFile).as("file"), lit(999999999999L).as("pos")))
       Changelog.validatePositions(Changelog.binlogPositions(log), next.unionByName(bogus))
+    }),
+    "cdc_gtid_next" -> ((s, d) =>
+      Changelog.gtidNextPosition(withDemoGtids(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))))),
+    "cdc_gtid_valid" -> ((s, d) => {
+      val log = withDemoGtids(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))
+      val next = Changelog.gtidNextPosition(log)
+        .select(col("source_uuid"), col("next_txno").as("txno"))
+      val bogus = s.range(1)
+        .select(lit("src-9").as("source_uuid"), lit(1L).as("txno"))       // unknown source
+        .unionByName(s.range(1)
+          .select(lit("src-0").as("source_uuid"), lit(-5L).as("txno")))   // purged
+        .unionByName(s.range(1)
+          .select(lit("src-1").as("source_uuid"), lit(999999999L).as("txno"))) // beyond watermark
+      Changelog.validateGtids(Changelog.gtidExecuted(log), next.unionByName(bogus))
     }),
     "cdc_update_images" -> ((s, d) => {
       // purchases become UPDATE events with before/after images; ids
@@ -652,6 +674,29 @@ object SparkEntry {
         |SELECT 2, 'upsert', 'customer', c_custkey,
         |       concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)
         |FROM customer""".stripMargin,
+    "cdc_gtid_next" -> (logCte +
+      """, g AS (
+        |  SELECT 'src-' || CAST(tx % 3 AS VARCHAR) AS source_uuid, tx AS txno
+        |  FROM committed)
+        |SELECT source_uuid, max(txno) + 1 AS next_txno
+        |FROM g GROUP BY source_uuid""".stripMargin),
+    "cdc_gtid_valid" -> (logCte +
+      """, g AS (
+        |  SELECT 'src-' || CAST(tx % 3 AS VARCHAR) AS source_uuid, tx AS txno
+        |  FROM committed),
+        |exec AS (
+        |  SELECT source_uuid, min(txno) AS txno_lo, max(txno) AS txno_hi
+        |  FROM g GROUP BY source_uuid),
+        |tokens AS (
+        |  SELECT source_uuid, txno_hi + 1 AS txno FROM exec
+        |  UNION ALL SELECT 'src-9', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'src-0', CAST(-5 AS BIGINT)
+        |  UNION ALL SELECT 'src-1', CAST(999999999 AS BIGINT))
+        |SELECT t.source_uuid, t.txno,
+        |       CAST(CASE WHEN e.txno_hi IS NOT NULL
+        |                  AND t.txno >= e.txno_lo AND t.txno <= e.txno_hi + 1
+        |                 THEN 1 ELSE 0 END AS INT) AS valid
+        |FROM tokens t LEFT JOIN exec e ON t.source_uuid = e.source_uuid""".stripMargin),
     "cdc_valid_pos" -> (logCte +
       """, f AS (
         |  SELECT pos, etype,

@@ -374,6 +374,45 @@ object Changelog {
         when(col("file_size").isNotNull && col("pos") <= col("file_size"), lit(1))
           .otherwise(lit(0)).as("valid"))
 
+  /** GTID executed-set summary: one row per replication source —
+    * `(source_uuid, txno_lo, txno_hi)` from a `gtid` column of
+    * `"source_uuid:txno"` strings (the shape
+    * [[graft.sources.Debezium.decode]] lands). The GTID counterpart
+    * of [[binlogPositions]]: modern MySQL resumes by GTID set, not
+    * (file, pos) — reference analogue `valid-binlog-pos?` /
+    * `binlog-position` (`src/dumpr/core.clj:113-148`), re-keyed by
+    * transaction id. `txno_lo` models the purge horizon (binlogs
+    * holding earlier txs are gone); `txno_hi` the executed watermark.
+    * Control-sized output (one row per source server). */
+  def gtidExecuted(log: DataFrame, gtidCol: String = "gtid"): DataFrame =
+    log.filter(col(gtidCol).isNotNull)
+      .select(substring_index(col(gtidCol), ":", 1).as("source_uuid"),
+        substring_index(col(gtidCol), ":", -1).cast("long").as("txno"))
+      .groupBy(col("source_uuid"))
+      .agg(min(col("txno")).as("txno_lo"), max(col("txno")).as("txno_hi"))
+
+  /** The GTID resume token to continue from, per source:
+    * `(source_uuid, next_txno = executed max + 1)` — the GTID-mode
+    * [[nextPosition]]. */
+  def gtidNextPosition(log: DataFrame, gtidCol: String = "gtid"): DataFrame =
+    gtidExecuted(log, gtidCol)
+      .select(col("source_uuid"), (col("txno_hi") + 1).as("next_txno"))
+
+  /** GTID resume-token validation — the GTID-mode
+    * [[validatePositions]]: a `(source_uuid, txno)` token is valid iff
+    * the source is known and `txno` lies in the still-replayable
+    * window `[txno_lo, txno_hi + 1]` — below the purge horizon the
+    * binlogs are gone, above the watermark the server never executed
+    * it. `executed` ([[gtidExecuted]]) is one row per source →
+    * broadcast; tokens flagged `valid` 0/1 like the reference's
+    * boolean (`core.clj:113-131`). */
+  def validateGtids(executed: DataFrame, tokens: DataFrame): DataFrame =
+    tokens.join(broadcast(executed), Seq("source_uuid"), "left")
+      .select(col("source_uuid"), col("txno"),
+        when(col("txno_hi").isNotNull &&
+          col("txno") >= col("txno_lo") && col("txno") <= col("txno_hi") + 1, lit(1))
+          .otherwise(lit(0)).as("valid"))
+
   /** Snapshot ⊎ changelog ⇒ current table state (the flagship op).
     *
     * This is the reference's end-to-end contract: initial load plus

@@ -45,6 +45,37 @@ class DebeziumSpec extends AnyFunSuite {
       Set("""{"oops": true}""", "not json at all"))
   }
 
+  test("GTID resume tokens: executed window, next token, validation from the decoded gtid column") {
+    import graft.cdc.Changelog
+    // two sources: a's txs 3..7 survive purge, b executed 1..2
+    val log = Seq("a:3", "a:5", "a:7", "b:1", "b:2", null)
+      .toDF("gtid")
+    val exec = Changelog.gtidExecuted(log)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exec == Set(("a", 3L, 7L), ("b", 1L, 2L)))
+    val next = Changelog.gtidNextPosition(log)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(next == Set(("a", 8L), ("b", 3L)))
+    val tokens = Seq(
+      ("a", 8L),   // next — valid
+      ("a", 3L),   // oldest retained — valid
+      ("a", 2L),   // purged — invalid
+      ("a", 9L),   // beyond watermark — invalid
+      ("c", 1L)    // unknown source — invalid
+    ).toDF("source_uuid", "txno")
+    val valid = Changelog.validateGtids(Changelog.gtidExecuted(log), tokens)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(valid == Map(("a", 8L) -> 1, ("a", 3L) -> 1, ("a", 2L) -> 0,
+      ("a", 9L) -> 0, ("c", 1L) -> 0))
+    // and straight off the wire: Debezium's decoded gtid column feeds the same ops
+    val raw = Seq(
+      env("c", None, Some((1L, 1.0)), "mysql-bin.000001", 1),
+      env("c", None, Some((2L, 2.0)), "mysql-bin.000001", 2)).toDF("value")
+    val fromWire = Changelog.gtidNextPosition(Debezium.decode(raw))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromWire == Set(("8f9d", 18L)))
+  }
+
   test("filePos orders across binlog file rotation") {
     val r = spark.range(1).select(
       Debezium.filePos(lit("mysql-bin.000001"), lit(900000L)).as("a"),
