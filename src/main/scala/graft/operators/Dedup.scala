@@ -489,8 +489,15 @@ object Dedup {
     * truncation, durable blocks instead of executor-local ones. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 50): DataFrame = {
-    val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    // the caller's edge pipeline is typically pair MINING (shingle →
+    // band → verify — the dominant cost); the symmetrization union
+    // references it twice, so materialize it once and let both union
+    // branches read the cache. Eager count: two un-materialized scans
+    // of one cached frame inside a single job would each compute.
+    val e0 = edges.select(col("a"), col("b")).persist()
+    e0.count()
+    val sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
       .distinct().persist()
     // only edge ENDPOINTS iterate: in a dedup setting almost every doc
     // is isolated (no pair touches it), its label can never change,
@@ -499,6 +506,7 @@ object Dedup {
     // re-enter as singleton components after the loop (anti-join).
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    e0.unpersist() // sym is materialized by the checkpoint above
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
