@@ -111,13 +111,13 @@ object AggView {
     * forever. */
   def mergeBatch(deltas: Dataset[GroupDelta], dir: String, batchId: Long,
                  numBuckets: Int = 16, retainVersions: Int = 2): Unit = {
-    if (ViewLayout.currentVersion(dir).contains(s"v$batchId")) return
+    if (ViewLayout.publishedBatch(dir).contains(batchId)) return
     // An empty batch 0 writes no parquet, so the manifest/pointer
     // writes below must not assume the parquet writer created dir.
     Files.createDirectories(Paths.get(dir))
     ViewLayout.requireSameBuckets(dir, numBuckets, "agg view")
     val spark = deltas.sparkSession
-    val version = s"v$batchId"
+    val version = ViewLayout.nextVersion(dir)
     // persisted: referenced by BOTH the touched-bucket collect and the
     // merge join below — without it the per-batch delta aggregation
     // executes twice. MEMORY_AND_DISK keeps lineage, so an evicted
@@ -160,11 +160,36 @@ object AggView {
     // manifest. Untouched buckets keep their previous dirs.
     val written = ViewLayout.writtenBuckets(dir, version)
     val manifest = prior.filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
-    val body = manifest.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b $d" }.mkString("\n")
+    val body = (s"batch $batchId" +: manifest.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b $d" }).mkString("\n")
     ViewLayout.writeAtomic(dir, s"$version.manifest", body)
     if (ViewLayout.storedNumBuckets(dir).isEmpty)
       ViewLayout.writeAtomic(dir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(dir, ViewLayout.currentFile, version)
+    ViewLayout.pruneVersions(dir, retainVersions)(
+      v => ViewLayout.readBucketManifest(dir, v).values)
+  }
+
+  /** Re-shard the view to `newN` group-buckets — the
+    * [[UpsertSink.rebucket]] migration for the agg view: one
+    * O(view) rewrite published as a new version (atomic pointer flip,
+    * readers on complete manifests throughout, `_META` re-pinned so a
+    * stale writer fails fast). Writer stopped for the duration. */
+  def rebucket(spark: SparkSession, dir: String, newN: Int,
+               retainVersions: Int = 2): Unit = {
+    require(newN > 0, s"newN must be positive, got $newN")
+    val lastBatch = ViewLayout.publishedBatch(dir)
+    val version = ViewLayout.nextVersion(dir)
+    readCurrent(spark, dir)
+      .withColumn("__bucket", pmod(xxhash64(col("grp")), lit(newN)))
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$dir/$version")
+    val written = ViewLayout.writtenBuckets(dir, version)
+    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+      written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
+    ViewLayout.writeAtomic(dir, s"$version.manifest", body)
+    ViewLayout.writeAtomic(dir, ViewLayout.metaFile, s"numBuckets=$newN")
     ViewLayout.writeAtomic(dir, ViewLayout.currentFile, version)
     ViewLayout.pruneVersions(dir, retainVersions)(
       v => ViewLayout.readBucketManifest(dir, v).values)

@@ -100,13 +100,13 @@ object JoinView {
     * at creation. */
   def mergeBatch(batch: Dataset[JoinChange], viewDir: String, batchId: Long,
                  numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
-    if (ViewLayout.currentVersion(viewDir).contains(s"v$batchId")) return
+    if (ViewLayout.publishedBatch(viewDir).contains(batchId)) return
     // An empty batch 0 writes no parquet, so the manifest/pointer
     // writes below must not assume the parquet writer created viewDir.
     Files.createDirectories(Paths.get(viewDir))
     ViewLayout.requireSameBuckets(viewDir, numBuckets, "view")
     val spark = batch.sparkSession
-    val version = s"v$batchId"
+    val version = ViewLayout.nextVersion(viewDir)
     val (priorBuckets, priorDim) = ViewLayout.currentVersion(viewDir)
       .map(v => readManifest(viewDir, v)).getOrElse((Map.empty[Int, String], None))
 
@@ -193,11 +193,39 @@ object JoinView {
       .toMap
     val manifest = priorBuckets
       .filterNot { case (b, _) => touched.contains(b.toLong) } ++ written
-    val body = dimDirRel.map(d => s"dim $d").toSeq ++
+    val body = (s"batch $batchId" +: dimDirRel.map(d => s"dim $d").toSeq) ++
       manifest.toSeq.sortBy(_._1).map { case (b, dir) => s"$b $dir" }
     ViewLayout.writeAtomic(viewDir, s"$version.manifest", body.mkString("\n"))
     if (storedNumBuckets(viewDir).isEmpty)
       ViewLayout.writeAtomic(viewDir, ViewLayout.metaFile, s"numBuckets=$numBuckets")
+    ViewLayout.writeAtomic(viewDir, ViewLayout.currentFile, version)
+    pruneVersions(viewDir, retainVersions)
+  }
+
+  /** Re-shard the view's FACT buckets to `newN` — the
+    * [[UpsertSink.rebucket]] migration for the join view. The dim
+    * state is bucket-count-independent (one dir), so the prior dim
+    * directory is carried by reference; readers stay on complete
+    * manifests throughout and the resumed writer must pass the new
+    * count (`_META`, fail-fast). Writer stopped for the duration. */
+  def rebucket(spark: SparkSession, viewDir: String, newN: Int,
+               retainVersions: Int = 2): Unit = {
+    require(newN > 0, s"newN must be positive, got $newN")
+    val lastBatch = ViewLayout.publishedBatch(viewDir)
+    val priorDim = ViewLayout.currentVersion(viewDir)
+      .flatMap(v => readManifest(viewDir, v)._2)
+    val version = ViewLayout.nextVersion(viewDir)
+    readCurrent(spark, viewDir)
+      .withColumn("__bucket", pmod(xxhash64(col("fk")), lit(newN)))
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$viewDir/$version/facts")
+    val written = ViewLayout.writtenBuckets(viewDir, s"$version/facts")
+    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+      priorDim.map(d => s"dim $d").toSeq ++
+      written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
+    ViewLayout.writeAtomic(viewDir, s"$version.manifest", body)
+    ViewLayout.writeAtomic(viewDir, ViewLayout.metaFile, s"numBuckets=$newN")
     ViewLayout.writeAtomic(viewDir, ViewLayout.currentFile, version)
     pruneVersions(viewDir, retainVersions)
   }

@@ -51,6 +51,23 @@ class AggViewSpec extends AnyFunSuite {
     assert(view(dir) == Map("t" -> ((5.5, 2L))))
   }
 
+  test("rebucket preserves the view and merges stay bucket-incremental at the new count") {
+    val dir = Files.createTempDirectory("graft_aggview_rebucket").toString
+    val d0 = (1 to 40).map(i => AggView.GroupDelta(s"g$i", i.toDouble, 1L)).toDS()
+    AggView.mergeBatch(d0, dir, 0L, numBuckets = 4)
+    val before = view(dir)
+    AggView.rebucket(spark, dir, 16)
+    assert(AggView.readCurrent(spark, dir).count() == 40 && view(dir) == before)
+    intercept[IllegalArgumentException] { // stale writer at the old count fails fast
+      AggView.mergeBatch(Seq(AggView.GroupDelta("g1", 1.0, 0L)).toDS(), dir, 1L, numBuckets = 4)
+    }
+    AggView.mergeBatch(Seq(AggView.GroupDelta("g1", 1.0, 0L)).toDS(), dir, 1L, numBuckets = 16)
+    assert(view(dir)("g1") == ((2.0, 1L)))
+    // replay of the post-rebucket batch id stays a no-op
+    AggView.mergeBatch(Seq(AggView.GroupDelta("g1", 1.0, 0L)).toDS(), dir, 1L, numBuckets = 16)
+    assert(view(dir)("g1") == ((2.0, 1L)))
+  }
+
   test("batch replay is a no-op; deltas match the per-batch truth") {
     val dir = Files.createTempDirectory("graft_aggview_replay").toString
     val d0 = Seq(AggView.GroupDelta("t", 3.0, 2L), AggView.GroupDelta("u", 5.0, 1L)).toDS()

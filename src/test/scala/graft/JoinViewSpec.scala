@@ -67,6 +67,28 @@ class JoinViewSpec extends AnyFunSuite {
     assert(view(dir) == Set((20L, 1L, 1.5, None), (20L, 3L, 3.0, None)))
   }
 
+  test("rebucket preserves view + dim-by-reference; post-rebucket merges enrich at the new count") {
+    val dir = tmp()
+    JoinView.mergeBatch(
+      ((1 to 30).map(i => JoinChange(i, "upsert", "fact", i, i % 5 * 10, i * 1.0)) :+
+        JoinChange(31, "upsert", "dim", 10, 0, 100.0)).toDS(), dir, 0L, numBuckets = 4)
+    val before = view(dir)
+    JoinView.rebucket(spark, dir, 16)
+    assert(JoinView.storedNumBuckets(dir) == Some(16))
+    assert(view(dir) == before, "rebucket must not change the enriched view")
+    assert(JoinView.readDim(spark, dir).collect().map(_.getLong(0)).toSet == Set(10L),
+      "prior dim state must carry by reference")
+    intercept[IllegalArgumentException] {
+      JoinView.mergeBatch(Seq(JoinChange(32, "upsert", "dim", 20, 0, 200.0)).toDS(),
+        dir, 1L, numBuckets = 4)
+    }
+    // a dim landing AFTER the rebucket retroactively enriches fk=20 facts
+    JoinView.mergeBatch(Seq(JoinChange(32, "upsert", "dim", 20, 0, 200.0)).toDS(),
+      dir, 1L, numBuckets = 16)
+    val enriched = view(dir).filter(_._1 == 20L)
+    assert(enriched.nonEmpty && enriched.forall(_._4.contains(200.0)))
+  }
+
   test("replaying a published batch is a no-op") {
     val dir = tmp()
     JoinView.mergeBatch(Seq(
