@@ -64,6 +64,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"log-carrying shuffle(s): $bad")
   }
 
+  test("cdc_schema_migrate: alignment rides broadcast joins; per-row kernels are codegen'd natives") {
+    val p = formatted("cdc_schema_migrate")
+    assert(p.contains("BroadcastHashJoin"), "attach and alignment joins must broadcast")
+    // the fused kernels must be in the plan (not the interpreted HOF stack)
+    assert(p.contains("synthvals") || p.contains("SynthVals"), "native synthesis kernel missing")
+    assert(p.contains("alignsig") || p.contains("AlignSig"), "native signature kernel missing")
+    // no log-carrying shuffle: migration adds zero exchanges over the attach
+    val bad = shuffleInputs(p).filter(in => in.contains("vals_") || in.contains("val#"))
+    assert(bad.isEmpty, s"log-carrying shuffle(s): $bad")
+  }
+
+  test("cdc_gtid_valid: executed-window control frame broadcasts; the log shuffles only parsed gtid pairs") {
+    val p = formatted("cdc_gtid_valid")
+    assert(p.contains("BroadcastHashJoin"), "token validation must broadcast the executed window")
+    val bad = shuffleInputs(p).filter(in => in.contains("val#") || in.contains("etype"))
+    assert(bad.isEmpty, s"full-log shuffle(s): $bad")
+  }
+
   test("cdc_entity_state: rolled-back txs filtered via broadcast anti-join") {
     val p = formatted("cdc_entity_state")
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"),
