@@ -113,6 +113,29 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(graft.streaming.ViewLayout.currentVersion(tableDir).get == v3)
   }
 
+  test("property: batched merges with a mid-history rebucket equal the serial fold") {
+    val rnd = new scala.util.Random(8L) // fixed seed — deterministic spec
+    val tableDir = Files.createTempDirectory("graft_sink_rebucket_prop").toString
+    val history = (1 to 300).map { pos =>
+      val id = rnd.nextInt(40).toLong
+      val op = if (rnd.nextInt(4) == 0) "delete" else "upsert"
+      Change(pos.toLong, op, "t", id, pos * 0.5)
+    }
+    val batches = history.grouped(60).toSeq
+    var nb = 4
+    batches.zipWithIndex.foreach { case (b, i) =>
+      UpsertSink.mergeBatch(b.toDS(), tableDir, i.toLong, numBuckets = nb, retainVersions = 2)
+      if (i == 2) { UpsertSink.rebucket(spark, tableDir, 32); nb = 32 } // mid-history re-shard
+    }
+    val folded = history.groupBy(_.id).flatMap { case (id, ops) =>
+      val last = ops.maxBy(_.pos)
+      if (last.op == "upsert") Some(id -> last.value) else None
+    }
+    val got = UpsertSink.readCurrent(spark, tableDir)
+      .select("id", "value").as[(Long, Double)].collect().toMap
+    assert(got == folded, "materialized table must equal the serial fold of the history")
+  }
+
   test("a small batch rewrites only its touched buckets, not the table") {
     val tableDir = Files.createTempDirectory("graft_sink_bucket").toString
     val nb = 16
