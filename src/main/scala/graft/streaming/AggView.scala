@@ -186,7 +186,7 @@ object AggView {
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$dir/$version")
     val written = ViewLayout.writtenBuckets(dir, version)
-    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+    val body = (Seq(s"batch ${lastBatch.getOrElse(-1L)}") ++
       written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
     ViewLayout.writeAtomic(dir, s"$version.manifest", body)
     ViewLayout.writeAtomic(dir, ViewLayout.metaFile, s"numBuckets=$newN")

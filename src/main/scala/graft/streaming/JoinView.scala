@@ -221,7 +221,7 @@ object JoinView {
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$viewDir/$version/facts")
     val written = ViewLayout.writtenBuckets(viewDir, s"$version/facts")
-    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+    val body = (Seq(s"batch ${lastBatch.getOrElse(-1L)}") ++
       priorDim.map(d => s"dim $d").toSeq ++
       written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
     ViewLayout.writeAtomic(viewDir, s"$version.manifest", body)

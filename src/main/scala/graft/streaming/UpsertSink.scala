@@ -245,7 +245,7 @@ object UpsertSink {
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tableDir/$version")
     val written = ViewLayout.writtenBuckets(tableDir, version)
-    val body = (lastBatch.map(b => s"batch $b").toSeq ++
+    val body = (Seq(s"batch ${lastBatch.getOrElse(-1L)}") ++
       written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
     ViewLayout.writeAtomic(tableDir, s"$version.manifest", body)
     ViewLayout.writeAtomic(tableDir, ViewLayout.metaFile, s"numBuckets=$newN")

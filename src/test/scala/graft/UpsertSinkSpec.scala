@@ -113,6 +113,17 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(graft.streaming.ViewLayout.currentVersion(tableDir).get == v3)
   }
 
+  test("rebucket of a never-published table must not swallow the real batch 0") {
+    // the rebucket version carries 'batch -1' (a sentinel no engine
+    // batch id can equal) — without it, publishedBatch would fall back
+    // to the version NAME (v0) and silently skip the first merge
+    val dir = Files.createTempDirectory("graft_sink_rebucket_empty").toString
+    UpsertSink.rebucket(spark, dir, 8)
+    UpsertSink.mergeBatch(Seq(Change(1, "upsert", "t", 1, 1.0)).toDS(), dir, 0L, numBuckets = 8)
+    assert(UpsertSink.readCurrent(spark, dir).count() == 1,
+      "batch 0 after an initial rebucket must still publish")
+  }
+
   test("property: batched merges with a mid-history rebucket equal the serial fold") {
     val rnd = new scala.util.Random(8L) // fixed seed — deterministic spec
     val tableDir = Files.createTempDirectory("graft_sink_rebucket_prop").toString
