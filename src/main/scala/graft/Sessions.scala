@@ -34,6 +34,14 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // generated-class cache (static conf — takes effect only when set
+      // before the first session): the default 100 entries thrashes on
+      // a long-lived session running 100+ distinct query shapes — each
+      // re-run then pays multi-second Janino recompiles of whole-stage
+      // classes it compiled minutes ago. Entries are compiled classes
+      // (small); 10k bounds memory while making the cache effective at
+      // this engine's query-surface size.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     if (shufflePartitions > 0)
       base.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     else base
