@@ -19,7 +19,10 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver data is one file per table; ScaleData output is a
+    # directory of part files under the same <name>.parquet path
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

@@ -830,7 +830,7 @@ object SparkEntry {
     "cdc_schema_attach" -> (logCte +
       """, alters AS (
         |  SELECT tbl, pos, CAST(row_number() OVER (PARTITION BY tbl ORDER BY pos) AS INT) AS version
-        |  FROM committed WHERE etype = 'purchase' AND id % 10 = 3),
+        |  FROM committed WHERE etype = 'purchase' AND id % 10 = 3 AND id < 1000),
         |vu AS (
         |  SELECT b.tbl, 0 AS version, -1 AS from_pos FROM (VALUES ('customer'), ('orders')) b(tbl)
         |  UNION ALL
@@ -851,11 +851,11 @@ object SparkEntry {
         |       array_to_string(v.cols, ',') AS cols_sig
         |FROM committed l JOIN vc v
         |  ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
-        |WHERE NOT (l.etype = 'purchase' AND l.id % 10 = 3)""".stripMargin),
+        |WHERE NOT (l.etype = 'purchase' AND l.id % 10 = 3 AND l.id < 1000)""".stripMargin),
     "cdc_schema_migrate" -> (logCte +
       """, alters AS (
         |  SELECT tbl, pos, CAST(row_number() OVER (PARTITION BY tbl ORDER BY pos) AS INT) AS version
-        |  FROM committed WHERE etype = 'purchase' AND id % 100 = 3),
+        |  FROM committed WHERE etype = 'purchase' AND id % 100 = 3 AND id < 1000),
         |vu AS (
         |  SELECT b.tbl, 0 AS version, -1 AS from_pos FROM (VALUES ('customer'), ('orders')) b(tbl)
         |  UNION ALL
@@ -883,7 +883,7 @@ object SparkEntry {
         |FROM committed l
         |JOIN vi v ON l.tbl = v.tbl AND l.pos >= v.from_pos AND l.pos < v.until_pos
         |JOIN vm m ON l.tbl = m.tbl
-        |WHERE NOT (l.etype = 'purchase' AND l.id % 100 = 3)""".stripMargin),
+        |WHERE NOT (l.etype = 'purchase' AND l.id % 100 = 3 AND l.id < 1000)""".stripMargin),
     "cdc_group_table_maps" -> (logCte +
       """, raw AS (
         |  SELECT 'bf_' || CAST(pos // 2500 AS VARCHAR) AS file, pos,

@@ -315,12 +315,15 @@ object SchemaRegistry {
 
   /** Driver-query wiring (`cdc_schema_attach`, SURVEY §3 synthetic
     * rules): ALTER TABLE events are committed `purchase` rows with
-    * `id % 10 = 3` (routed to their row's table); base schemas are
+    * `id % 10 = 3 AND id < 1000` (routed to their row's table; the id
+    * bound keeps the version count scale-independent — see
+    * [[migrateDemo]]); base schemas are
     * fixed 4-column specs per synthetic table. The ALTER rows
     * themselves are removed from the output, exactly like the
     * reference's `add-table-schema` filters `:alter-table` events
     * after clearing the cache (`stream.clj:198-212`). */
-  private def isDemoAlter: Column = col("etype") === "purchase" && col("id") % 10 === 3
+  private def isDemoAlter: Column = col("etype") === "purchase" && col("id") % 10 === 3 &&
+    col("id") < 1000
 
   /** Fixed 4-column base specs of the demo tables (SURVEY §3). */
   private val demoSpecs = Map(
@@ -338,7 +341,9 @@ object SchemaRegistry {
 
   /** Driver-query wiring (`cdc_schema_attach`, SURVEY §3 synthetic
     * rules): ALTER TABLE events are committed `purchase` rows with
-    * `id % 10 = 3` (routed to their row's table); base schemas are
+    * `id % 10 = 3 AND id < 1000` (routed to their row's table; the id
+    * bound keeps the version count scale-independent — see
+    * [[migrateDemo]]); base schemas are
     * fixed 4-column specs per synthetic table. The ALTER rows
     * themselves are removed from the output, exactly like the
     * reference's `add-table-schema` filters `:alter-table` events
@@ -433,14 +438,33 @@ object SchemaRegistry {
     // migrated row WIDTH grows with the table's total ALTER count
     // (every version appends a column), so %10 would make each
     // signature O(log-size/10) columns at sf0.1 — a degenerate table,
-    // not a realistic evolution. %100 keeps tens of versions.
-    val isAlter = col("etype") === "purchase" && col("id") % 100 === 3
+    // not a realistic evolution. %100 keeps tens of versions — and the
+    // id < 1000 bound keeps it tens of versions at EVERY scale factor:
+    // the id space grows with SF, so an unbounded residue rule makes
+    // version count (= migrated row width = per-row work) grow linearly
+    // with log size and the query quadratic overall. A real table's
+    // ALTER history is bounded regardless of log length; the bound is
+    // a no-op at sf0.01 (all ids < 1000), and the oracle replays it.
+    val isAlter = col("etype") === "purchase" && col("id") % 100 === 3 &&
+      col("id") < 1000
     // the registry (control-sized: one row per schema version) feeds
     // the attach, the alignment, and nothing else; persist so neither
     // use re-derives it from a log scan
     val registry = demoRegistry(committed, isAlter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val attached = attach(committed.filter(!isAlter), registry)
+    // explicit fan-out before the per-row kernels: the committed frame
+    // arrives from a shuffle whose BYTES are small, so AQE coalesces it
+    // to ~1 partition — and then the width-heavy decode/align compute
+    // below (invisible to AQE's size-based costing) runs single-
+    // threaded. AQE honors user-specified repartition counts, so this
+    // one exchange pins the compute stage at full parallelism — and it
+    // is SLIM by construction: only the four columns the migrated
+    // output carries cross the wire (val/us are pruned first, keeping
+    // the no-log-payload-shuffle audit true).
+    val fan = committed.filter(!isAlter)
+      .select(col("pos"), col("op"), col("tbl"), col("id"))
+      .repartition(committed.sparkSession.sparkContext.defaultParallelism)
+    val attached = attach(fan, registry)
       .withColumn("vals_raw", synthValsCol(col("tbl"), col("id"), col("n_cols")))
     // migrate via the index-aligned scale path: per row, decode is one
     // native pass and each target cell is one O(1) index into the

@@ -42,7 +42,14 @@ object Ann {
   def bruteTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // explicit fan-out of the streamed corpus: the nested-loop join's
+    // parallelism is the stream side's partition count, and a small-
+    // bytes corpus scan (or an AQE-coalesced exchange) yields a handful
+    // of partitions doing nQueries×|corpus| cosine work each — the
+    // bytes are tiny but the compute is not, which size-based planning
+    // cannot see. AQE honors the explicit count.
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))

@@ -327,7 +327,12 @@ object Dedup {
     * [[embeddingPairsLsh]], exactly as [[jaccardPairs]] is the baseline
     * for [[minhashLsh]]. Unusable past ~10⁵ vectors. */
   def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // fan the streamed side out explicitly: the nested-loop join runs
+    // one task per stream-side partition, and a few-MB corpus scan is
+    // a few partitions each grinding |corpus|²/p cosines — compute the
+    // size-based planner can't see (same fix as Ann.bruteTopK)
     val a = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val b = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .where(graft.functions.VectorFunctions.cosine(col("a_emb"), col("b_emb")) >= threshold)
