@@ -155,7 +155,41 @@ object DuckSql {
     * over the string. The candidate sets (and `n_cand`) only agree when
     * the band-hash family is identical, so the oracle finalizes the
     * seed-3 fold and then re-finalizes for h1/h2. */
-  def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String = {
+  def minhashOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    "WITH " + minhashCtes(numHashes, bands, threshold) +
+      s""", u AS (
+         |  SELECT a_id AS doc_id, dup, 0 AS dup_smaller FROM ver
+         |  UNION ALL
+         |  SELECT b_id AS doc_id, dup, dup AS dup_smaller FROM ver)
+         |SELECT d.doc_id,
+         |       count(u.dup) AS n_cand,
+         |       CAST(coalesce(sum(u.dup), 0) AS BIGINT) AS n_dup,
+         |       CAST(CASE WHEN coalesce(sum(u.dup_smaller), 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
+         |FROM d LEFT JOIN u ON u.doc_id = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin
+
+  /** Connected components over the MinHash+LSH verified dup pairs —
+    * oracle for `dedup_cc_lsh` (the scale-path edge set feeding the
+    * same transitive closure as `dedup_cc`'s all-pairs input). */
+  def minhashCcOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    "WITH RECURSIVE " + minhashCtes(numHashes, bands, threshold) +
+      """, pr AS (SELECT a_id, b_id FROM ver WHERE dup = 1),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pr
+        |      UNION SELECT b_id AS u, a_id AS v FROM pr),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin
+
+  /** The shared MinHash replay chain (no WITH prefix; ends at `ver`
+    * (a_id, b_id, dup) — the per-doc rollup and the cc closure both
+    * build on it). The per-doc candidate/dup sets equal the engine's
+    * group-collapsed pipeline because identical shingle sets yield
+    * identical signatures and band buckets. */
+  private def minhashCtes(numHashes: Int, bands: Int, threshold: Double): String = {
     val rows = numHashes / bands
     val shingleHashes = finalize(
       finalize(
@@ -165,7 +199,7 @@ object DuckSql {
           "doc_id", "g0", "g"),
         "doc_id, g", "g", "h1"),
       "doc_id, h1", "xor(g, 1::HUGEINT)", "h2")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |shl AS (
        |  SELECT doc_id,
        |         CASE WHEN len(w) >= 3
@@ -192,17 +226,7 @@ object DuckSql {
        |                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
        |                   >= $threshold
        |              THEN 1 ELSE 0 END AS dup
-       |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id),
-       |u AS (
-       |  SELECT a_id AS doc_id, dup, 0 AS dup_smaller FROM ver
-       |  UNION ALL
-       |  SELECT b_id AS doc_id, dup, dup AS dup_smaller FROM ver)
-       |SELECT d.doc_id,
-       |       count(u.dup) AS n_cand,
-       |       CAST(coalesce(sum(u.dup), 0) AS BIGINT) AS n_dup,
-       |       CAST(CASE WHEN coalesce(sum(u.dup_smaller), 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
-       |FROM d LEFT JOIN u ON u.doc_id = d.doc_id
-       |GROUP BY d.doc_id""".stripMargin
+       |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id)""".stripMargin
   }
 
   /** Oracle for `multimodal_features`: replay of

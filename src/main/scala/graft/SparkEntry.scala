@@ -242,6 +242,16 @@ object SparkEntry {
         docs.select(col("doc_id").as("node")), edges)
       Dedup.keepBest(docs, comps, col("n_chars"))
     }),
+    "dedup_cc_lsh" -> ((s, d) => {
+      // the SCALE path end-to-end: duplicate groups over the LSH-mined
+      // pair set (banded candidates, linear) instead of the all-pairs
+      // jaccard baseline above — the shape a crawl-scale pipeline runs
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshPairs(docs)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
+        .select(col("node").as("doc_id"), col("comp"))
+    }),
     "text_normalize" -> ((s, d) => Corpus.normalizeText(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -1664,6 +1674,7 @@ object SparkEntry {
          |SELECT doc_id, lang, n_chars, priority, rk FROM r WHERE rk <= 100""".stripMargin,
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
+    "dedup_cc_lsh" -> DuckSql.minhashCcOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -213,6 +213,16 @@ object Dedup {
     * back out to documents through arithmetic on group sizes. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
                  threshold: Double = 0.5): DataFrame = {
+    val (members, verified, groups) = minhashParts(docs, numHashes, bands, threshold)
+    rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq.empty)
+  }
+
+  /** The shared MinHash+LSH pipeline: exact-dup collapse → banded
+    * signatures → group-pair candidates → exact-Jaccard verdicts.
+    * Returns (members (doc_id, gid, m, grp_ok), verified group pairs
+    * (a_gid, b_gid, dup), groups (gid, m, grp_ok, sh)). */
+  private def minhashParts(docs: DataFrame, numHashes: Int, bands: Int,
+                           threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val withKey = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -262,7 +272,38 @@ object Dedup {
         col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
       .withColumn("dup", (col("j") >= threshold).cast("int"))
       .select(col("a_gid"), col("b_gid"), col("dup"))
-    rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq.empty)
+    (members.select(col("doc_id"), col("gid"), col("m"), col("grp_ok")), verified,
+      groups.select(col("gid"), col("m"), col("grp_ok"), col("sh")))
+  }
+
+  /** Member-level verified dup PAIRS from the MinHash+LSH pipeline —
+    * the scale-path edge set for [[connectedComponents]]/[[keepBest]]
+    * (the all-pairs [[jaccardPairs]] input is the correctness
+    * baseline; its output is quadratic in duplicate-cluster size, so
+    * at crawl scale the group graph must come from banded candidates).
+    * Reconstitution mirrors [[embeddingPairsLsh]]: within a collapsed
+    * group every member pair shares identical shingle sets (j = 1 ≥ any
+    * threshold — dup by the operator's own verify; empty-shingle
+    * groups are gated by grp_ok exactly as in the rollup), and a
+    * verified dup between group representatives extends to every
+    * cross-member pair (candidacy and Jaccard depend only on the
+    * shingle set). Returns (a_id, b_id), a_id < b_id. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val (members, verified, groups) = minhashParts(docs, numHashes, bands, threshold)
+    val okMembers = members
+      .join(groups.filter(col("grp_ok") === 1).select(col("gid")), Seq("gid"), "left_semi")
+      .select(col("gid"), col("doc_id"))
+    val intra = okMembers.as("x")
+      .join(okMembers.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val mem = members.select(col("gid"), col("doc_id"))
+    val inter = verified.filter(col("dup") === 1)
+      .join(mem.select(col("gid").as("a_gid"), col("doc_id").as("x")), Seq("a_gid"))
+      .join(mem.select(col("gid").as("b_gid"), col("doc_id").as("y")), Seq("b_gid"))
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+    intra.unionAll(inter)
   }
 
   /** SimHash near-dup summary per document (hamming ≤ `maxHamming`):

@@ -172,6 +172,62 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // naive verified-dup PAIR set under the same kernels — reference for
+  // the minhashLshPairs group-level pair reconstitution
+  private def naiveMinhashPairs(docs: Seq[(Long, String)], numHashes: Int = 128,
+                                bands: Int = 16, threshold: Double = 0.5): Set[(Long, Long)] = {
+    val rows = numHashes / bands
+    def shingles(text: String): Array[Long] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Array.emptyLongArray
+      else (0 to w.length - 3)
+        .map(i => Hashing.hash64(s"${w(i)}_${w(i + 1)}_${w(i + 2)}".getBytes("UTF-8"), 3L))
+        .distinct.sorted.toArray
+    }
+    def sig(sh: Array[Long]): Array[Long] = {
+      val s = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { g =>
+        val h1 = Hashing.hashLong(g, 0L); val h2 = Hashing.hashLong(g, 1L)
+        var j = 0
+        while (j < numHashes) { val hv = h1 + j * h2; if (hv < s(j)) s(j) = hv; j += 1 }
+      }
+      s
+    }
+    def bandKeys(s: Array[Long]): Set[(Int, Long)] = (0 until bands).map { b =>
+      var acc = 17L
+      (0 until rows).foreach(r => acc = acc * 31 + s(b * rows + r))
+      (b, acc)
+    }.toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val bnd = docs.collect { case (id, _) if sh(id).nonEmpty => id -> bandKeys(sig(sh(id))) }.toMap
+    val ids = docs.map(_._1).toArray
+    (for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
+      if bnd.contains(a) && bnd.contains(b) && bnd(a).intersect(bnd(b)).nonEmpty
+      inter = sh(a).toSet.intersect(sh(b).toSet).size
+      if inter.toDouble / (sh(a).length + sh(b).length - inter) >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minhashLshPairs equals the naive verified dup pair set (scalacheck)") {
+    val genDocs: Gen[List[String]] = Gen.listOfN(22,
+      Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+          .map(_.mkString(" "))))
+    val p = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      val got = Dedup.minhashLshPairs(df).as[(Long, Long)].collect().toSet
+      val want = naiveMinhashPairs(docs)
+      if (got != want) println(s"texts=$texts\ngot =$got\nwant=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("embeddingPairsLsh ⊆ embeddingPairs on real embeddings (exact-verify precision)") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Dedup.embeddingPairs(emb, 0.4002)
