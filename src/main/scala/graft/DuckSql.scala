@@ -184,6 +184,30 @@ object DuckSql {
         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin
 
+  /** Keeper selection over the LSH-pair components — oracle for
+    * `dedup_cc_keep_lsh` (scale-path twin of `dedup_cc_keep`). */
+  def minhashCcKeepOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    "WITH RECURSIVE " + minhashCtes(numHashes, bands, threshold) +
+      """, pr AS (SELECT a_id, b_id FROM ver WHERE dup = 1),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pr
+        |      UNION SELECT b_id AS u, a_id AS v FROM pr),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u),
+        |allc AS (
+        |  SELECT dd.doc_id, coalesce(c.comp, dd.doc_id) AS comp, dd.n_chars
+        |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.u),
+        |rk AS (
+        |  SELECT doc_id, comp,
+        |         row_number() OVER (PARTITION BY comp
+        |                ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM allc)
+        |SELECT doc_id, comp,
+        |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM rk""".stripMargin
+
   /** The shared MinHash replay chain (no WITH prefix; ends at `ver`
     * (a_id, b_id, dup) — the per-doc rollup and the cc closure both
     * build on it). The per-doc candidate/dup sets equal the engine's

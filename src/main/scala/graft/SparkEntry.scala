@@ -252,6 +252,16 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
         .select(col("node").as("doc_id"), col("comp"))
     }),
+    "dedup_cc_keep_lsh" -> ((s, d) => {
+      // scale path through to keepers: LSH pairs → components → best
+      // member kept (the full crawl-dedup pipeline, no all-pairs stage)
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshPairs(docs)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("node")), edges)
+      Dedup.keepBest(docs, comps, col("n_chars"))
+    }),
     "text_normalize" -> ((s, d) => Corpus.normalizeText(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -1675,6 +1685,7 @@ object SparkEntry {
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "dedup_cc_lsh" -> DuckSql.minhashCcOracle(numHashes = 128, bands = 16, threshold = 0.5),
+    "dedup_cc_keep_lsh" -> DuckSql.minhashCcKeepOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
