@@ -184,6 +184,29 @@ object DuckSql {
         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin
 
+  /** Oracle for `corpus_quantiles`: replay of
+    * [[graft.operators.Sketch.quantileSketch]] — bottom-k rows by
+    * signed `hashLong(key, seed)` (ties by key), then the value at
+    * 0-based index `floor(q·(n-1))` of the sample ordered by
+    * (value, key). Both the hash and the index arithmetic are exact
+    * in either engine, so the result hash-matches. */
+  def quantileSketchOracle(table: String, keyCol: String, valCol: String,
+                           k: Int, seed: Long, quantiles: Seq[Double]): String = {
+    val qlist = quantiles.map(dlit).mkString("[", ", ", "]")
+    s"""WITH smp AS (
+       |  SELECT __k, __v FROM
+       |    (SELECT $keyCol AS __k, $valCol AS __v, ${signed("h")} AS hs
+       |     FROM ${hashLongCtes(table, s"$keyCol, $valCol", keyCol, seed, "h")} hx)
+       |  ORDER BY hs, __k LIMIT $k),
+       |rk AS (
+       |  SELECT __v, __k, row_number() OVER (ORDER BY __v, __k) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM smp),
+       |qs AS (SELECT unnest(CAST($qlist AS DOUBLE[])) AS q)
+       |SELECT q, __v AS v
+       |FROM rk JOIN qs ON rn - 1 = CAST(floor(q * (n - 1)) AS BIGINT)""".stripMargin
+  }
+
   /** Keeper selection over the LSH-pair components — oracle for
     * `dedup_cc_keep_lsh` (scale-path twin of `dedup_cc_keep`). */
   def minhashCcKeepOracle(numHashes: Int, bands: Int, threshold: Double): String =

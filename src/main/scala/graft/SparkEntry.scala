@@ -505,6 +505,11 @@ object SparkEntry {
       // with exact NDV + measured error (the checked-variant pattern)
       Sketch.tableStatsChecked(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+    "corpus_quantiles" -> ((s, d) =>
+      // doc-length distribution profile from a deterministic bottom-k-
+      // by-hash sample — quantiles without a global sort, hash-stable
+      Sketch.quantileSketch(Tables.documents(s, d),
+        col("doc_id"), col("n_chars"))),
     "gap_fill" -> (Analytics.gapFillHourly _),
     "ts_anomaly" -> (Analytics.tsAnomaly _),
     "trending_topk" -> ((s, d) => Analytics.trendingTopK(s, d)),
@@ -1633,6 +1638,8 @@ object SparkEntry {
         |FROM e GROUP BY user_id""".stripMargin,
     "table_stats" -> DuckSql.tableStatsOracle("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"), k = 256, seed = 7L),
+    "corpus_quantiles" -> DuckSql.quantileSketchOracle("documents", "doc_id", "n_chars",
+      k = 1000, seed = 77L, quantiles = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)),
     "gap_fill" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -214,6 +214,47 @@ object Sketch {
     * the CMS one-sided error (`est >= df`, strict where cells
     * collide) is visible in the result. All integers — hash-exact
     * oracle. */
+  /** Deterministic quantile estimates from a BOTTOM-k-BY-HASH uniform
+    * sample — the distribution profile (length/quality deciles over a
+    * corpus) without the global sort exact quantiles need.
+    *
+    * Why this shape at 100 TB: `percentile`/`quantile_cont` sort the
+    * column; streaming sketches (KLL, t-digest) are mergeable but
+    * their state depends on partition merge ORDER, so results differ
+    * run to run and can never hash-match an oracle. Bottom-k by a
+    * 64-bit hash of the row KEY is both: the k smallest hashes of the
+    * union are the merge of the k smallest per partition
+    * (`TakeOrderedAndProject` — per-partition top-k, driver merges k
+    * rows per partition), the sample is uniform because the hash is,
+    * and the result is a pure function of the data — the same KMV
+    * argument [[distinctKmv]] uses, applied to sampling. Rank error is
+    * the usual sampling error (±~1.3/√k per quantile at k=1000).
+    *
+    * Quantile definition (exact, interpolation-free, so any engine
+    * agrees bit-for-bit): value at 0-based index `floor(q·(n-1))` of
+    * the sample ordered by (value, key), n = |sample| ≤ k. Returns
+    * (q, v). */
+  def quantileSketch(df: DataFrame, key: Column, value: Column, k: Int = 1000,
+                     quantiles: Seq[Double] =
+                       Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = df
+      .select(key.as("__k"), value.as("__v"),
+        graft.functions.Hashing.hashLong64(key.cast("long"), 77L).as("__h"))
+      .orderBy(col("__h"), col("__k")).limit(k)
+    // the windows below are over the ≤k-row sample only — bounded by
+    // construction, never corpus-sized
+    val ranked = sampled
+      .withColumn("rn", row_number().over(Window.orderBy(col("__v"), col("__k"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qs = df.sparkSession.range(1).select(
+      explode(typedlit(quantiles)).as("q"))
+    ranked.join(qs,
+        (col("rn") - 1).cast("long") === floor(col("q") * (col("n") - 1)).cast("long"))
+      .select(col("q"), col("__v").as("v"))
+  }
+
   def heavyHittersCms(docs: DataFrame, depth: Int = 4, width: Int = 512,
                       minCount: Long = 30L, sampleMod: Int = 20,
                       seed: Long = 11L): DataFrame = {

@@ -116,4 +116,31 @@ class SketchSpec extends AnyFunSuite {
     assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
       s"one single-partition exchange of the matrices only:\n$p")
   }
+
+  test("quantileSketch: sample-exact quantiles match a driver-side reference") {
+    val n = 5000
+    val df = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 37 + 11) % 997).as("v"))
+    val got = Sketch.quantileSketch(df, col("k"), col("v"), k = 400)
+      .as[(Double, Long)].collect().toMap
+    // driver reference: same bottom-k-by-hash sample, same index rule
+    val rows = (0L until n).map(i => (i, (i * 37 + 11) % 997))
+    val sample = rows.sortBy { case (k, _) =>
+      (graft.functions.Hashing.hashLong(k, 77L), k) }.take(400)
+    val byVal = sample.sortBy { case (k, v) => (v, k) }.map(_._2)
+    val want = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0).map(q =>
+      q -> byVal(math.floor(q * (byVal.size - 1)).toInt)).toMap
+    assert(got == want)
+  }
+
+  test("quantileSketch: partition-order invariant and sub-k tables are whole-table exact") {
+    val df = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val a = Sketch.quantileSketch(df, col("k"), col("v"), k = 1000)
+      .as[(Double, Long)].collect().toSet
+    val b = Sketch.quantileSketch(df.repartition(16), col("k"), col("v"), k = 1000)
+      .as[(Double, Long)].collect().toSet
+    assert(a == b)
+    // n=50 < k: the sample IS the table, so quantiles are exact
+    assert(a.contains((0.0, 0L)) && a.contains((1.0, 147L)) && a.contains((0.5, 72L)))
+  }
 }
