@@ -450,6 +450,25 @@ object DuckSql {
        |${kmAssignCte("afin", s"c$iters", dim)}
        |SELECT vec_id, cid FROM afin""".stripMargin
 
+  /** Oracle for `dedup_semantic`: replay of
+    * [[graft.operators.Dedup.semanticPairs]] — the trained-codebook
+    * assignment (same decimal-sum Lloyd + bit-exact [[cosCols]]
+    * assignment replay as [[kmeansOracle]]), same-cluster candidate
+    * self-join, exact-cosine verify on the raw vectors. The verify
+    * cosine uses `list_cosine_similarity` (threshold comparison, not
+    * a rank — safe at a non-boundary threshold, same argument as the
+    * `dedup_embedding` oracle). */
+  def semanticDedupOracle(k: Int, iters: Int, dim: Int, threshold: Double): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |${kmAssignCte("afin", s"c$iters", dim)}
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |FROM afin a
+       |JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |JOIN embeddings x ON x.vec_id = a.vec_id
+       |JOIN embeddings y ON y.vec_id = b.vec_id
+       |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                             CAST(y.embedding AS DOUBLE[])) >= ${dlit(threshold)}""".stripMargin
+
   /** Oracle for `ann_ivf_trained`: IVF search over the k-means-TRAINED
     * codebook — the full loop (train → index → probe) replayed in SQL.
     * Every cosine uses the bit-exact [[cosCols]] replay: assignment

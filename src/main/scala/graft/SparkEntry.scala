@@ -221,6 +221,11 @@ object SparkEntry {
     }),
     // ---- D. LLM-pipeline operators ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) =>
+      // daily-crawl shape: batch (doc_id >= 250) vs snapshot, bloom
+      // prefilter keeps the snapshot off the shuffle except for
+      // fingerprint collisions with the batch
+      Dedup.incremental(Tables.documents(s, d), cutoff = 250L)),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_cc" -> ((s, d) => {
       // pairs → duplicate GROUPS: transitive closure over the verified
@@ -306,6 +311,12 @@ object SparkEntry {
     }),
     "kmeans_assign" -> ((s, d) =>
       Cluster.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup: trained k-means blocks the corpus, exact cosine
+      // verifies only within a cluster — data-adaptive candidate
+      // generation (vs embeddingPairsLsh's random hyperplane buckets)
+      Dedup.semanticPairs(Tables.embeddings(s, d), k = 8, iters = 2,
+        threshold = 0.4002)),
     "lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"),
@@ -1065,6 +1076,15 @@ object SparkEntry {
         |FROM v WHERE op = 'upsert'""".stripMargin),
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        |snap AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |r AS (SELECT doc_id, text,
+        |             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM batch)
+        |SELECT r.doc_id,
+        |       CAST(CASE WHEN r.rn = 1 AND s.text IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r LEFT JOIN snap s ON r.text = s.text""".stripMargin,
     "near_dup_jaccard" ->
       ("WITH " + jaccardCtes + "SELECT a_id, b_id, j FROM p WHERE j >= 0.5"),
     "dedup_cc" ->
@@ -1711,6 +1731,8 @@ object SparkEntry {
       Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
     "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64),
+    "dedup_semantic" -> DuckSql.semanticDedupOracle(
+      k = 8, iters = 2, dim = 64, threshold = 0.4002),
     "ann_ivf_trained" -> DuckSql.annIvfTrainedOracle(
       nlist = 8, iters = 2, nprobe = 4, nQueries = 10, k = 5, dim = 64),
     "multimodal_features" -> DuckSql.multimodalOracle(dim = 16)

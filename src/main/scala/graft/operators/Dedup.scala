@@ -478,6 +478,84 @@ object Dedup {
     intra.unionAll(inter)
   }
 
+  /** Incremental exact dedup — the DAILY-CRAWL shape: a new batch
+    * (`doc_id >= cutoff`) arrives against an already-ingested
+    * snapshot (`doc_id < cutoff`); each batch doc keeps iff its
+    * content was never seen in the snapshot AND it is the first
+    * occurrence within the batch. Output: (doc_id, keep) for every
+    * batch doc — total, so dropped rows are auditable.
+    *
+    * Scale shape (the production regime is snapshot ≫ batch): the
+    * snapshot is NEVER shuffled whole. A Bloom filter of the batch's
+    * content fingerprints ([[Bloom.buildBits]] — one narrow aggregate,
+    * 8 KB of bits as a plan constant) prefilters the snapshot
+    * MAP-SIDE, so only snapshot rows whose fingerprint might collide
+    * with the batch reach the seen-set exchange; false positives are
+    * then eliminated by the exact (fp, fp2) equi-join, so the result
+    * is identical to the unfiltered anti-join ([[Bloom]]'s
+    * no-false-negatives contract). Within-batch first-occurrence is
+    * one window over the batch's 16-byte fingerprint rows. Same
+    * two-independent-hashes merge guard as [[exact]]. */
+  def incremental(docs: DataFrame, cutoff: Long,
+                  mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.select(col("doc_id"),
+      Hashing.fingerprint(col("text")).as("fp"), xxhash64(col("text")).as("fp2"))
+    val batch = fp.where(col("doc_id") >= cutoff)
+    val snap = fp.where(col("doc_id") < cutoff)
+    val words = Bloom.buildBits(batch, col("fp"), mBits, kHashes)
+    val seen = snap
+      .filter(Bloom.mightContain(col("fp"), words, mBits, kHashes))
+      .select(col("fp"), col("fp2")).distinct()
+      .withColumn("seen", lit(1))
+    batch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp"), col("fp2")).orderBy(col("doc_id"))))
+      .join(seen, Seq("fp", "fp2"), "left")
+      .select(col("doc_id"),
+        (col("rn") === 1 && col("seen").isNull).cast("int").as("keep"))
+  }
+
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al., 2023,
+    * arXiv:2303.09540): partition the corpus by a TRAINED k-means
+    * codebook ([[Cluster.kmeansCentroids]] — deterministic Lloyd's,
+    * cosine metric), then verify exact cosine only WITHIN a cluster.
+    * Emits (a_id, b_id) for same-cluster pairs with cos ≥ `threshold`
+    * — the published crawl-scale recipe for "semantically redundant"
+    * training examples, where the cluster step replaces both the
+    * all-pairs scan ([[embeddingPairs]]) and the recall-lossy random
+    * bucketing ([[embeddingPairsLsh]]) with a DATA-ADAPTIVE blocking:
+    * near-identical embeddings land in the same cell of the trained
+    * partition by construction.
+    *
+    * Execution shape: assignment is a pure map (the codebook rides as
+    * a plan constant inside the codegen'd `NearestCentroids`
+    * expression — no exchange carries an embedding); the candidate
+    * self-join shuffles (cid, vec_id) rows ONLY, and embeddings
+    * re-attach to surviving candidates by id equi-join for the verify
+    * — the same attach-late shape as [[embeddingPairsLsh]]. At 100 TB
+    * the control knob is `k`: per-cluster pair work is quadratic in
+    * cluster size, so k grows with the corpus (the paper runs ~100k
+    * clusters at web scale) and each cluster block stays
+    * AQE-splittable; training cost is `iters` linear passes. */
+  def semanticPairs(embeddings: DataFrame, k: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, nearestCentroids}
+    val (cids, cents) = Cluster.kmeansCentroids(embeddings, k, iters)
+    val assigned = embeddings.select(
+      element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
+      col("vec_id"))
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    cand
+      .join(embeddings.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(embeddings.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Keeper selection per duplicate component: given `comps` from
     * [[connectedComponents]] (node, comp) and a per-doc `score`
     * column, keep the BEST-scoring member of each component ("keep

@@ -175,6 +175,62 @@ object ChangelogStream {
     changes.agg(max(col("pos")).as("max_pos"))
       .select((col("max_pos") + 1).as("next_pos"))
 
+  /** A detected hole in one source's GTID sequence: transactions
+    * `[gapFrom, gapTo]` were never seen before a later txno arrived. */
+  case class GtidGap(sourceUuid: String, gapFrom: Long, gapTo: Long)
+
+  /** Per-source streaming state for [[gtidGaps]]: the executed
+    * watermark (highest txno seen). */
+  case class GtidHi(hi: Long)
+
+  /** B28: streaming GTID executed-window — the live twin of
+    * [[graft.cdc.Changelog.gtidExecuted]]: running per-source
+    * `(txno_lo, txno_hi)` over a stream of `"source_uuid:txno"`
+    * strings (the column [[graft.sources.Debezium.decode]] lands).
+    * A plain streaming min/max aggregate: state is one row per
+    * replication source (control-sized at any log volume), complete/
+    * update output modes both valid — a consumer persists
+    * `txno_hi + 1` as its GTID resume token each micro-batch. */
+  def gtidExecutedStream(gtids: Dataset[String]): DataFrame =
+    gtids.filter(col("value").isNotNull)
+      .select(substring_index(col("value"), ":", 1).as("source_uuid"),
+        substring_index(col("value"), ":", -1).cast("long").as("txno"))
+      .groupBy(col("source_uuid"))
+      .agg(min(col("txno")).as("txno_lo"), max(col("txno")).as("txno_hi"))
+
+  /** B28b: streaming GTID GAP detector — the live twin of the batch
+    * capture-gap check (`cdc_position_gap`, A29), re-keyed by
+    * transaction id: per source, any txno arriving more than one past
+    * the executed watermark means the transactions in between were
+    * never delivered (a dropped binlog segment, a filtered-out
+    * channel) — emitted append-mode as `[gapFrom, gapTo]` exactly
+    * once, when first observed. State per source is ONE long (the
+    * watermark), so the store stays control-sized forever; re-delivery
+    * of already-executed txnos (≤ watermark) is a no-op, matching
+    * GTID at-least-once semantics. Within a micro-batch txnos are
+    * sorted, so intra-batch reordering never fabricates a gap. */
+  def gtidGaps(gtids: Dataset[String]): Dataset[GtidGap] = {
+    import gtids.sparkSession.implicits._
+    gtids.filter(_ != null)
+      .map { g =>
+        val i = g.lastIndexOf(':')
+        (g.substring(0, i), g.substring(i + 1).toLong)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long)], state: GroupState[GtidHi]) => {
+          val out = Seq.newBuilder[GtidGap]
+          var hi = state.getOption.map(_.hi).getOrElse(Long.MinValue)
+          rows.map(_._2).toSeq.sorted.foreach { t =>
+            if (hi != Long.MinValue && t > hi + 1)
+              out += GtidGap(src, hi + 1, t - 1)
+            if (t > hi) hi = t
+          }
+          state.update(GtidHi(hi))
+          out.result().iterator
+        })
+  }
+
   /** B9: schema attach on a live stream — the reference runs
     * `add-table-schema` INSIDE the binlog pipeline
     * (`stream.clj:197-212`); here the versioned registry

@@ -174,6 +174,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(Cluster.kmeansAssign(tiny, 8, 2).count() == 3)
   }
 
+  test("semanticPairs = all-pairs cosine dups restricted to a shared trained cluster") {
+    val emb = Tables.embeddings(spark, sf)
+    val sem = Dedup.semanticPairs(emb, k = 8, iters = 2, threshold = 0.4002)
+      .as[(Long, Long)].collect().toSet
+    val cid = graft.operators.Cluster.kmeansAssign(emb, 8, 2).as[(Long, Long)].collect().toMap
+    val all = Dedup.embeddingPairs(emb, 0.4002).as[(Long, Long)].collect().toSet
+    val expected = all.filter(p => cid(p._1) == cid(p._2))
+    assert(sem == expected)
+    assert(sem.nonEmpty, "driver data plants cosine near-dups that share a cluster")
+    assert(sem.subsetOf(all), "cluster blocking only ever drops pairs")
+  }
+
+  test("incremental dedup: bloom-prefiltered result equals the brute text reference") {
+    val docs = Tables.documents(spark, sf)
+    val cutoff = 250L
+    val out = Dedup.incremental(docs, cutoff).as[(Long, Int)].collect().toMap
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val snapTexts = rows.filter(_._1 < cutoff).map(_._2).toSet
+    val batch = rows.filter(_._1 >= cutoff).sortBy(_._1)
+    val firstIds = batch.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    val expected = batch.map { case (id, text) =>
+      id -> (if (firstIds(id) && !snapTexts(text)) 1 else 0)
+    }.toMap
+    assert(out == expected)
+    // tiny filter: force bloom false positives (mBits=64) — result unchanged
+    val tinyBloom = Dedup.incremental(docs, cutoff, mBits = 64, kHashes = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(tinyBloom == expected)
+    // driver data has no EXACT dups at this sf (only near-dups) — plant
+    // them: snapshot collisions, an in-batch dup, and a unique survivor
+    val planted = Seq(
+      (1L, "alpha"), (2L, "beta"),               // snapshot
+      (10L, "alpha"),                            // dup of snapshot → 0
+      (11L, "gamma"), (12L, "gamma"),            // in-batch dup: first keeps
+      (13L, "delta")                             // unique → 1
+    ).toDF("doc_id", "text")
+    val p = Dedup.incremental(planted, cutoff = 10L).as[(Long, Int)].collect().toMap
+    assert(p == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 1))
+  }
+
   test("exact dedup groups by full text") {
     val docs = Seq((1L, "same text", 9L), (2L, "same text", 9L), (3L, "other", 5L))
       .toDF("doc_id", "text", "n_chars")

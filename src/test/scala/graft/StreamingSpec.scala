@@ -73,6 +73,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("b1ttl").filter(col("id") === 1).count() === 2) // upsert + delete
   }
 
+  test("B28: streaming GTID window tracks per-source lo/hi; gap detector fires once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val win = ChangelogStream.gtidExecutedStream(in.toDS())
+      .writeStream.format("memory").queryName("b28w").outputMode("complete").start()
+    val gaps = ChangelogStream.gtidGaps(in.toDS())
+      .writeStream.format("memory").queryName("b28g").outputMode("append").start()
+    in.addData("s1:3", "s1:1", "s1:2", "s2:10")
+    win.processAllAvailable(); gaps.processAllAvailable()
+    // contiguous within the batch (sorted before folding): no gaps yet
+    assert(spark.table("b28g").count() === 0)
+    in.addData("s1:7", "s1:4", "s2:10") // s1 skips 5-6; s2 re-delivers
+    win.processAllAvailable(); gaps.processAllAvailable()
+    drain(win); drain(gaps)
+    val w = spark.table("b28w").as[(String, Long, Long)].collect().toSet
+    assert(w == Set(("s1", 1L, 7L), ("s2", 10L, 10L)))
+    val g = spark.table("b28g").as[(String, Long, Long)].collect().toSet
+    assert(g == Set(("s1", 5L, 6L)), "one gap row, exactly once, no s2 row for a re-delivery")
+  }
+
   test("B1b: streaming update images — PK change tombstones old key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ChangelogStream.ImagedChange]
