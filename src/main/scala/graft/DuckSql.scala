@@ -207,6 +207,33 @@ object DuckSql {
        |FROM rk JOIN qs ON rn - 1 = CAST(floor(q * (n - 1)) AS BIGINT)""".stripMargin
   }
 
+  /** Oracle for `group_quantiles`: replay of
+    * [[graft.operators.Sketch.groupQuantileSketch]] — per-group
+    * bottom-k rows by signed `hashLong(key, seed)` (ties by key), then
+    * per-group index-rule quantiles, same exact arithmetic as
+    * [[quantileSketchOracle]]. */
+  def groupQuantileSketchOracle(table: String, groupCol: String, keyCol: String,
+                                valCol: String, k: Int, seed: Long,
+                                quantiles: Seq[Double]): String = {
+    val qlist = quantiles.map(dlit).mkString("[", ", ", "]")
+    s"""WITH smp AS (
+       |  SELECT __g, __k, __v FROM (
+       |    SELECT __g, __k, __v,
+       |           row_number() OVER (PARTITION BY __g ORDER BY hs, __k) AS srn
+       |    FROM (SELECT $groupCol AS __g, $keyCol AS __k, $valCol AS __v,
+       |                 ${signed("h")} AS hs
+       |          FROM ${hashLongCtes(table, s"$groupCol, $keyCol, $valCol", keyCol, seed, "h")} hx) t0
+       |  ) t WHERE srn <= $k),
+       |rk AS (
+       |  SELECT __g, __v, __k,
+       |         row_number() OVER (PARTITION BY __g ORDER BY __v, __k) AS rn,
+       |         count(*) OVER (PARTITION BY __g) AS n
+       |  FROM smp),
+       |qs AS (SELECT unnest(CAST($qlist AS DOUBLE[])) AS q)
+       |SELECT __g AS stratum, q, __v AS v
+       |FROM rk JOIN qs ON rn - 1 = CAST(floor(q * (n - 1)) AS BIGINT)""".stripMargin
+  }
+
   /** Keeper selection over the LSH-pair components — oracle for
     * `dedup_cc_keep_lsh` (scale-path twin of `dedup_cc_keep`). */
   def minhashCcKeepOracle(numHashes: Int, bands: Int, threshold: Double): String =

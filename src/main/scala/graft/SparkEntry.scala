@@ -521,6 +521,11 @@ object SparkEntry {
       // by-hash sample — quantiles without a global sort, hash-stable
       Sketch.quantileSketch(Tables.documents(s, d),
         col("doc_id"), col("n_chars"))),
+    "group_quantiles" -> ((s, d) =>
+      // per-language length deciles: the stratified profile, one group
+      // exchange, per-group bottom-k capped map-side
+      Sketch.groupQuantileSketch(Tables.documents(s, d),
+        col("lang"), col("doc_id"), col("n_chars"))),
     "gap_fill" -> (Analytics.gapFillHourly _),
     "ts_anomaly" -> (Analytics.tsAnomaly _),
     "trending_topk" -> ((s, d) => Analytics.trendingTopK(s, d)),
@@ -1660,6 +1665,9 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"), k = 256, seed = 7L),
     "corpus_quantiles" -> DuckSql.quantileSketchOracle("documents", "doc_id", "n_chars",
       k = 1000, seed = 77L, quantiles = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)),
+    "group_quantiles" -> DuckSql.groupQuantileSketchOracle("documents", "lang",
+      "doc_id", "n_chars", k = 200, seed = 77L,
+      quantiles = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)),
     "gap_fill" ->
       """WITH e AS (
         |  SELECT event_type,

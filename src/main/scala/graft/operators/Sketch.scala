@@ -255,6 +255,42 @@ object Sketch {
       .select(col("q"), col("__v").as("v"))
   }
 
+  /** Per-GROUP quantile estimates — [[quantileSketch]] stratified:
+    * each group keeps its own bottom-`k`-by-hash sample and its own
+    * interpolation-free index-rule quantiles ("length p50/p90 per
+    * language" — the per-stratum distribution profile a corpus mix
+    * report needs). Returns (stratum, q, v).
+    *
+    * Scale shape: ONE hash exchange on the group key. The per-group
+    * bottom-k is a `row_number ≤ k` over (hash, key) — Spark plants a
+    * partial WindowGroupLimit BEFORE the exchange, so the shuffle
+    * carries at most k rows per group per input partition, never the
+    * group's full membership; the rank/count windows after it run on
+    * sample-sized groups under the SAME partitioning (no second
+    * exchange). Same determinism argument as [[quantileSketch]]: the
+    * sample is a pure function of the data, so the result hash-matches
+    * the DuckDB replay at any partitioning. */
+  def groupQuantileSketch(df: DataFrame, group: Column, key: Column,
+                          value: Column, k: Int = 200,
+                          quantiles: Seq[Double] =
+                            Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col("__g"))
+    val sampled = df
+      .select(group.as("__g"), key.as("__k"), value.as("__v"),
+        graft.functions.Hashing.hashLong64(key.cast("long"), 77L).as("__h"))
+      .withColumn("srn", row_number().over(byGroup.orderBy(col("__h"), col("__k"))))
+      .where(col("srn") <= k)
+    val ranked = sampled
+      .withColumn("rn", row_number().over(byGroup.orderBy(col("__v"), col("__k"))))
+      .withColumn("n", count(lit(1)).over(byGroup))
+    val qs = df.sparkSession.range(1).select(
+      explode(typedlit(quantiles)).as("q"))
+    ranked.join(qs,
+        (col("rn") - 1).cast("long") === floor(col("q") * (col("n") - 1)).cast("long"))
+      .select(col("__g").as("stratum"), col("q"), col("__v").as("v"))
+  }
+
   def heavyHittersCms(docs: DataFrame, depth: Int = 4, width: Int = 512,
                       minCount: Long = 30L, sampleMod: Int = 20,
                       seed: Long = 11L): DataFrame = {

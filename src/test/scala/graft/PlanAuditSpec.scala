@@ -131,6 +131,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
   }
 
+  test("dedup_semantic: codebook assignment is a plan-constant map; candidate self-join never shuffles an embedding") {
+    val p = formatted("dedup_semantic")
+    assert(p.contains("nearestcentroids") || p.contains("NearestCentroids"),
+      "assignment must be the codegen'd plan-constant expression, not a join against a centroid relation")
+    val bad = shuffleInputs(p).filter(_.contains("embedding"))
+    assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
+  }
+
+  test("dedup_incremental: bloom bit-test prefilters the snapshot; no shuffle ever carries text") {
+    val p = formatted("dedup_incremental")
+    assert(p.contains("shiftrightunsigned"),
+      s"the codegen'd bloom bit test must gate the snapshot side:\n$p")
+    val bad = shuffleInputs(p).filter(_.contains("text#"))
+    assert(bad.isEmpty, s"document-body-carrying shuffle(s): $bad")
+  }
+
   test("cdc_update_images: single-scan generate expansion; fold + control exchanges only") {
     val p = formatted("cdc_update_images")
     // one log scan exploding rows into images (Generate), ONE fold

@@ -143,4 +143,34 @@ class SketchSpec extends AnyFunSuite {
     // n=50 < k: the sample IS the table, so quantiles are exact
     assert(a.contains((0.0, 0L)) && a.contains((1.0, 147L)) && a.contains((0.5, 72L)))
   }
+
+  test("groupQuantileSketch: per-group quantiles equal the global sketch run per stratum") {
+    val n = 3000
+    val df = spark.range(n).select(col("id").as("k"),
+      (col("id") % 3).cast("string").as("g"),
+      ((col("id") * 37 + 11) % 997).as("v"))
+    val got = Sketch.groupQuantileSketch(df, col("g"), col("k"), col("v"), k = 100)
+      .as[(String, Double, Long)].collect().toSet
+    // reference: quantileSketch on each stratum's slice independently
+    val want = (0 until 3).flatMap { g =>
+      Sketch.quantileSketch(df.filter(col("g") === g.toString), col("k"), col("v"), k = 100)
+        .as[(Double, Long)].collect().map { case (q, v) => (g.toString, q, v) }
+    }.toSet
+    assert(got == want)
+    // partition-order invariance, the determinism contract
+    val re = Sketch.groupQuantileSketch(
+      df.repartition(16), col("g"), col("k"), col("v"), k = 100)
+      .as[(String, Double, Long)].collect().toSet
+    assert(re == got)
+  }
+
+  test("groupQuantileSketch plan: one group exchange, bottom-k capped before it") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Sketch.groupQuantileSketch(docs, col("lang"), col("doc_id"), col("n_chars"))
+      .queryExecution.explainString(FormattedMode)
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
+      s"all three windows must share the single group exchange:\n$p")
+    assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"per-group bottom-k needs partial (pre-shuffle) + final WindowGroupLimit:\n$p")
+  }
 }
