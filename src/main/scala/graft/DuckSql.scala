@@ -472,6 +472,75 @@ object DuckSql {
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Oracle for `ann_ivfpq`: replay of
+    * [[graft.operators.Ann.ivfPqTopK]] — the coarse trained-codebook
+    * assignment/probing (the [[annIvfTrainedOracle]] replay) composed
+    * with the per-subspace PQ training + ADC scoring (the
+    * [[annPqOracle]] replay); only probed lists are scored. */
+  def annIvfPqOracle(nlist: Int, citers: Int, nprobe: Int, m: Int, ksub: Int,
+                     iters: Int, nQueries: Int, k: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      kmeansCtesSub(s"_$s",
+        s"SELECT vec_id, list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub}) AS embedding FROM embeddings",
+        ksub, iters, sub)
+    }
+    val finals = (0 until m).map { s =>
+      kmAssignCte(s"af_$s", s"c$iters" + s"_$s", sub, s"e_$s")
+    }
+    val codeJoin = (1 until m).map(s => s"JOIN af_$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"af_$s.cid AS cid$s").mkString(", ")
+    val centJoins = (0 until m).map(s => s"JOIN c$iters" + s"_$s cc$s ON cc$s.cid = x.cid$s").mkString(" ")
+    val dots = (0 until m).map { s =>
+      fold2((x, y) => s"$x * $y",
+        s"list_slice(q.embedding, ${s * sub + 1}, ${(s + 1) * sub})", s"cc$s.cvec", sub)
+    }.mkString("(", " + ", ")")
+    val nrms = (0 until m).map { s =>
+      fold2((x, y) => s"$x * $y", s"cc$s.cvec", s"cc$s.cvec", sub)
+    }.mkString("(", " + ", ")")
+    val qq = fold2((x, y) => s"$x * $y", "q.embedding", "q.embedding", dim)
+    s"""WITH ${kmeansCtes(nlist, citers, dim)},
+       |${chains.mkString(",\n")},
+       |${finals.mkString(",\n")},
+       |codes AS (SELECT af_0.vec_id, $codeCols FROM af_0 $codeJoin),
+       |assigned AS (
+       |  SELECT vec_id AS n_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c$citers c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cid AS list_id FROM (
+       |    SELECT e.vec_id AS q_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosCols("e.embedding", "c.cvec", dim)} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c$citers c WHERE e.vec_id < $nQueries) t
+       |  WHERE rn <= $nprobe),
+       |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT p.q_id, a.n_id,
+       |         $dots AS dt, $qq AS qq, $nrms AS xh
+       |  FROM probes p
+       |  JOIN assigned a USING (list_id)
+       |  JOIN codes x ON x.vec_id = a.n_id
+       |  JOIN q ON q.q_id = p.q_id
+       |  $centJoins
+       |  WHERE a.n_id <> p.q_id),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |         CASE WHEN qq = 0 OR xh = 0 THEN -2.0
+       |              ELSE dt / (sqrt(qq) * sqrt(xh)) END AS cos
+       |  FROM scored),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   def kmeansOracle(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${kmeansCtes(k, iters, dim)},
        |${kmAssignCte("afin", s"c$iters", dim)}

@@ -134,6 +134,25 @@ object SparkEntry {
         Changelog.fromEvents(ev(s, d)),
         "customer")),
     "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
+    "cdc_stmt_classify" -> ((s, d) => {
+      // QUERY-event SQL classification (events.clj query-parser): the
+      // statements are synthesized from event rows (same demo-harness
+      // pattern as the schema queries) with mixed case + noise
+      // statements to prove the anchored case-insensitive match and
+      // the drop-unclassified contract
+      val stmts = ev(s, d).select(col("event_id").as("pos"),
+        when(col("event_type") === "purchase",
+            when(col("event_id") % 2 === 0, lit("BEGIN")).otherwise(lit("begin")))
+          .when(col("event_type") === "click",
+            when(col("event_id") % 2 === 0, lit("COMMIT")).otherwise(lit("commit work")))
+          .when(col("event_type") === "error", lit("rollback"))
+          .when(col("event_type") === "view",
+            concat(lit("Alter Table t"), (col("user_id") % 5).cast("string"),
+              lit(" ADD COLUMN c INT")))
+          .otherwise(concat(lit("INSERT INTO users VALUES ("),
+            col("user_id").cast("string"), lit(")"))).as("sql"))
+      Changelog.classifyStatements(stmts)
+    }),
     "cdc_dlq" -> ((s, d) => RowFormat.deadLetter(ev(s, d))),
     "cdc_schema_attach" -> ((s, d) =>
       SchemaRegistry.attachDemo(Changelog.filterCommitted(Changelog.fromEvents(ev(s, d))))),
@@ -299,6 +318,16 @@ object SparkEntry {
       // recall cost of 16x PQ compression, as a query result
       val emb = Tables.embeddings(s, d)
       Ann.recall(Ann.bruteTopKPq(emb), Ann.bruteTopK(emb))
+    }),
+    "ann_ivfpq" -> ((s, d) =>
+      // the deployed shape (FAISS IVFx,PQy): trained coarse lists +
+      // PQ codes in one map-side projection; queries ADC-scan only
+      // their nprobe lists
+      Ann.ivfPqTopK(Tables.embeddings(s, d))),
+    "ann_recall_ivfpq" -> ((s, d) => {
+      // what the two-stage compression costs, as a query result
+      val emb = Tables.embeddings(s, d)
+      Ann.recall(Ann.ivfPqTopK(emb), Ann.bruteTopK(emb))
     }),
     "ann_pq_rerank" -> ((s, d) =>
       // the deployed PQ shape: quantized scan shortlists 100, exact
@@ -868,6 +897,28 @@ object SparkEntry {
         |       'k_out_of_range' AS reason
         |FROM events
         |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "cdc_stmt_classify" ->
+      """WITH s AS (
+        |  SELECT event_id AS pos,
+        |         CASE WHEN event_type = 'purchase' THEN
+        |                CASE WHEN event_id % 2 = 0 THEN 'BEGIN' ELSE 'begin' END
+        |              WHEN event_type = 'click' THEN
+        |                CASE WHEN event_id % 2 = 0 THEN 'COMMIT' ELSE 'commit work' END
+        |              WHEN event_type = 'error' THEN 'rollback'
+        |              WHEN event_type = 'view' THEN
+        |                'Alter Table t' || CAST(user_id % 5 AS VARCHAR) || ' ADD COLUMN c INT'
+        |              ELSE 'INSERT INTO users VALUES (' || CAST(user_id AS VARCHAR) || ')'
+        |         END AS stmt
+        |  FROM events),
+        |c AS (
+        |  SELECT pos,
+        |         CASE WHEN regexp_matches(upper(stmt), '^BEGIN') THEN 'tx_begin'
+        |              WHEN regexp_matches(upper(stmt), '^ROLLBACK') THEN 'tx_rollback'
+        |              WHEN regexp_matches(upper(stmt), '^COMMIT') THEN 'tx_commit'
+        |              WHEN regexp_matches(upper(stmt), '^ALTER TABLE') THEN 'alter_table'
+        |         END AS kind
+        |  FROM s)
+        |SELECT pos, kind FROM c WHERE kind IS NOT NULL""".stripMargin,
     "cdc_schema_attach" -> (logCte +
       """, alters AS (
         |  SELECT tbl, pos, CAST(row_number() OVER (PARTITION BY tbl ORDER BY pos) AS INT) AS version
@@ -1154,6 +1205,22 @@ object SparkEntry {
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
       nQueries = 10, k = 5, dim = 64),
+    "ann_ivfpq" -> DuckSql.annIvfPqOracle(nlist = 8, citers = 2, nprobe = 4,
+      m = 4, ksub = 16, iters = 2, nQueries = 10, k = 5, dim = 64),
+    "ann_recall_ivfpq" ->
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |ivfpq AS (SELECT * FROM (${DuckSql.annIvfPqOracle(nlist = 8, citers = 2,
+        nprobe = 4, m = 4, ksub = 16, iters = 2, nQueries = 10, k = 5, dim = 64)}) ti),
+         |h AS (SELECT l.q_id, count(*) AS c FROM ivfpq l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM ivfpq GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall_pq_rerank" ->
       s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),

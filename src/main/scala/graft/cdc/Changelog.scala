@@ -146,6 +146,30 @@ object Changelog {
   def filterDatabase(log: DataFrame, db: String): DataFrame =
     log.filter(col("db") === db)
 
+  /** Classify raw QUERY-event SQL text into canonical transaction /
+    * schema markers — `query-parser` (`src/dumpr/events.clj:81-89`):
+    * a binlog in STATEMENT-assisted row mode interleaves row events
+    * with QUERY events whose payload is the literal SQL string, and
+    * the tx boundaries (`BEGIN` / `COMMIT` / `ROLLBACK`) plus schema
+    * changes (`ALTER TABLE`) arrive ONLY that way. Anchored
+    * case-insensitive prefix match, exactly the reference's
+    * `(condp re-find (.toUpperCase sql))`; statements matching no
+    * marker (INSERT/SELECT/…) are dropped, like the reference's `nil`
+    * branch skipping the event. Map-only — classification is a
+    * codegen'd regex per row, no shuffle at any log size. Returns the
+    * input columns minus `sqlCol`, plus `kind`. */
+  def classifyStatements(stmts: DataFrame, sqlCol: String = "sql"): DataFrame = {
+    val u = upper(col(sqlCol))
+    stmts
+      .withColumn("kind",
+        when(u.rlike("^BEGIN"), "tx_begin")
+          .when(u.rlike("^ROLLBACK"), "tx_rollback")
+          .when(u.rlike("^COMMIT"), "tx_commit")
+          .when(u.rlike("^ALTER TABLE"), "alter_table"))
+      .filter(col("kind").isNotNull)
+      .drop(sqlCol)
+  }
+
   /** Pair each row mutation with the table-map metadata event that
     * announced its (db, table) — `group-table-maps`
     * (`src/dumpr/stream.clj:76-97`): a table-map event is delayed and

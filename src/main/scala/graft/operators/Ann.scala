@@ -310,11 +310,15 @@ object Ann {
     * the two square roots — the identical op sequence `DuckSql
     * .annPqOracle` replays, so ranks hash-match. Zero-norm guard
     * scores -2.0 like [[bruteTopKQ8]]. */
-  def bruteTopKPq(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
-                  ksub: Int = 16, iters: Int = 2,
-                  nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val sub = dim / m
-    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+  /** ADC scoring parts over a joined (q_emb, codes) row: (dot, qq,
+    * xh) — per-subspace dot-product lookups against literal
+    * code→sub-centroid and code→squared-norm maps, left-to-right
+    * folds summed in subspace order (the op sequence the PQ oracles
+    * replay). Shared by [[bruteTopKPq]] and [[ivfPqTopK]] so both
+    * scans score by the byte-identical expression tree. */
+  private def adcParts(books: Seq[(Array[Long], Array[Array[Float]])],
+                       sub: Int): (Column, Column, Column) = {
+    val m = books.length
     // literal lookup tables: code -> sub-centroid (as exact doubles)
     // and code -> its left-to-right squared norm
     def centMap(s: Int): Column = {
@@ -331,10 +335,6 @@ object Ann {
         Seq(lit(cid), lit(acc))
       }.toIndexedSeq: _*)
     }
-    val q = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = pqEncodeWith(embeddings, books, dim)
-      .select(col("vec_id").as("n_id"), col("codes"))
     val dots = (0 until m).map { s =>
       val qSlice = transform(slice(col("q_emb"), s * sub + 1, sub), x => x.cast("double"))
       val cent = element_at(centMap(s), element_at(col("codes"), s + 1))
@@ -347,9 +347,16 @@ object Ann {
     val xh = (0 until m)
       .map(s => element_at(nrmMap(s), element_at(col("codes"), s + 1)))
       .reduceLeft(_ + _)
+    (dotTotal, qq, xh)
+  }
+
+  /** The shared ADC rank tail: score, guard zero norms, per-query
+    * top-k. */
+  private def adcRank(joined: DataFrame, dt: Column, qq: Column, xh: Column,
+                      k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("dt_", dotTotal)
+    joined
+      .withColumn("dt_", dt)
       .withColumn("qq_", qq)
       .withColumn("xh_", xh)
       .withColumn("cos",
@@ -358,6 +365,58 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  def bruteTopKPq(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+                  ksub: Int = 16, iters: Int = 2,
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val sub = dim / m
+    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = pqEncodeWith(embeddings, books, dim)
+      .select(col("vec_id").as("n_id"), col("codes"))
+    val (dt, qq, xh) = adcParts(books, sub)
+    adcRank(broadcast(q).join(c, col("q_id") =!= col("n_id")), dt, qq, xh, k)
+  }
+
+  /** IVF-PQ — the DEPLOYED large-scale ANN shape (Jégou et al.'s
+    * IVFADC, the FAISS `IVFx,PQy` index): a TRAINED coarse codebook
+    * partitions the corpus into inverted lists, every vector is
+    * PQ-encoded to m ints, and a query ADC-scans only its `nprobe`
+    * nearest lists — compute is `nprobe/nlist` of [[bruteTopKPq]]'s
+    * full quantized scan, memory is m ints per vector, both knobs
+    * independent. (Codes are of the raw vectors, not residuals — the
+    * cosine-metric variant; residual encoding is an L2 refinement.)
+    *
+    * Plan shape: list id AND codes come out of ONE map-side
+    * projection over the corpus (coarse + sub codebooks all plan
+    * constants — nothing but (n_id, list_id, m ints) ever leaves the
+    * scan), probes broadcast, the list equi-join is hash-probed and
+    * AQE-splittable. Recall gate: `ann_recall_ivfpq`. */
+  def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, nlist: Int = 8,
+                citers: Int = 2, nprobe: Int = 4, m: Int = 4,
+                ksub: Int = 16, iters: Int = 2,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val sub = dim / m
+    val (ccids, ccents) = Cluster.kmeansCentroids(embeddings, nlist, citers)
+    val probeN = math.min(nprobe, ccids.length)
+    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+    val codeCols = books.zipWithIndex.map { case ((scids, scents), s) =>
+      element_at(nearestCentroids(
+        slice(col("embedding"), s * sub + 1, sub), scents, scids, 1), 1)
+    }
+    val c = embeddings.select(
+      col("vec_id").as("n_id"),
+      element_at(nearestCentroids(col("embedding"), ccents, ccids, 1), 1).as("list_id"),
+      array(codeCols: _*).as("codes"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(nearestCentroids(col("embedding"), ccents, ccids, probeN)).as("list_id"))
+    val (dt, qq, xh) = adcParts(books, sub)
+    adcRank(
+      broadcast(probes).join(c, Seq("list_id")).where(col("q_id") =!= col("n_id")),
+      dt, qq, xh, k)
   }
 
   /** The production PQ pattern: the quantized scan only SHORTLISTS

@@ -345,4 +345,24 @@ class ChangelogSpec extends AnyFunSuite {
       6L -> None,        // deleted at 5 — the entity did not exist
       9L -> Some(3.0)))  // reopened
   }
+
+  test("classifyStatements: anchored case-insensitive markers; unclassified statements drop") {
+    val stmts = Seq(
+      (1L, "BEGIN"),                        // exact
+      (2L, "begin"),                        // case-insensitive
+      (3L, "COMMIT /* xid 42 */"),          // prefix, trailing payload
+      (4L, "commit work"),
+      (5L, "rollback"),
+      (6L, "Alter Table t1 ADD COLUMN c INT"),
+      (7L, "INSERT INTO t VALUES (1)"),     // unclassified → dropped
+      (8L, "SELECT 1"),                     // unclassified → dropped
+      (9L, " BEGIN"),                       // NOT anchored at start → dropped
+      (10L, "ALTERNATIVE PLAN")             // 'ALTER' alone must not match
+    ).toDF("pos", "sql")
+    val out = Changelog.classifyStatements(stmts)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "tx_begin", 2L -> "tx_begin", 3L -> "tx_commit", 4L -> "tx_commit",
+      5L -> "tx_rollback", 6L -> "alter_table"))
+  }
 }

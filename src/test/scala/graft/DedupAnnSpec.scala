@@ -174,6 +174,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(Cluster.kmeansAssign(tiny, 8, 2).count() == 3)
   }
 
+  test("ivfPqTopK: dense per-query ranks; probed ADC scan recalls against brute truth") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivfpq = Ann.ivfPqTopK(emb).as[(Long, Long, Int)].collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.size), "ranks dense from 1 per query")
+    }
+    val rec = Ann.recall(Ann.ivfPqTopK(emb), Ann.bruteTopK(emb))
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).as[(Long, Long)].head()
+    assert(rec._1 > 0, "two-stage compression must still find true neighbors")
+    assert(rec._1 <= rec._2)
+  }
+
   test("semanticPairs = all-pairs cosine dups restricted to a shared trained cluster") {
     val emb = Tables.embeddings(spark, sf)
     val sem = Dedup.semanticPairs(emb, k = 8, iters = 2, threshold = 0.4002)
