@@ -558,6 +558,20 @@ object SparkEntry {
     "gap_fill" -> (Analytics.gapFillHourly _),
     "ts_anomaly" -> (Analytics.tsAnomaly _),
     "trending_topk" -> ((s, d) => Analytics.trendingTopK(s, d)),
+    "zonemap_prune" -> ((s, d) => {
+      // per-file min/max manifest + file-skipping read: the range
+      // scan opens only files whose zone intersects (spec asserts the
+      // skip; the oracle proves result-identity with a full filter)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_q"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sinks.ZoneMap.write(li, dir, Seq("l_orderkey"))
+      graft.sinks.ZoneMap.readRange(s, dir, "l_orderkey", lit(1000L), lit(5000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "bloom_prune" -> ((s, d) => {
       // bloom-prefiltered selective join: result-identical to the
       // plain join (no false negatives); the big side drops ~90% of
@@ -1539,6 +1553,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000""".stripMargin,
+    "zonemap_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY l_returnflag""".stripMargin,
     "trending_topk" ->
       """WITH e AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,

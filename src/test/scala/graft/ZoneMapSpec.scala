@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ZoneMap
+
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("zone maps skip non-intersecting files; pruned read equals full filter") {
+    val dir = tmp("graft_zonemap")
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    ZoneMap.write(df, dir, Seq("k"))
+    val manifest = spark.read.parquet(s"$dir/_zonemap")
+    val nFiles = manifest.count()
+    assert(nFiles >= 4, "range repartition should yield several files")
+    // a narrow range touches few zones
+    val cand = ZoneMap.candidateFiles(spark, dir, "k", lit(100L), lit(150L))
+    assert(cand.size < nFiles, "most files must be SKIPPED for a narrow range")
+    val got = ZoneMap.readRange(spark, dir, "k", lit(100L), lit(150L))
+      .as[(Long, Long)].collect().toSet
+    val want = (100L to 150L).map(k => (k, k * 7)).toSet
+    assert(got == want, "no false skips: pruned read ≡ full scan + filter")
+    // out-of-range: zero candidates, empty result, schema intact
+    val none = ZoneMap.readRange(spark, dir, "k", lit(5000L), lit(6000L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("files with NULL bounds are conservatively kept, never falsely skipped") {
+    val dir = tmp("graft_zonemap_null")
+    // one partition all-NULL keys (NULL min/max), one normal
+    val df = Seq[(Option[Long], Long)]((None, 1L), (None, 2L), (Some(10L), 3L), (Some(20L), 4L))
+      .toDF("k", "v").repartition(2, col("k"))
+    ZoneMap.write(df, dir, Seq("k"))
+    val got = ZoneMap.readRange(spark, dir, "k", lit(0L), lit(100L))
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), "range filter drops NULL keys but keeps every in-range row")
+  }
+}
