@@ -108,6 +108,36 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** B29: incremental streaming dedup against an INGESTED SNAPSHOT —
+    * the live twin of [[graft.operators.Dedup.incremental]], for the
+    * crawl that never stops: a doc survives iff its content
+    * fingerprint is neither in the static snapshot nor seen earlier
+    * in the stream (within the watermark horizon, the bounded-state
+    * contract of [[dedupDocs]]).
+    *
+    * Two-stage snapshot check, same shape as the batch op: a Bloom
+    * filter of the snapshot's fingerprints rides every executor as a
+    * plan constant — definite-new rows (most of a fresh crawl) skip
+    * the verify entirely; possible-seen rows are exactly verified by
+    * a stream-static LEFT ANTI join (re-planned per micro-batch, so
+    * snapshot updates between batches are picked up). False positives
+    * die in the anti-join, so the result is exact. `snapshotFps` is a
+    * (fp: long) frame — 8 B/row, the distilled form a 100 TB corpus
+    * snapshot keeps precisely for this. */
+  def dedupDocsAgainstSnapshot(docs: DataFrame, snapshotFps: DataFrame,
+                               watermark: String = "1 hour",
+                               mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
+    val words = graft.operators.Bloom.buildBits(snapshotFps, col("fp"), mBits, kHashes)
+    val keyed = docs.withColumn("fp", Hashing.fingerprint(col("text")))
+    val hit = graft.operators.Bloom.mightContain(col("fp"), words, mBits, kHashes)
+    val definiteNew = keyed.filter(!hit)
+    val verified = keyed.filter(hit)
+      .join(snapshotFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+    definiteNew.unionByName(verified)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Streaming gap-based sessionization (SURVEY §2 B11) — the live
     * twin of the batch `sessionize` query (C5), via Spark's native
     * `session_window` (merging event-time windows with a gap timeout):

@@ -219,6 +219,36 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(!kept.contains(4L), "later in-watermark duplicate is dropped by state")
   }
 
+  test("B29: streaming dedup against a snapshot — snapshot dups die, stream dups die, bloom FPs verified exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val snapshotFps = Seq("ingested body", "old news")
+      .toDF("text")
+      .select(graft.functions.Hashing.fingerprint(col("text")).as("fp"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    // mBits=64 forces bloom false positives → the anti-join must save them
+    val q = graft.streaming.EventStreams
+      .dedupDocsAgainstSnapshot(stream, snapshotFps, mBits = 64, kHashes = 2)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("b29").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    in.addData((1L, "ingested body", t0),   // snapshot dup → dropped
+               (2L, "fresh body", t0),      // new → kept
+               (3L, "fresh body", t0))      // in-batch dup → one survives
+    q.processAllAvailable()
+    in.addData((4L, "fresh body", t1),      // cross-batch stream dup → dropped
+               (5L, "old news", t1),        // snapshot dup → dropped
+               (6L, "another fresh", t1))   // new → kept
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("b29").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(5L), "snapshot dups must not pass")
+    assert(kept.intersect(Set(2L, 3L)).size == 1, "one of the in-batch dup pair survives")
+    assert(!kept.contains(4L), "cross-batch stream dup dropped by state")
+    assert(kept.contains(6L))
+  }
+
   test("shard assign: total, contiguous per-shard positions, stable under repartition") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     val out = Sampling.shardAssign(docs, col("doc_id"), 8)
