@@ -472,6 +472,33 @@ object DuckSql {
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Oracle for `dedup_semantic_keep`: the [[semanticDedupOracle]]
+    * pair mining + recursive closure to components + keeper = lowest
+    * member id (components are labeled by their min reachable id, so
+    * keep ⇔ vec_id = comp — the same closure shape as `dedup_cc`). */
+  def semanticCcKeepOracle(k: Int, iters: Int, dim: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${kmeansCtes(k, iters, dim)},
+       |${kmAssignCte("afin", s"c$iters", dim)},
+       |pr AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM afin a
+       |  JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings x ON x.vec_id = a.vec_id
+       |  JOIN embeddings y ON y.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                               CAST(y.embedding AS DOUBLE[])) >= ${dlit(threshold)}),
+       |eg AS (SELECT a_id AS u, b_id AS v FROM pr
+       |       UNION SELECT b_id AS u, a_id AS v FROM pr),
+       |reach AS (
+       |  SELECT u, v FROM eg
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN eg e2 ON r.v = e2.u),
+       |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u)
+       |SELECT em.vec_id, coalesce(c.comp, em.vec_id) AS comp,
+       |       CAST(CASE WHEN em.vec_id = coalesce(c.comp, em.vec_id)
+       |                 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.u""".stripMargin
+
   /** Oracle for `ann_ivfpq`: replay of
     * [[graft.operators.Ann.ivfPqTopK]] — the coarse trained-codebook
     * assignment/probing (the [[annIvfTrainedOracle]] replay) composed

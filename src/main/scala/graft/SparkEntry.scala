@@ -346,6 +346,18 @@ object SparkEntry {
       // generation (vs embeddingPairsLsh's random hyperplane buckets)
       Dedup.semanticPairs(Tables.embeddings(s, d), k = 8, iters = 2,
         threshold = 0.4002)),
+    "dedup_semantic_keep" -> ((s, d) => {
+      // the SemDeDup pipeline through to KEEPERS: semantic pairs →
+      // duplicate components → one representative per group (min id —
+      // components are labeled by their min reachable id, so the
+      // keeper test is node = comp, no extra exchange)
+      val emb = Tables.embeddings(s, d)
+      val pairs = Dedup.semanticPairs(emb, k = 8, iters = 2, threshold = 0.4002)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      Dedup.connectedComponents(emb.select(col("vec_id").as("node")), pairs)
+        .select(col("node").as("vec_id"), col("comp"),
+          (col("node") === col("comp")).cast("int").as("keep"))
+    }),
     "lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"),
@@ -1827,6 +1839,8 @@ object SparkEntry {
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
     "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64),
     "dedup_semantic" -> DuckSql.semanticDedupOracle(
+      k = 8, iters = 2, dim = 64, threshold = 0.4002),
+    "dedup_semantic_keep" -> DuckSql.semanticCcKeepOracle(
       k = 8, iters = 2, dim = 64, threshold = 0.4002),
     "ann_ivf_trained" -> DuckSql.annIvfTrainedOracle(
       nlist = 8, iters = 2, nprobe = 4, nQueries = 10, k = 5, dim = 64),
