@@ -263,7 +263,10 @@ object DuckSql {
     * build on it). The per-doc candidate/dup sets equal the engine's
     * group-collapsed pipeline because identical shingle sets yield
     * identical signatures and band buckets. */
-  private def minhashCtes(numHashes: Int, bands: Int, threshold: Double): String = {
+  /** The per-doc MinHash replay prefix (`d`/`shl`/`hh`/`sig`/`bh` —
+    * shingles, signature, band values), shared by [[minhashCtes]] and
+    * [[minhashIncrementalOracle]]. */
+  private def minhashBase(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val shingleHashes = finalize(
       finalize(
@@ -290,7 +293,11 @@ object DuckSql {
        |  SELECT doc_id, j // $rows AS band,
        |         list_reduce(list_prepend(17::HUGEINT, list(${unsigned("sv")} ORDER BY j)),
        |                     (a, x) -> (a*31 + x) % $M) AS bv
-       |  FROM sig GROUP BY doc_id, j // $rows),
+       |  FROM sig GROUP BY doc_id, j // $rows)""".stripMargin
+  }
+
+  private def minhashCtes(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""${minhashBase(numHashes, bands)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bh a JOIN bh b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
@@ -301,7 +308,33 @@ object DuckSql {
        |                   >= $threshold
        |              THEN 1 ELSE 0 END AS dup
        |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id)""".stripMargin
-  }
+
+  /** Oracle for `dedup_incremental_lsh`: replay of
+    * [[graft.operators.Dedup.incrementalNearDup]] — the per-doc
+    * MinHash/band replay, batch×snapshot band-bucket candidates,
+    * exact-Jaccard verify, count of verified snapshot near-dups per
+    * batch doc (total output: unbanded / candidate-less batch docs
+    * appear with 0 and keep = 1). */
+  def minhashIncrementalOracle(numHashes: Int, bands: Int, threshold: Double,
+                               cutoff: Long): String =
+    s"""WITH ${minhashBase(numHashes, bands)},
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
+       |  FROM bh b JOIN bh s ON b.band = s.band AND b.bv = s.bv
+       |  WHERE b.doc_id >= $cutoff AND s.doc_id < $cutoff),
+       |ver AS (
+       |  SELECT b_id, s_id,
+       |         CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+       |                   >= $threshold
+       |              THEN 1 ELSE 0 END AS dup
+       |  FROM cand JOIN shl x ON x.doc_id = b_id JOIN shl y ON y.doc_id = s_id),
+       |agg AS (SELECT b_id, sum(dup) AS nd FROM ver GROUP BY b_id)
+       |SELECT dd.doc_id,
+       |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_dup_snap,
+       |       CAST(CASE WHEN coalesce(a.nd, 0) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.b_id
+       |WHERE dd.doc_id >= $cutoff""".stripMargin
 
   /** Oracle for `multimodal_features`: replay of
     * [[graft.multimodal.Multimodal.decodeFeatures]]'s deterministic

@@ -245,6 +245,10 @@ object SparkEntry {
       // prefilter keeps the snapshot off the shuffle except for
       // fingerprint collisions with the batch
       Dedup.incremental(Tables.documents(s, d), cutoff = 250L)),
+    "dedup_incremental_lsh" -> ((s, d) =>
+      // the near-dup twin: batch docs against the snapshot's MinHash
+      // band index, exact-Jaccard verified
+      Dedup.incrementalNearDup(Tables.documents(s, d), cutoff = 250L)),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_cc" -> ((s, d) => {
       // pairs → duplicate GROUPS: transitive closure over the verified
@@ -1167,6 +1171,8 @@ object SparkEntry {
         |SELECT r.doc_id,
         |       CAST(CASE WHEN r.rn = 1 AND s.text IS NULL THEN 1 ELSE 0 END AS INT) AS keep
         |FROM r LEFT JOIN snap s ON r.text = s.text""".stripMargin,
+    "dedup_incremental_lsh" -> DuckSql.minhashIncrementalOracle(
+      numHashes = 128, bands = 16, threshold = 0.5, cutoff = 250L),
     "near_dup_jaccard" ->
       ("WITH " + jaccardCtes + "SELECT a_id, b_id, j FROM p WHERE j >= 0.5"),
     "dedup_cc" ->

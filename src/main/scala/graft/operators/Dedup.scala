@@ -516,6 +516,69 @@ object Dedup {
         (col("rn") === 1 && col("seen").isNull).cast("int").as("keep"))
   }
 
+  /** Incremental NEAR-dup against an ingested snapshot — the
+    * MinHash+LSH twin of [[incremental]], the shape a daily crawl
+    * actually needs (yesterday's boilerplate returns reworded, not
+    * byte-identical): for each batch doc (`doc_id >= cutoff`), count
+    * the snapshot docs (`doc_id < cutoff`) whose exact shingle
+    * Jaccard ≥ `threshold`, reached through the snapshot's BAND-BUCKET
+    * INDEX — the (band, bucket → doc) posting table a cumulative
+    * corpus maintains precisely so each increment joins against
+    * buckets, never documents. Output (doc_id, n_dup_snap, keep) is
+    * total over the batch; batch-INTERNAL near-dups are deliberately
+    * out of scope (that is the [[minhashLshPairs]] →
+    * [[connectedComponents]] family's job).
+    *
+    * Scale shape mirrors [[minhashLsh]]: exact-dup collapse PER SIDE
+    * (a boilerplate flood is one banded row per side; per-doc results
+    * are reconstituted exactly — identical sets ⇒ identical buckets
+    * and Jaccards, and `n_dup_snap` re-inflates by snapshot group
+    * size), id-only (band, bucket) equi-join for candidates, shingle
+    * arrays attach to candidate rows only, one final member fan-out.
+    * Empty-shingle docs are never banded: no candidates, kept. */
+  def incrementalNearDup(docs: DataFrame, cutoff: Long, numHashes: Int = 128,
+                         bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val withKey = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), (col("doc_id") >= cutoff).as("side"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .withColumn("gk", xxhash64(col("sh")))
+      .withColumn("gk2", xxhash64(lit(1L), col("sh")))
+    val groups = withKey
+      .groupBy(col("side"), col("gk"), col("gk2"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+        min_by(col("sh"), col("doc_id")).as("sh"))
+      .withColumn("grp_ok", (size(col("sh")) > 0).cast("int"))
+      .persist()
+    val bh = groups
+      .filter(col("grp_ok") === 1)
+      .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
+      .select(col("side"), col("gid"),
+        posexplode(Hashing.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val candG = bh.filter(col("side")).select(col("gid").as("b_gid"), col("band"), col("bh"))
+      .join(bh.filter(!col("side")).select(col("gid").as("s_gid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("b_gid"), col("s_gid")).distinct()
+    val perGroup = candG
+      .join(groups.filter(col("side"))
+        .select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
+      .join(groups.filter(!col("side"))
+        .select(col("gid").as("s_gid"), col("sh").as("s_sh"), col("m").as("s_m")), Seq("s_gid"))
+      .withColumn("i", Hashing.sortedIntersectCount(col("b_sh"), col("s_sh")))
+      .withColumn("j",
+        col("i").cast("double") / (size(col("b_sh")) + size(col("s_sh")) - col("i")))
+      .filter(col("j") >= threshold)
+      .groupBy(col("b_gid")).agg(sum(col("s_m")).as("n_dup"))
+    withKey.filter(col("side")).select(col("doc_id"), col("gk"), col("gk2"))
+      .join(groups.filter(col("side")).select(col("gk"), col("gk2"), col("gid")),
+        Seq("gk", "gk2"))
+      .join(perGroup.withColumnRenamed("b_gid", "gid"), Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_snap"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).cast("int").as("keep"))
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al., 2023,
     * arXiv:2303.09540): partition the corpus by a TRAINED k-means
     * codebook ([[Cluster.kmeansCentroids]] — deterministic Lloyd's,

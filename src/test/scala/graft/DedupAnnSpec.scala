@@ -227,6 +227,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(p == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 1))
   }
 
+  test("incrementalNearDup: planted rewordings flagged, totality, collapse-invariant") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),                                  // snapshot
+      (2L, base + " extra"),                       // snapshot near-dup of 1
+      (3L, "completely different content with many unique words here"), // snapshot
+      (10L, base + " tail"),                       // batch: near-dup of snapshot → dropped
+      (11L, base + " tail"),                       // batch: exact dup of 10 (collapse path), same verdict
+      (12L, "nothing like anything in the snapshot corpus at all ever"), // batch: new → kept
+      (13L, "tiny")                                // batch: <3 tokens, never banded → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(docs, cutoff = 10L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L), "total over the batch")
+    assert(got(10L)._1 >= 1 && got(10L)._2 == 0, "snapshot near-dup must be flagged")
+    assert(got(11L) == got(10L), "exact dups share the group verdict")
+    assert(got(12L) == ((0L, 1)))
+    assert(got(13L) == ((0L, 1)), "unbanded short doc kept")
+    // partition-order invariance (the collapse/fan-out is a pure function)
+    val re = Dedup.incrementalNearDup(docs.repartition(7), cutoff = 10L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(re == got)
+  }
+
   test("exact dedup groups by full text") {
     val docs = Seq((1L, "same text", 9L), (2L, "same text", 9L), (3L, "other", 5L))
       .toDF("doc_id", "text", "n_chars")
