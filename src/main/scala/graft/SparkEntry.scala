@@ -134,6 +134,43 @@ object SparkEntry {
         Changelog.fromEvents(ev(s, d)),
         "customer")),
     "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
+    "cdc_debezium_decode" -> ((s, d) => {
+      // Debezium-envelope ROUND TRIP as an oracle row: envelopes are
+      // synthesized from event rows with to_json (mixed wrapped/flat
+      // forms, all four ops, PK-changing updates, corrupt lines for
+      // the DLQ side), decoded by the adapter, and mapped to the
+      // canonical imaged-change columns — the oracle replays the
+      // coalesce/filePos rules directly, so any decode drift breaks
+      // the hash
+      val dop = when(col("event_type") === "purchase", lit("c"))
+        .when(col("event_type") === "view", lit("u"))
+        .when(col("event_type") === "click", lit("d"))
+        .otherwise(lit("r"))
+      val uidA = when(col("event_type") === "view" && col("user_id") % 10 === 0,
+        col("user_id") + 1000000L).otherwise(col("user_id"))
+      val beforeS = struct(col("user_id").as("id"), col("value").as("value"))
+      val afterS = struct(uidA.as("id"), col("value").as("value"))
+      val srcS = struct(
+        lit("srv1").as("name"), lit("shop").as("db"), lit("orders").as("table"),
+        concat(lit("mysql-bin."),
+          lpad((col("event_id") % 4).cast("string"), 6, "0")).as("file"),
+        col("event_id").as("pos"),
+        concat(lit("src"), (col("user_id") % 3).cast("string"), lit(":"),
+          col("event_id").cast("string")).as("gtid"),
+        (col("event_id") * 1000).as("ts_ms"))
+      val env = struct(
+        when(dop.isin("u", "d"), beforeS).as("before"),
+        when(dop =!= "d", afterS).as("after"),
+        srcS.as("source"), dop.as("op"), (col("event_id") * 1000).as("ts_ms"))
+      val json = when(col("event_type") === "signup", lit("{corrupt"))
+        .when(col("event_id") % 2 === 0, to_json(struct(env.as("payload"))))
+        .otherwise(to_json(env))
+      val (good, _) = graft.sources.Debezium.decodeWithDlq(
+        ev(s, d).select(json.as("value")))
+      graft.sources.Debezium.toImagedChanges(good)
+        .select(col("pos"), col("op"), col("tbl"),
+          col("oldId").as("old_id"), col("id"), col("value"))
+    }),
     "cdc_stmt_classify" -> ((s, d) => {
       // QUERY-event SQL classification (events.clj query-parser): the
       // statements are synthesized from event rows (same demo-harness
@@ -927,6 +964,22 @@ object SparkEntry {
         |       'k_out_of_range' AS reason
         |FROM events
         |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "cdc_debezium_decode" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, value,
+        |         CASE event_type WHEN 'purchase' THEN 'c' WHEN 'view' THEN 'u'
+        |                         WHEN 'click' THEN 'd' ELSE 'r' END AS dop,
+        |         CASE WHEN event_type = 'view' AND user_id % 10 = 0
+        |              THEN user_id + 1000000 ELSE user_id END AS uid_a
+        |  FROM events WHERE event_type <> 'signup')
+        |SELECT (event_id % 4) * 1099511627776 + event_id AS pos,
+        |       CASE dop WHEN 'd' THEN 'delete' WHEN 'u' THEN 'update'
+        |                ELSE 'upsert' END AS op,
+        |       'orders' AS tbl,
+        |       CASE WHEN dop IN ('u', 'd') THEN user_id ELSE uid_a END AS old_id,
+        |       CASE WHEN dop = 'd' THEN user_id ELSE uid_a END AS id,
+        |       CASE WHEN dop = 'd' THEN 0.0 ELSE value END AS value
+        |FROM m""".stripMargin,
     "cdc_stmt_classify" ->
       """WITH s AS (
         |  SELECT event_id AS pos,
