@@ -234,6 +234,10 @@ object Dedup {
       // keeps that negligible even at billions of documents
       .withColumn("gk", xxhash64(col("sh")))
       .withColumn("gk2", xxhash64(lit(1L), col("sh")))
+      // persisted: feeds BOTH the collapse and the member attach —
+      // uncached, the corpus is scanned, fanned out (a text-carrying
+      // exchange) and re-shingled once per use
+      .persist()
     // collapse: one row per distinct shingle set; min_by keeps the
     // representative deterministic, partial aggregation means the
     // shuffle carries ~one shingle array per DISTINCT document
@@ -539,12 +543,17 @@ object Dedup {
   def incrementalNearDup(docs: DataFrame, cutoff: Long, numHashes: Int = 128,
                          bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // persisted: the frame feeds BOTH the collapse and the final
+    // member fan-out — without the cache the corpus would be scanned,
+    // fanned out (a text-carrying exchange) and re-shingled twice
+    // (plan-audited: exactly one text shuffle in the whole query)
     val withKey = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), (col("doc_id") >= cutoff).as("side"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
       .withColumn("gk", xxhash64(col("sh")))
       .withColumn("gk2", xxhash64(lit(1L), col("sh")))
+      .persist()
     val groups = withKey
       .groupBy(col("side"), col("gk"), col("gk2"))
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),

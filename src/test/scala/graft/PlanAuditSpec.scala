@@ -147,6 +147,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"document-body-carrying shuffle(s): $bad")
   }
 
+  test("dedup_incremental_lsh: only the compute fan-out ships text; the index joins ship ids+buckets") {
+    val p = formatted("dedup_incremental_lsh")
+    // ONE deliberate text-carrying exchange exists: the round-robin
+    // fan-out BEFORE shingling, so the expensive shingle compute runs
+    // at full parallelism instead of at the scan's partition count
+    // (the minhashLsh trade). Everything downstream — collapse,
+    // banding, candidate join, verify — must ship ids/hashes only.
+    val textShuffles = shuffleInputs(p).filter(_.contains("text#"))
+    assert(textShuffles.size <= 1,
+      s"only the pre-shingle fan-out may carry text: $textShuffles")
+  }
+
+  test("cdc_debezium_decode: envelope decode is map-only — zero exchanges") {
+    val p = formatted("cdc_debezium_decode")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n == 0, s"synthesize→decode→project must not shuffle, found $n exchange(s)")
+  }
+
   test("cdc_update_images: single-scan generate expansion; fold + control exchanges only") {
     val p = formatted("cdc_update_images")
     // one log scan exploding rows into images (Generate), ONE fold
