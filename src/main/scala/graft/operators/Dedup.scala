@@ -421,6 +421,9 @@ object Dedup {
     val keyed = embeddings
       .withColumn("gk", xxhash64(col("embedding")))
       .withColumn("gk2", xxhash64(lit(1L), col("embedding")))
+      // persisted: feeds both the collapse and the member attach —
+      // uncached, the embedding scan + double hash runs once per use
+      .persist()
     val groups = keyed
       .groupBy(col("gk"), col("gk2"))
       .agg(min(col("vec_id")).as("gid"),
