@@ -334,6 +334,13 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
+    "ann_topk_filtered" -> ((s, d) =>
+      // vector search under a metadata predicate: top-k among ENGLISH
+      // docs only — filter semi-joins in BEFORE scoring (top-k over
+      // the filtered set, never post-filtered and under-filled)
+      Ann.bruteTopKFiltered(Tables.embeddings(s, d),
+        Tables.documents(s, d).where(col("lang") === "en")
+          .select(col("doc_id").as("n_id")))),
     "ann_recall" -> ((s, d) => {
       // index quality gate: LSH recall counts vs brute ground truth
       val emb = Tables.embeddings(s, d)
@@ -1290,6 +1297,20 @@ object SparkEntry {
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
       nQueries = 10, k = 5, dim = 64),
+    "ann_topk_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT e.vec_id AS n_id, e.embedding
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |      WHERE d.lang = 'en'),
+        |p AS (SELECT q.q_id, c.n_id,
+        |             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q CROSS JOIN c WHERE c.n_id <> q.q_id),
+        |r AS (SELECT q_id, n_id,
+        |             CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY cos DESC, n_id) AS INT) AS rnk
+        |      FROM p)
+        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "ann_ivfpq" -> DuckSql.annIvfPqOracle(nlist = 8, citers = 2, nprobe = 4,
       m = 4, ksub = 16, iters = 2, nQueries = 10, k = 5, dim = 64),
     "ann_recall_ivfpq" ->

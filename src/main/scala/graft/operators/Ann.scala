@@ -58,6 +58,34 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** FILTERED exact top-k — vector search under a metadata predicate
+    * ("nearest neighbors among English docs"), the shape production
+    * vector search almost always runs. The filter is applied BEFORE
+    * scoring via a semi-join of the corpus with the candidate-id
+    * frame: the scan scores |filtered| vectors, and the top-k is
+    * computed over the filtered set — never by post-filtering an
+    * unfiltered top-k, the classic filtered-ANN bug that silently
+    * under-fills k when the predicate is selective. At scale the
+    * semi-join broadcast-s for small filter sets (AQE decides) or
+    * takes a bloom prefilter ([[Bloom]]) for large ones; for the IVF
+    * path the same candidate frame composes by semi-joining the
+    * inverted lists before ADC/cosine scoring. */
+  def bruteTopKFiltered(embeddings: DataFrame, candidateIds: DataFrame,
+                        nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings
+      .join(candidateIds.select(col("n_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** IVF-flat approximate top-k: a coarse codebook of `nlist`
     * deterministic centroids (sampled from the corpus — no iterative
     * k-means needed for a reproducible index), every vector assigned
