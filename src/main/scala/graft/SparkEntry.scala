@@ -334,6 +334,11 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
+    "hybrid_search_rrf" -> ((s, d) =>
+      // keyword + vector retrieval fused by reciprocal rank fusion —
+      // no score calibration needed, integer ranks + exact divisions
+      // keep the fused ordering oracle-stable
+      Ann.hybridTopKRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "ann_topk_filtered" -> ((s, d) =>
       // vector search under a metadata predicate: top-k among ENGLISH
       // docs only — filter semi-joins in BEFORE scoring (top-k over
@@ -1297,6 +1302,38 @@ object SparkEntry {
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
       nQueries = 10, k = 5, dim = 64),
+    "hybrid_search_rrf" ->
+      """WITH qt AS (SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |           FROM documents WHERE doc_id < 5),
+        |dt AS (SELECT doc_id AS n_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |       FROM documents),
+        |sh AS (SELECT q_id, n_id, count(*) AS shared
+        |       FROM qt JOIN dt USING (tok) WHERE n_id <> q_id GROUP BY 1, 2),
+        |kw AS (SELECT q_id, n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY shared DESC, n_id) AS INT) AS kw_rnk
+        |       FROM sh),
+        |kw20 AS (SELECT * FROM kw WHERE kw_rnk <= 20),
+        |vp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])) AS cos
+        |       FROM embeddings q CROSS JOIN embeddings c
+        |       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |vr AS (SELECT q_id, n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY cos DESC, n_id) AS INT) AS vec_rnk
+        |       FROM vp),
+        |v20 AS (SELECT * FROM vr WHERE vec_rnk <= 20),
+        |f AS (SELECT coalesce(k.q_id, v.q_id) AS q_id,
+        |             coalesce(k.n_id, v.n_id) AS n_id,
+        |             coalesce(1.0::DOUBLE / (60 + k.kw_rnk), 0.0::DOUBLE) +
+        |             coalesce(1.0::DOUBLE / (60 + v.vec_rnk), 0.0::DOUBLE) AS rrf
+        |      FROM kw20 k FULL JOIN v20 v ON k.q_id = v.q_id AND k.n_id = v.n_id),
+        |r AS (SELECT q_id, n_id,
+        |             CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY rrf DESC, n_id) AS INT) AS rnk
+        |      FROM f)
+        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "ann_topk_filtered" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT e.vec_id AS n_id, e.embedding

@@ -58,6 +58,47 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** HYBRID retrieval — keyword + vector top-k fused by Reciprocal
+    * Rank Fusion (Cormack et al., SIGIR'09: `Σ 1/(60 + rank)`), the
+    * standard production combiner precisely because it needs no score
+    * calibration between the two systems. Keyword side: candidates
+    * share ≥ 1 distinct token with the query doc, ranked by shared
+    * token count (a POSTING-LIST join — the query token set broadcasts,
+    * the corpus ships (token, id) rows, never text). Vector side: the
+    * exact cosine rank ([[bruteTopK]]). Each side keeps `kEach`, the
+    * fused list keeps `k` by RRF score (ties by id).
+    *
+    * Determinism for the oracle: ranks are integers, each RRF term is
+    * one correctly-rounded division of exact small ints, and the
+    * two-term sum is evaluated in fixed order — bit-identical in any
+    * IEEE engine, so the fused ranking hash-matches. */
+  def hybridTopKRrf(docs: DataFrame, embeddings: DataFrame,
+                    nQueries: Int = 5, kEach: Int = 20, k: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val qt = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dt = docs.select(col("doc_id").as("n_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val wKw = Window.partitionBy(col("q_id")).orderBy(col("shared").desc, col("n_id"))
+    val kw = broadcast(qt).join(dt, Seq("tok"))
+      .where(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id")).agg(count(lit(1)).as("shared"))
+      .withColumn("kw_rnk", row_number().over(wKw))
+      .where(col("kw_rnk") <= kEach)
+      .select(col("q_id"), col("n_id"), col("kw_rnk"))
+    val vec = bruteTopK(embeddings, nQueries, kEach)
+      .select(col("q_id"), col("n_id"), col("rnk").as("vec_rnk"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    kw.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("kw_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wF))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** FILTERED exact top-k — vector search under a metadata predicate
     * ("nearest neighbors among English docs"), the shape production
     * vector search almost always runs. The filter is applied BEFORE
