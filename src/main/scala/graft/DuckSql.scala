@@ -184,6 +184,26 @@ object DuckSql {
         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.u""".stripMargin
 
+  /** Oracle for `dup_cluster_stats`: the [[minhashCcOracle]] closure
+    * rolled up to a cluster-SIZE histogram (how many clusters of each
+    * size — the corpus-health metric a dedup report leads with). */
+  def minhashCcSizeHistOracle(numHashes: Int, bands: Int, threshold: Double): String =
+    "WITH RECURSIVE " + minhashCtes(numHashes, bands, threshold) +
+      """, pr AS (SELECT a_id, b_id FROM ver WHERE dup = 1),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pr
+        |      UNION SELECT b_id AS u, a_id AS v FROM pr),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u, least(u, min(v)) AS comp FROM reach GROUP BY u),
+        |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        |         FROM documents d LEFT JOIN comp c ON d.doc_id = c.u),
+        |szs AS (SELECT comp, count(*) AS sz FROM allc GROUP BY comp)
+        |SELECT CAST(sz AS BIGINT) AS sz,
+        |       CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM szs GROUP BY sz""".stripMargin
+
   /** Oracle for `corpus_quantiles`: replay of
     * [[graft.operators.Sketch.quantileSketch]] — bottom-k rows by
     * signed `hashLong(key, seed)` (ties by key), then the value at

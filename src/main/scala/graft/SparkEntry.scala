@@ -317,6 +317,17 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
         .select(col("node").as("doc_id"), col("comp"))
     }),
+    "dup_cluster_stats" -> ((s, d) => {
+      // corpus-health headline: the duplicate-cluster SIZE histogram
+      // (how many clusters of each size) over the LSH-mined components
+      // — two count aggregates past the closure, both map-side partial
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshPairs(docs)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    }),
     "dedup_cc_keep_lsh" -> ((s, d) => {
       // scale path through to keepers: LSH pairs → components → best
       // member kept (the full crawl-dedup pipeline, no all-pairs stage)
@@ -1936,6 +1947,8 @@ object SparkEntry {
     "dedup_simhash" -> DuckSql.simhashOracle(maxHamming = 6),
     "dedup_minhash_lsh" -> DuckSql.minhashOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "dedup_cc_lsh" -> DuckSql.minhashCcOracle(numHashes = 128, bands = 16, threshold = 0.5),
+    "dup_cluster_stats" -> DuckSql.minhashCcSizeHistOracle(
+      numHashes = 128, bands = 16, threshold = 0.5),
     "dedup_cc_keep_lsh" -> DuckSql.minhashCcKeepOracle(numHashes = 128, bands = 16, threshold = 0.5),
     "ann_lsh" -> annLshSql,
     "emb_quantize" ->

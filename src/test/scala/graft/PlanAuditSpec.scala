@@ -159,6 +159,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the pre-shingle fan-out may carry text: $textShuffles")
   }
 
+  test("ann_topk_filtered: the metadata filter lands BELOW the scoring join") {
+    val p = formatted("ann_topk_filtered")
+    // a semi-join (or AQE'd broadcast variant) restricts candidates
+    // BEFORE the nested-loop scoring join — post-filtering the top-k
+    // would have no join below the window at all
+    assert(p.contains("LeftSemi"), s"filter must be a semi-join below the scoring join:\n$p")
+    val bad = shuffleInputs(p).filter(_.contains("embedding"))
+    assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
+  }
+
+  test("hybrid_search_rrf: keyword side ships (token, id) rows — no text through any shuffle") {
+    val p = formatted("hybrid_search_rrf")
+    val bad = shuffleInputs(p).filter(_.contains("text#"))
+    assert(bad.isEmpty, s"document-body-carrying shuffle(s): $bad")
+  }
+
   test("cdc_debezium_decode: envelope decode is map-only — zero exchanges") {
     val p = formatted("cdc_debezium_decode")
     val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
