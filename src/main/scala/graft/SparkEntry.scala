@@ -134,6 +134,18 @@ object SparkEntry {
         Changelog.fromEvents(ev(s, d)),
         "customer")),
     "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
+    "cdc_lag" -> ((s, d) => {
+      // per-table replication lag: how far each table's newest
+      // committed position trails the newest position anywhere — the
+      // operational gauge of a stalled per-table consumer. One partial
+      // aggregate + a 1-row broadcast; the log never shuffles
+      val log = Changelog.filterCommitted(Changelog.fromEvents(ev(s, d)))
+      val perTable = log.groupBy(col("tbl")).agg(max(col("pos")).as("table_max_pos"))
+      val global = perTable.agg(max(col("table_max_pos")).as("g"))
+      perTable.crossJoin(broadcast(global))
+        .select(col("tbl"), col("table_max_pos"),
+          (col("g") - col("table_max_pos")).as("lag"))
+    }),
     "cdc_debezium_decode" -> ((s, d) => {
       // Debezium-envelope ROUND TRIP as an oracle row: envelopes are
       // synthesized from event rows with to_json (mixed wrapped/flat
@@ -987,6 +999,11 @@ object SparkEntry {
         |       'k_out_of_range' AS reason
         |FROM events
         |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "cdc_lag" -> (logCte +
+      """, pt AS (SELECT tbl, max(pos) AS table_max_pos FROM committed GROUP BY tbl),
+        |g AS (SELECT max(table_max_pos) AS g FROM pt)
+        |SELECT tbl, table_max_pos, g - table_max_pos AS lag
+        |FROM pt CROSS JOIN g""".stripMargin),
     "cdc_debezium_decode" ->
       """WITH m AS (
         |  SELECT event_id, user_id, value,
