@@ -293,6 +293,66 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(secs < 60.0, s"flood took $secs s — collapse not effective?")
   }
 
+  test("incrementalNearDup equals the uncollapsed per-doc reference on the real corpus") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf)
+    val cutoff = 250L
+    val engine = Dedup.incrementalNearDup(docs, cutoff)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // reference: the SAME banding primitives per doc, NO collapse —
+    // this pins the collapse + group fan-out as a pure optimization
+    val t = docs.select(col("doc_id"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .persist()
+    val banded = t.filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(Hashing.bandHashes(Hashing.minhash(col("sh"), 128), 16, 8))
+          .as(Seq("band", "bh")))
+    val cand = banded.filter(col("doc_id") >= cutoff)
+      .select(col("doc_id").as("b_id"), col("band"), col("bh"))
+      .join(banded.filter(col("doc_id") < cutoff)
+        .select(col("doc_id").as("s_id"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("b_id", "s_id").distinct()
+    val nd = cand
+      .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(t.select(col("doc_id").as("s_id"), col("sh").as("s_sh")), Seq("s_id"))
+      .withColumn("i", Hashing.sortedIntersectCount(col("b_sh"), col("s_sh")))
+      .withColumn("j",
+        col("i").cast("double") / (size(col("b_sh")) + size(col("s_sh")) - col("i")))
+      .filter(col("j") >= 0.5)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.unpersist(blocking = false)
+    val batchIds = docs.where(col("doc_id") >= cutoff).select("doc_id").as[Long].collect()
+    assert(engine.keySet == batchIds.toSet)
+    batchIds.foreach { id =>
+      val want = nd.getOrElse(id, 0L)
+      assert(engine(id) == ((want, if (want == 0) 1 else 0)), s"doc $id")
+    }
+    assert(nd.nonEmpty, "driver data plants cross-cutoff near-dups")
+  }
+
+  test("incrementalNearDup flood: identical batch docs collapse, inherit one verdict") {
+    val n = 5000
+    val snapshot = Seq(
+      (1L, "the same boilerplate text repeated over and over in every single doc today"),
+      (2L, "an unrelated snapshot document about catalyst and codegen internals")
+    ).toDF("doc_id", "text")
+    val flood = spark.range(n)
+      .select((col("id") + 100L).as("doc_id"),
+        lit("the same boilerplate text repeated over and over in every single doc today").as("text"))
+    val t0 = System.nanoTime()
+    val out = Dedup.incrementalNearDup(snapshot.unionByName(flood), cutoff = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.size == n)
+    // every flood member is an exact dup of snapshot doc 1 → one
+    // verified snapshot dup each, none kept; ONE representative went
+    // through the band join and the verify
+    assert(out.valuesIterator.forall(_ == ((1L, 0))))
+    assert(secs < 60.0, s"flood took $secs s — per-side collapse not effective?")
+  }
+
   test("simhash mega-bucket: identical docs collapse with exact rollup") {
     val n = 5000
     val flood = spark.range(n)
