@@ -334,16 +334,58 @@ object Ann {
     * each slice. Returns one (cids, centroids) codebook per
     * subspace — an index artifact of m·ksub·(dim/m) floats, driver-
     * sized like every codebook here. */
+  /** Train all `m` per-subspace codebooks FUSED: one corpus scan per
+    * Lloyd iteration for every subspace together, instead of the
+    * separate-training shape's m×(iters+1) scans. Each row explodes
+    * into its m subvectors tagged by subspace index; assignment picks
+    * the right codebook by a coalesced per-subspace branch of the
+    * codegen'd `NearestCentroids` (all m codebooks ride as plan
+    * constants); the centroid update is ONE narrow decimal-sum
+    * aggregate keyed by (subspace, cid, dim). Per-subspace results
+    * are bit-identical to independent trainings — the same rows feed
+    * the same order-independent decimal sums — so the PQ oracles are
+    * untouched. Determinism rules are [[Cluster.kmeansCentroids]]'s:
+    * seeds = first ksub vectors, sums-not-means, decimal accumulation,
+    * ties to lowest cid, empty clusters keep their centroid. */
   def pqCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
                   iters: Int): Seq[(Array[Long], Array[Array[Float]])] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      Cluster.kmeansCentroids(
-        embeddings.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        ksub, iters)
-    }
+    val proj = embeddings.select(col("vec_id"),
+        array((0 until m).map(s => slice(col("embedding"), s * sub + 1, sub)): _*).as("subs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = proj.filter(col("vec_id") < ksub).collect().sortBy(_.getLong(0))
+      require(init.nonEmpty, s"pqCodebooks: no rows with vec_id < ksub=$ksub to seed")
+      val cids = init.map(_.getLong(0))
+      val cidIdx = cids.zipWithIndex.toMap
+      // cents(s)(c) = subspace s's centroid for codebook slot c
+      var cents: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+        init.map(_.getSeq[Seq[Float]](1).apply(s).toArray)
+      }
+      for (_ <- 0 until iters) {
+        val assigned = proj
+          .select(posexplode(col("subs")).as(Seq("s", "v")))
+          .select(col("s"),
+            coalesce((0 until m).map(s =>
+              when(col("s") === s,
+                element_at(nearestCentroids(col("v"), cents(s), cids, 1), 1))): _*).as("cid"),
+            posexplode(col("v")).as(Seq("d", "x")))
+        val updated = assigned
+          .groupBy(col("s"), col("cid"), col("d"))
+          .agg(sum(col("x").cast("decimal(25,7)")).as("sm"))
+          .groupBy(col("s"), col("cid"))
+          .agg(sort_array(collect_list(struct(col("d"), col("sm")))).as("ds"))
+          .select(col("s"), col("cid"),
+            expr("transform(ds, p -> CAST(p.sm AS FLOAT))").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toArray).toMap
+        cents = Array.tabulate(m) { s =>
+          cids.map(c => updated.getOrElse((s, c), cents(s)(cidIdx(c))))
+        }
+      }
+      (0 until m).map(s => (cids, cents(s)))
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Product-quantize every vector to m small codes: code s = nearest
