@@ -691,6 +691,11 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
+    "consistent_sample" -> ((s, d) =>
+      // referentially-consistent dev slice: 5% of customers, ALL
+      // their orders + lineitems — FKs hold, per-entity history whole
+      Sampling.consistentSample(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), pct = 5)),
     "weighted_sample" -> ((s, d) =>
       // length-weighted per-language sample (weight = n_chars)
       Sampling.weightedSample(
@@ -1950,6 +1955,15 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS INT) AS anomaly
         |FROM dense d JOIN sts USING (event_type)""".stripMargin,
     "zorder_key" -> DuckSql.zorderOracle(bits = 16),
+    "consistent_sample" ->
+      s"""WITH sc AS (
+         |  SELECT c_custkey
+         |  FROM ${DuckSql.hashLongCtes("customer", "c_custkey", "c_custkey", 5L, "h")} hx
+         |  WHERE (h // 2) % 100 < 5),
+         |so AS (SELECT o_orderkey, o_custkey
+         |       FROM orders JOIN sc ON o_custkey = c_custkey)
+         |SELECT l_orderkey, l_linenumber, o_custkey
+         |FROM lineitem JOIN so ON l_orderkey = o_orderkey""".stripMargin,
     "weighted_sample" ->
       s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", 23L, "h")} t),
          |pr AS (SELECT doc_id, lang, n_chars,

@@ -122,4 +122,36 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= n)
   }
+
+  /** Referentially-CONSISTENT sampling — carve a dev/test slice out of
+    * a production schema: hash-sample `pct`% of the ROOT entities
+    * (customers) and keep EVERY dependent row (their orders, those
+    * orders' lineitems), so the slice satisfies all foreign keys and
+    * per-entity behavior is complete. Independent per-table sampling
+    * — the naive approach — breaks both (an order whose customer was
+    * dropped; a lineitem whose order was). Root membership is a pure
+    * hash of the root key (splitmix64, never `rand()`), so the same
+    * slice is reproducible anywhere, and GROWING pct keeps the old
+    * slice as a subset (hash-threshold monotonicity).
+    *
+    * Scale shape: the root filter is map-side; dependents attach by
+    * LEFT SEMI joins DOWN the FK chain (orders semi-join sampled
+    * customers, lineitem joins surviving orders) — each join
+    * hash-partitions on the FK, AQE picks broadcast when the sampled
+    * root set is small. Returns the lineitem-grain slice keyed
+    * (l_orderkey, l_linenumber, o_custkey). */
+  def consistentSample(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, pct: Int,
+                       seed: Long = 5L): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct in (0, 100], got $pct")
+    val sampledCust = customer.select(col("c_custkey"))
+      .where(shiftrightunsigned(Hashing.hashLong64(col("c_custkey"), seed), 1)
+        % 100 < pct)
+    val sampledOrders = orders
+      .join(sampledCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"))
+      .join(sampledOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+  }
 }
