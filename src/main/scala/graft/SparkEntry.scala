@@ -134,6 +134,19 @@ object SparkEntry {
         Changelog.fromEvents(ev(s, d)),
         "customer")),
     "row_format_normalize" -> ((s, d) => RowFormat.normalize(ev(s, d))),
+    "cdc_tx_stats" -> ((s, d) => {
+      // transaction-size histogram split by outcome: how many txs of
+      // each op-count committed vs rolled back — op counts predict
+      // tx-buffer stalls (the reference buffers a whole tx before
+      // release, stream.clj filter-txs; a giant tx is the classic
+      // live-replication stall) and the rolled-back share is wasted
+      // buffer work
+      val log = Changelog.fromEvents(ev(s, d))
+      log.groupBy(col("tx")).agg(count(lit(1)).as("n_ops"),
+          max((col("etype") === "error").cast("int")).as("rolled_back"))
+        .groupBy(col("n_ops"), col("rolled_back"))
+        .agg(count(lit(1)).as("n_txs"))
+    }),
     "cdc_lag" -> ((s, d) => {
       // per-table replication lag: how far each table's newest
       // committed position trails the newest position anywhere — the
@@ -1004,6 +1017,15 @@ object SparkEntry {
         |       'k_out_of_range' AS reason
         |FROM events
         |WHERE CAST(regexp_extract(props, '(\d+)', 1) AS INT) >= 95""".stripMargin,
+    "cdc_tx_stats" -> (logCte +
+      """, tx AS (
+        |  SELECT tx, count(*) AS n_ops,
+        |         max(CASE WHEN etype = 'error' THEN 1 ELSE 0 END) AS rolled_back
+        |  FROM log GROUP BY tx)
+        |SELECT CAST(n_ops AS BIGINT) AS n_ops,
+        |       CAST(rolled_back AS INT) AS rolled_back,
+        |       CAST(count(*) AS BIGINT) AS n_txs
+        |FROM tx GROUP BY n_ops, rolled_back""".stripMargin),
     "cdc_lag" -> (logCte +
       """, pt AS (SELECT tbl, max(pos) AS table_max_pos FROM committed GROUP BY tbl),
         |g AS (SELECT max(table_max_pos) AS g FROM pt)
