@@ -32,6 +32,32 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
   }
 
+  test("zone maps cash in a z-ordered layout: range reads skip files in BOTH dimensions") {
+    val dir = tmp("graft_zonemap_z")
+    val n = 1 << 12 // a 64 x 64 grid
+    val df = spark.range(n).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"), col("id").as("v"))
+    val z = df
+      .withColumn("__z", graft.operators.ZOrder.zValue(col("x"), col("y"), 6))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z")
+    ZoneMap.write(z, dir, Seq("x", "y"))
+    val nFiles = spark.read.parquet(s"$dir/_zonemap").count()
+    assert(nFiles >= 8)
+    // each file covers one compact z-interval = a tight (x, y) tile,
+    // so a narrow range on EITHER dimension eliminates most files —
+    // the property a 1-D sort can only give to its sort column
+    val cx = ZoneMap.candidateFiles(spark, dir, "x", lit(0L), lit(15L))
+    val cy = ZoneMap.candidateFiles(spark, dir, "y", lit(0L), lit(15L))
+    assert(cx.size * 2 <= nFiles, s"x-range must skip >= half the files: ${cx.size}/$nFiles")
+    assert(cy.size * 2 <= nFiles, s"y-range must skip >= half the files: ${cy.size}/$nFiles")
+    // and pruned reads stay exact
+    val gx = ZoneMap.readRange(spark, dir, "x", lit(0L), lit(15L)).count()
+    assert(gx == 16L * 64, s"x in [0,15] over the grid = 1024 rows, got $gx")
+    val gy = ZoneMap.readRange(spark, dir, "y", lit(0L), lit(15L)).count()
+    assert(gy == 16L * 64)
+  }
+
   test("files with NULL bounds are conservatively kept, never falsely skipped") {
     val dir = tmp("graft_zonemap_null")
     // one partition all-NULL keys (NULL min/max), one normal
