@@ -14,8 +14,15 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def formatted(name: String): String =
+  private def formatted(name: String): String = {
+    // audits must see the COLD plan: cached frames left by other
+    // suites (the operators' documented persist convention) otherwise
+    // substitute InMemoryRelations whose printed cachedPlan subtrees
+    // double-count exchanges, making audit results depend on suite
+    // execution order
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+  }
 
   /** `Input [n]: [...]` attribute lists of every `(k) Exchange` node
     * (shuffles only — BroadcastExchange nodes are named differently). */
