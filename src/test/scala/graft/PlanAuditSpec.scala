@@ -176,6 +176,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
   }
 
+  test("ann_ivfpq: the quantized scan ships codes, never an embedding, through any shuffle") {
+    val p = formatted("ann_ivfpq")
+    val bad = shuffleInputs(p).filter(_.contains("embedding"))
+    assert(bad.isEmpty, s"embedding-carrying shuffle(s): $bad")
+    assert(p.contains("nearestcentroids") || p.contains("NearestCentroids"),
+      "list assignment and PQ encode must be the codegen'd plan-constant expressions")
+  }
+
+  test("consistent_sample: root filter is a map-side hash test; dependents attach by semi-join") {
+    val p = formatted("consistent_sample")
+    assert(p.contains("LeftSemi"), s"orders must semi-join the sampled roots:\n$p")
+    assert(p.contains("shiftrightunsigned"), "root membership must be the codegen'd hash test")
+  }
+
   test("hybrid_search_rrf: keyword side ships (token, id) rows — no text through any shuffle") {
     val p = formatted("hybrid_search_rrf")
     val bad = shuffleInputs(p).filter(_.contains("text#"))
