@@ -495,6 +495,20 @@ object SparkEntry {
     "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
     "substr_dup" -> ((s, d) => Corpus.substrPairs(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
+    "chunk_dedup" -> ((s, d) => {
+      // PASSAGE-level dedup: training-data dedup at the sequence
+      // grain — repeated boilerplate paragraphs across different docs
+      // that doc-level exact dedup can't see (the docs differ). Same
+      // two-independent-hash merge guard as dedup_exact; keeper =
+      // lexicographically first (doc, chunk) occurrence
+      val chunks = Corpus.chunk(Tables.documents(s, d))
+      chunks.groupBy(Hashing.fingerprint(col("chunk_text")).as("fp"),
+          xxhash64(col("chunk_text")).as("fp2"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"),
+          count(lit(1)).as("n_copies"))
+        .select(col("k.doc_id").as("keep_doc"),
+          col("k.chunk_idx").as("keep_chunk"), col("n_copies"))
+    }),
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
     "pii_scrub" -> ((s, d) => {
@@ -1646,6 +1660,23 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tok,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM s""".stripMargin,
+    "chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             greatest(1, CAST(ceil(CAST(len(w) - 8 AS DOUBLE) / 56) AS BIGINT)) AS n_chunks
+        |      FROM d),
+        |x AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |              array_to_string(w[(chunk_idx*56 + 1):(chunk_idx*56 + 64)], ' ') AS chunk_text
+        |       FROM x),
+        |g AS (SELECT chunk_text, count(*) AS n_copies FROM ch GROUP BY chunk_text),
+        |k AS (SELECT chunk_text, doc_id, chunk_idx,
+        |             row_number() OVER (PARTITION BY chunk_text
+        |                    ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM ch)
+        |SELECT k.doc_id AS keep_doc, k.chunk_idx AS keep_chunk,
+        |       CAST(g.n_copies AS BIGINT) AS n_copies
+        |FROM k JOIN g USING (chunk_text) WHERE rn = 1""".stripMargin,
     "seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source AS shard,
