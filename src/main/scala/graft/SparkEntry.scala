@@ -718,6 +718,12 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
+    "split_exact" -> ((s, d) =>
+      // exact-quota stratified split: every language splits at exact
+      // rank quotas, so small strata keep the ratio (hash-bucket
+      // splits only promise it in expectation)
+      Sampling.splitExact(Tables.documents(s, d), col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("split"))),
     "consistent_sample" -> ((s, d) =>
       // referentially-consistent dev slice: 5% of customers, ALL
       // their orders + lineitems — FKs hold, per-entity history whole
@@ -2008,6 +2014,20 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS INT) AS anomaly
         |FROM dense d JOIN sts USING (event_type)""".stripMargin,
     "zorder_key" -> DuckSql.zorderOracle(bits = 16),
+    "split_exact" ->
+      s"""WITH hh AS (
+         |  SELECT doc_id, lang, ${DuckSql.signed("h")} AS hs
+         |  FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang", "doc_id", 13L, "h")} hx),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM hh)
+         |SELECT doc_id, lang,
+         |       CASE WHEN rk * 100 <= n * 90 THEN 'train'
+         |            WHEN rk * 100 <= n * 95 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM r""".stripMargin,
     "consistent_sample" ->
       s"""WITH sc AS (
          |  SELECT c_custkey

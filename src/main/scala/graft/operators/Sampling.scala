@@ -47,6 +47,32 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** EXACT-quota stratified split — [[trainTestSplit]] guarantees the
+    * ratios only in expectation (hash buckets), which under-represents
+    * SMALL strata: a 30-doc language can land 40/60 instead of 90/10.
+    * Here every stratum is split at exact rank quotas: rows rank by
+    * (hash, id) WITHIN the stratum and the first
+    * `floor(n·trainPct/100)` are train, the next
+    * `floor(n·validPct/100)` valid, the rest test — per-stratum counts
+    * are exact to the floor, and membership is still a deterministic
+    * pure function of (data, seed). Integer quota arithmetic
+    * (`rk·100 ≤ n·pct`), no doubles anywhere. One stratum exchange;
+    * AQE splits skewed strata. */
+  def splitExact(df: DataFrame, id: Column, stratum: Column,
+                 trainPct: Int = 90, validPct: Int = 5,
+                 seed: Long = 13L): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"invalid split ($trainPct, $validPct)")
+    val w = Window.partitionBy(stratum).orderBy(Hashing.hashLong64(id, seed), id)
+    val n = count(lit(1)).over(Window.partitionBy(stratum))
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("split",
+        when(col("rk") * 100 <= n * trainPct, "train")
+          .when(col("rk") * 100 <= n * (trainPct + validPct), "valid")
+          .otherwise(lit("test")))
+      .drop("rk")
+  }
+
   /** Balanced domain mix: at most `perStratum` rows from each stratum,
     * picked by hash rank (deterministic, not first-k-by-position — so
     * the sample is unbiased w.r.t. input order). One window per
