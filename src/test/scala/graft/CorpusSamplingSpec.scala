@@ -41,6 +41,30 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(out.forall { case (id, s) => again(id) == s })
   }
 
+  test("splitExact: per-stratum counts exact to the floor; small synthetic stratum keeps ratio") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.splitExact(docs, col("doc_id"), col("lang"))
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect()
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(bySplit.getOrElse("train", 0) == n * 90 / 100, s"$lang train quota")
+      assert(bySplit.getOrElse("valid", 0) == n * 95 / 100 - n * 90 / 100, s"$lang valid quota")
+    }
+    // a 10-row stratum splits exactly 9/0/1 — the case hash buckets
+    // get wrong ~half the time
+    val tiny = spark.range(10).select(col("id").as("doc_id"), lit("xx").as("lang"))
+    val t = Sampling.splitExact(tiny, col("doc_id"), col("lang"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(t.getOrElse("train", 0L) == 9L && t.getOrElse("test", 0L) == 1L
+      && t.getOrElse("valid", 0L) == 0L, s"got $t")
+    // partition-order invariance
+    val again = Sampling.splitExact(docs.repartition(7), col("doc_id"), col("lang"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, _, s) => again(id) == s })
+  }
+
   test("domain mix caps every stratum and picks by hash rank, not input order") {
     val docs = Tables.documents(spark, sf)
     val out = Sampling.domainMix(docs, col("doc_id"), col("source"), 5)
