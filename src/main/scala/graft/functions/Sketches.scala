@@ -196,7 +196,111 @@ object Sketches {
     override def prettyName: String = "count_min_sketch"
   }
 
+  /** Deterministic bottom-k-by-hash SAMPLE aggregate carrying a value
+    * payload — the mergeable form of
+    * [[graft.operators.Sketch.quantileSketch]]'s sample, so the same
+    * hash-stable quantile profile runs INSIDE a streaming state store
+    * (per-window length/quality deciles over an unbounded stream with
+    * k·16 B of state per window, forever).
+    *
+    * Semantics: keep the k entries with the smallest `hash` (the
+    * signed splitmix64 of the row key — same order the batch sketch
+    * sorts by); each hash maps to its (key-implied) value, so
+    * RE-DELIVERY of a row is a no-op (at-least-once safe) and the
+    * union of two samples is the merge of their bottom-k's — the KMV
+    * argument applied to sampling. Emits the sample's VALUES ordered
+    * by (value, hash) ascending, ready for the interpolation-free
+    * index-rule quantile (`v[floor(q·(n-1))]`), which makes streamed
+    * window profiles equal the batch sketch on the same rows. */
+  case class BottomKSample(
+      hash: Expression,
+      value: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    require(k >= 1, "BottomKSample needs k >= 1")
+
+    override def left: Expression = hash
+    override def right: Expression = value
+
+    override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+      new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+    private def put(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                    h: Long, v: Long): Unit =
+      if (buf.size < k || h <= buf.lastKey()) {
+        buf.put(h, v)
+        if (buf.size > k) buf.pollLastEntry()
+      }
+
+    override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                        input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val h = hash.eval(input)
+      val v = value.eval(input)
+      if (h != null && v != null) put(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(b1: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                       b2: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val it = b2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        put(b1, e.getKey, e.getValue)
+      }
+      b1
+    }
+
+    override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+      val entries = new Array[(Long, Long)](buf.size) // (value, hash)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next(); entries(i) = (e.getValue.longValue(), e.getKey.longValue()); i += 1
+      }
+      java.util.Arrays.sort(entries, Ordering.Tuple2[Long, Long])
+      new GenericArrayData(entries.map(_._1))
+    }
+
+    override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < n) { val h = bb.getLong; val v = bb.getLong; buf.put(h, v); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): BottomKSample =
+      copy(hash = newLeft, value = newRight)
+    override def prettyName: String = "bottom_k_sample"
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
+
+  /** Aggregate Column: values of the bottom-k-by-`hash` sample,
+    * ordered by (value, hash) — feed the SIGNED [[Hashing.hashLong64]]
+    * of the row key, matching the batch sketch's sort. */
+  def bottomKSample(hash: Column, value: Column, k: Int): Column =
+    toColumn(BottomKSample(toExpr(hash), toExpr(value), k).toAggregateExpression())
 
   /** Aggregate Column: ascending array of the k smallest distinct
     * 63-bit-masked hashes. Feed it an already-hashed long column

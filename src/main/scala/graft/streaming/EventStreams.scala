@@ -108,6 +108,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** B30: windowed corpus quantiles — the live twin of the batch
+    * quantile sketch (`group_quantiles`/`corpus_quantiles`): per
+    * event-time window, a deterministic bottom-k-by-hash sample rides
+    * the streaming state store ([[Sketches.BottomKSample]] — k·16 B
+    * per window forever, re-delivery a no-op) and the
+    * interpolation-free index-rule quantiles come off the sample —
+    * so a window's streamed profile EQUALS the batch sketch computed
+    * over the same rows (spec-pinned). Append mode: a window's
+    * deciles emit exactly once, when the watermark closes it. */
+  def windowedQuantiles(docs: DataFrame, windowDur: String = "1 hour",
+                        watermark: String = "10 minutes", k: Int = 200,
+                        quantiles: Seq[Double] =
+                          Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.Sketches.bottomKSample(
+        Hashing.hashLong64(col("doc_id"), 77L), col("n_chars").cast("long"), k).as("vals"))
+      .select(col("window.start").as("start"),
+        explode(typedlit(quantiles)).as("q"), col("vals"))
+      .select(col("start"), col("q"),
+        element_at(col("vals"),
+          (floor(col("q") * (size(col("vals")) - 1)) + 1).cast("int")).as("v"))
+
   /** B29: incremental streaming dedup against an INGESTED SNAPSHOT —
     * the live twin of [[graft.operators.Dedup.incremental]], for the
     * crawl that never stops: a doc survives iff its content

@@ -243,6 +243,33 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(!kept.contains(4L), "later in-watermark duplicate is dropped by state")
   }
 
+  test("B30: windowed streaming quantiles equal the batch sketch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "n_chars", "ts")
+    val q = graft.streaming.EventStreams.windowedQuantiles(stream, k = 16)
+      .writeStream.format("memory").queryName("b30").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows1 = (0L until 30L).map(i => (i, (i * 37 + 11) % 97, t0))
+    val rows2 = (30L until 50L).map(i => (i, (i * 37 + 11) % 97, t0))
+    in.addData(rows1: _*)
+    q.processAllAvailable()
+    in.addData(rows2: _*) // same window: the state-store sample must MERGE
+    q.processAllAvailable()
+    // advance the watermark so the window closes and emits
+    in.addData((999L, 1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("b30")
+      .where(col("start") === lit(t0))
+      .select("q", "v").as[(Double, Long)].collect().toSet
+    val batch = (rows1 ++ rows2).toDF("doc_id", "n_chars", "ts")
+    val want = graft.operators.Sketch.quantileSketch(
+      batch, col("doc_id"), col("n_chars"), k = 16)
+      .as[(Double, Long)].collect().toSet
+    assert(got == want, s"streamed window profile must equal the batch sketch: $got vs $want")
+  }
+
   test("B29: streaming dedup against a snapshot — snapshot dups die, stream dups die, bloom FPs verified exactly") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
