@@ -89,16 +89,29 @@ object Debezium {
     * `pos`, `gtid`, `ts_ms`, `tx_id` + every input column except
     * `jsonCol`. Undecodable lines yield NULL `op` — route them with
     * [[decodeWithDlq]]. */
+  /** `format`: "auto" (default) tries the schema-wrapped parse and
+    * falls back to flat per row — correct for mixed feeds, but the
+    * majority format pays a second `from_json` per row. A real
+    * connector's converter mode is fixed configuration, so pin
+    * "wrapped" or "flat" in deployment and the decode is exactly ONE
+    * parse per row (rows of the other form then land in the DLQ,
+    * which is the correct reading of a misconfigured feed). */
   def decode(raw: DataFrame, rowSchema: StructType = canonicalRow,
-             jsonCol: String = "value"): DataFrame = {
+             jsonCol: String = "value", format: String = "auto"): DataFrame = {
+    require(Set("auto", "wrapped", "flat")(format),
+      s"Debezium.decode: format must be auto|wrapped|flat, got $format")
     val env = envelopeSchema(rowSchema)
     val wrapped = StructType(Seq(StructField("payload", env)))
     val passThrough = raw.columns.filterNot(_ == jsonCol).map(col)
     val flat = from_json(col(jsonCol), env)
     val inPayload = from_json(col(jsonCol), wrapped).getField("payload")
+    val envCol = format match {
+      case "wrapped" => inPayload
+      case "flat" => flat
+      case _ => when(inPayload.getField("op").isNotNull, inPayload).otherwise(flat)
+    }
     raw
-      .withColumn("__env",
-        when(inPayload.getField("op").isNotNull, inPayload).otherwise(flat))
+      .withColumn("__env", envCol)
       .select(passThrough :+ col("__env"): _*)
       .select(
         passThrough ++ Seq(

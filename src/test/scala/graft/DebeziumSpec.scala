@@ -45,6 +45,21 @@ class DebeziumSpec extends AnyFunSuite {
       Set("""{"oops": true}""", "not json at all"))
   }
 
+  test("pinned decode format is one parse and routes the other form to null-op (DLQ reading)") {
+    val flatLine = env("c", None, Some((1L, 10.0)), "mysql-bin.000001", 100)
+    val wrappedLine = env("u", Some((1L, 10.0)), Some((1L, 12.5)), "mysql-bin.000001", 200, wrapped = true)
+    val raw = Seq(flatLine, wrappedLine).toDF("value")
+    val flatOnly = Debezium.decode(raw, format = "flat")
+    assert(flatOnly.where(col("op").isNotNull).select("op").as[String].collect().toSeq == Seq("c"),
+      "flat mode decodes only the flat line")
+    val wrappedOnly = Debezium.decode(raw, format = "wrapped")
+    assert(wrappedOnly.where(col("op").isNotNull).select("op").as[String].collect().toSeq == Seq("u"),
+      "wrapped mode decodes only the wrapped line")
+    // auto decodes both — the mixed-feed default
+    assert(Debezium.decode(raw).where(col("op").isNotNull).count() == 2)
+    intercept[IllegalArgumentException](Debezium.decode(raw, format = "nope"))
+  }
+
   test("GTID resume tokens: executed window, next token, validation from the decoded gtid column") {
     import graft.cdc.Changelog
     // two sources: a's txs 3..7 survive purge, b executed 1..2
