@@ -58,6 +58,20 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(gy == 16L * 64)
   }
 
+  test("string stats columns prune lexicographic ranges the same way") {
+    val dir = tmp("graft_zonemap_str")
+    val df = spark.range(500).select(
+      concat(lit("key_"), lpad(col("id").cast("string"), 4, "0")).as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k"))
+    ZoneMap.write(df, dir, Seq("k"))
+    val nFiles = spark.read.parquet(s"$dir/_zonemap").count()
+    val cand = ZoneMap.candidateFiles(spark, dir, "k", lit("key_0100"), lit("key_0149"))
+    assert(cand.size < nFiles, "lexicographic range must skip files")
+    val got = ZoneMap.readRange(spark, dir, "k", lit("key_0100"), lit("key_0149"))
+      .select("v").as[Long].collect().toSet
+    assert(got == (100L to 149L).toSet)
+  }
+
   test("files with NULL bounds are conservatively kept, never falsely skipped") {
     val dir = tmp("graft_zonemap_null")
     // one partition all-NULL keys (NULL min/max), one normal
