@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -107,6 +107,43 @@ object EventStreams {
       .withColumn("fp", graft.functions.Hashing.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** One funnel event: (user, event type, event-time micros). */
+  case class FunnelEvent(userId: Long, etype: String, ts: Long)
+
+  /** A user advancing to `stage` (1-based) at `ts`. */
+  case class FunnelAdvance(userId: Long, stage: Int, ts: Long)
+
+  /** B31: streaming funnel — the live twin of the batch `user_funnel`
+    * (C7): each user's progression through the ordered `stages`
+    * (view → click → purchase) tracked across micro-batches, an
+    * append-mode row emitted EXACTLY when a user reaches the next
+    * stage (so the sink's max stage per user is the batch funnel's
+    * answer, and stage-k counts are live conversion counts). State is
+    * ONE int per user — the highest stage reached — so the store is
+    * user-count-sized regardless of event volume; events sort by
+    * event time within a (user, micro-batch) group, so intra-batch
+    * reordering can't skip or double-count a stage; a stage-k event
+    * arriving before stage-k-1 simply doesn't advance (the funnel's
+    * definition, not an error). */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) => {
+          val out = Seq.newBuilder[FunnelAdvance]
+          var cur = state.getOption.getOrElse(0)
+          rows.toSeq.sortBy(e => (e.ts, e.etype)).foreach { e =>
+            if (cur < stages.length && e.etype == stages(cur)) {
+              cur += 1
+              out += FunnelAdvance(user, cur, e.ts)
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+        })
+  }
 
   /** B30: windowed corpus quantiles — the live twin of the batch
     * quantile sketch (`group_quantiles`/`corpus_quantiles`): per

@@ -243,6 +243,29 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(!kept.contains(4L), "later in-watermark duplicate is dropped by state")
   }
 
+  test("B31: streaming funnel advances exactly once per stage, across batches, order-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val q = graft.streaming.EventStreams.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("b31").outputMode("append").start()
+    in.addData(
+      FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L),
+      FunnelEvent(2L, "click", 10L),                       // no view first: stuck at 0
+      FunnelEvent(3L, "click", 20L), FunnelEvent(3L, "view", 10L)) // out of order in-batch
+    q.processAllAvailable()
+    in.addData(
+      FunnelEvent(1L, "purchase", 30L),  // cross-batch: state remembers stage 2
+      FunnelEvent(1L, "view", 40L),      // already past view: no re-advance
+      FunnelEvent(2L, "purchase", 20L))  // still stuck: click ≠ stage-1
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("b31").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (3L, 1, 10L), (3L, 2, 20L)))
+  }
+
   test("B30: windowed streaming quantiles equal the batch sketch over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
