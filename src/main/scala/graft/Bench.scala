@@ -113,10 +113,13 @@ object Bench {
       s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated in the driver's capture; a file copy
-    // keeps the per-query medians/samples recoverable regardless
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-    }
+    // keeps the per-query medians/samples recoverable regardless.
+    // Default to a repo-relative artifact (BENCH_LAST.json) so the
+    // numbers survive even when the env var is unset.
+    val outPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    java.nio.file.Files.writeString(outPath, line + "\n")
+    System.err.println(s"[bench] artifact written to ${outPath.toAbsolutePath}")
     spark.stop()
   }
 }

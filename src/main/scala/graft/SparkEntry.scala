@@ -676,8 +676,11 @@ object SparkEntry {
     "zonemap_prune" -> ((s, d) => {
       // per-file min/max manifest + file-skipping read: the range
       // scan opens only files whose zone intersects (spec asserts the
-      // skip; the oracle proves result-identity with a full filter)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_q"
+      // skip; the oracle proves result-identity with a full filter).
+      // Per-run unique dir — a fixed shared path lets two concurrent
+      // harness runs clobber each other's data/manifest mid-read.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zonemap_q").toString
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .repartitionByRange(8, col("l_orderkey"))

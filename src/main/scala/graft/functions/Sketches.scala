@@ -203,22 +203,28 @@ object Sketches {
     * (per-window length/quality deciles over an unbounded stream with
     * k·16 B of state per window, forever).
     *
-    * Semantics: keep the k entries with the smallest `hash` (the
-    * signed splitmix64 of the row key — same order the batch sketch
-    * sorts by); each hash maps to its (key-implied) value, so
-    * RE-DELIVERY of a row is a no-op (at-least-once safe) and the
-    * union of two samples is the merge of their bottom-k's — the KMV
-    * argument applied to sampling. Emits the sample's VALUES ordered
-    * by (value, hash) ascending, ready for the interpolation-free
-    * index-rule quantile (`v[floor(q·(n-1))]`), which makes streamed
-    * window profiles equal the batch sketch on the same rows. */
+    * Semantics: keep the k entries smallest by `(hash, value)` — hash
+    * is the signed splitmix64 of the row key (same leading order the
+    * batch sketch sorts by), and the value payload breaks 64-bit hash
+    * COLLISIONS deterministically, so two distinct rows colliding on
+    * hash both stay in the buffer and the result is independent of
+    * update/merge order (the batch sketch breaks the same tie by key;
+    * under a collision whose values order differently than the keys
+    * the two can diverge — probability ~k·n/2⁻⁶⁴, the accepted KMV
+    * caveat). RE-DELIVERY of a row is a no-op (same (hash, value)
+    * pair, at-least-once safe) and the union of two samples is the
+    * merge of their bottom-k's — the KMV argument applied to sampling.
+    * Emits the sample's VALUES ordered by (value, hash) ascending,
+    * ready for the interpolation-free index-rule quantile
+    * (`v[floor(q·(n-1))]`), which makes streamed window profiles equal
+    * the batch sketch on the same rows. */
   case class BottomKSample(
       hash: Expression,
       value: Expression,
       k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
     require(k >= 1, "BottomKSample needs k >= 1")
@@ -226,59 +232,62 @@ object Sketches {
     override def left: Expression = hash
     override def right: Expression = value
 
-    override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
-      new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    @transient private lazy val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
 
-    private def put(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
-                    h: Long, v: Long): Unit =
-      if (buf.size < k || h <= buf.lastKey()) {
-        buf.put(h, v)
-        if (buf.size > k) buf.pollLastEntry()
+    override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+      new java.util.TreeSet[(Long, Long)](ord)
+
+    private def put(buf: java.util.TreeSet[(Long, Long)], h: Long, v: Long): Unit = {
+      val e = (h, v)
+      if (buf.size < k || ord.lt(e, buf.last())) {
+        buf.add(e)
+        if (buf.size > k) buf.pollLast()
       }
+    }
 
-    override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
-                        input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    override def update(buf: java.util.TreeSet[(Long, Long)],
+                        input: InternalRow): java.util.TreeSet[(Long, Long)] = {
       val h = hash.eval(input)
       val v = value.eval(input)
       if (h != null && v != null) put(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
       buf
     }
 
-    override def merge(b1: java.util.TreeMap[java.lang.Long, java.lang.Long],
-                       b2: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
-      val it = b2.entrySet().iterator()
+    override def merge(b1: java.util.TreeSet[(Long, Long)],
+                       b2: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+      val it = b2.iterator()
       while (it.hasNext) {
         val e = it.next()
-        put(b1, e.getKey, e.getValue)
+        put(b1, e._1, e._2)
       }
       b1
     }
 
-    override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
       val entries = new Array[(Long, Long)](buf.size) // (value, hash)
-      val it = buf.entrySet().iterator()
+      val it = buf.iterator()
       var i = 0
       while (it.hasNext) {
-        val e = it.next(); entries(i) = (e.getValue.longValue(), e.getKey.longValue()); i += 1
+        val e = it.next(); entries(i) = (e._2, e._1); i += 1
       }
       java.util.Arrays.sort(entries, Ordering.Tuple2[Long, Long])
       new GenericArrayData(entries.map(_._1))
     }
 
-    override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
       val bb = ByteBuffer.allocate(4 + 16 * buf.size)
       bb.putInt(buf.size)
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+      val it = buf.iterator()
+      while (it.hasNext) { val e = it.next(); bb.putLong(e._1); bb.putLong(e._2) }
       bb.array()
     }
 
-    override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
       val bb = ByteBuffer.wrap(bytes)
       val n = bb.getInt
-      val buf = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+      val buf = createAggregationBuffer()
       var i = 0
-      while (i < n) { val h = bb.getLong; val v = bb.getLong; buf.put(h, v); i += 1 }
+      while (i < n) { val h = bb.getLong; val v = bb.getLong; buf.add((h, v)); i += 1 }
       buf
     }
 

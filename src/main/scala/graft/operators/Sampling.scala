@@ -67,8 +67,11 @@ object Sampling {
     val n = count(lit(1)).over(Window.partitionBy(stratum))
     df.withColumn("rk", row_number().over(w))
       .withColumn("split",
-        when(col("rk") * 100 <= n * trainPct, "train")
-          .when(col("rk") * 100 <= n * (trainPct + validPct), "valid")
+        // rk is IntegerType (row_number); widen BEFORE the multiply or
+        // rk*100 wraps past ~21.4M rows per stratum. n (count over
+        // window) is already LongType, so the comparison stays long.
+        when(col("rk").cast("long") * 100 <= n * trainPct, "train")
+          .when(col("rk").cast("long") * 100 <= n * (trainPct + validPct), "valid")
           .otherwise(lit("test")))
       .drop("rk")
   }

@@ -81,21 +81,38 @@ object Debezium {
       regexp_extract(file, "(\\d+)$", 1).cast("long"), lit(0L)), 40)
       .bitwiseOR(coalesce(pos, lit(0L)))
 
+  /** The single-parse schema behind `format="auto"`: the wrapped
+    * form's only top-level key (`payload`) unioned with the flat
+    * form's top-level fields. ONE `from_json` against this parses
+    * either form — a wrapped line fills `payload` and leaves the flat
+    * fields null, a flat line the reverse — and the branch pick
+    * happens AFTER parsing, on the already-typed struct. */
+  private def autoSchema(env: StructType): StructType =
+    StructType(StructField("payload", env) +: env.fields)
+
+  /** Pick the envelope out of an [[autoSchema]]-parsed struct:
+    * `payload` when it carries an `op`, else the flat fields
+    * reassembled. (A fully unparseable line yields a struct of nulls —
+    * same NULL `op` the DLQ split keys on.) */
+  private def autoEnv(parsed: Column, env: StructType): Column =
+    when(parsed.getField("payload").getField("op").isNotNull,
+        parsed.getField("payload"))
+      .otherwise(struct(
+        env.fields.toSeq.map(f => parsed.getField(f.name).as(f.name)): _*))
+
   /** Decode a frame of raw Debezium JSON strings (`jsonCol`) into
     * typed envelope columns. Handles both the schema-wrapped and the
-    * flat form by parsing the line both ways and coalescing on a
-    * field the envelope always carries (`op`). Output columns:
-    * `before`, `after`, `op`, `src_name`, `db`, `tbl_name`, `file`,
-    * `pos`, `gtid`, `ts_ms`, `tx_id` + every input column except
-    * `jsonCol`. Undecodable lines yield NULL `op` — route them with
-    * [[decodeWithDlq]]. */
-  /** `format`: "auto" (default) tries the schema-wrapped parse and
-    * falls back to flat per row — correct for mixed feeds, but the
-    * majority format pays a second `from_json` per row. A real
-    * connector's converter mode is fixed configuration, so pin
-    * "wrapped" or "flat" in deployment and the decode is exactly ONE
-    * parse per row (rows of the other form then land in the DLQ,
-    * which is the correct reading of a misconfigured feed). */
+    * flat form in a SINGLE `from_json` pass (see [[autoSchema]]).
+    * Output columns: `before`, `after`, `op`, `src_name`, `db`,
+    * `tbl_name`, `file`, `pos`, `gtid`, `ts_ms`, `tx_id` + every input
+    * column except `jsonCol`. Undecodable lines yield NULL `op` —
+    * route them with [[decodeWithDlq]]. */
+  /** `format`: "auto" (default) handles mixed feeds at one parse per
+    * row via the merged [[autoSchema]]. A real connector's converter
+    * mode is fixed configuration, so pinning "wrapped" or "flat"
+    * parses against the exact single-form schema (rows of the other
+    * form then land in the DLQ, which is the correct reading of a
+    * misconfigured feed). */
   def decode(raw: DataFrame, rowSchema: StructType = canonicalRow,
              jsonCol: String = "value", format: String = "auto"): DataFrame = {
     require(Set("auto", "wrapped", "flat")(format),
@@ -103,12 +120,10 @@ object Debezium {
     val env = envelopeSchema(rowSchema)
     val wrapped = StructType(Seq(StructField("payload", env)))
     val passThrough = raw.columns.filterNot(_ == jsonCol).map(col)
-    val flat = from_json(col(jsonCol), env)
-    val inPayload = from_json(col(jsonCol), wrapped).getField("payload")
     val envCol = format match {
-      case "wrapped" => inPayload
-      case "flat" => flat
-      case _ => when(inPayload.getField("op").isNotNull, inPayload).otherwise(flat)
+      case "wrapped" => from_json(col(jsonCol), wrapped).getField("payload")
+      case "flat" => from_json(col(jsonCol), env)
+      case _ => autoEnv(from_json(col(jsonCol), autoSchema(env)), env)
     }
     raw
       .withColumn("__env", envCol)
@@ -137,11 +152,10 @@ object Debezium {
   def decodeWithDlq(raw: DataFrame, rowSchema: StructType = canonicalRow,
                     jsonCol: String = "value"): (DataFrame, DataFrame) = {
     val decoded = decode(raw, rowSchema, jsonCol)
-    val bad = raw.withColumn("__env", from_json(col(jsonCol), envelopeSchema(rowSchema)))
-      .withColumn("__envp",
-        from_json(col(jsonCol), StructType(Seq(StructField("payload", envelopeSchema(rowSchema)))))
-          .getField("payload"))
-      .filter(col("__env.op").isNull && col("__envp.op").isNull)
+    val env = envelopeSchema(rowSchema)
+    val bad = raw
+      .withColumn("__parsed", from_json(col(jsonCol), autoSchema(env)))
+      .filter(col("__parsed.payload.op").isNull && col("__parsed.op").isNull)
       .select(col(jsonCol).as("raw"))
     (decoded.filter(col("op").isNotNull), bad)
   }

@@ -208,13 +208,17 @@ object ChangelogStream {
     * watermark), so the store stays control-sized forever; re-delivery
     * of already-executed txnos (≤ watermark) is a no-op, matching
     * GTID at-least-once semantics. Within a micro-batch txnos are
-    * sorted, so intra-batch reordering never fabricates a gap. */
+    * sorted, so intra-batch reordering never fabricates a gap.
+    * Malformed GTIDs (no ':', empty source, non-numeric txno) are
+    * dropped, mirroring [[gtidExecutedStream]]'s null-tolerant cast —
+    * a bad line must not crash the query. */
   def gtidGaps(gtids: Dataset[String]): Dataset[GtidGap] = {
     import gtids.sparkSession.implicits._
     gtids.filter(_ != null)
-      .map { g =>
+      .flatMap { g =>
         val i = g.lastIndexOf(':')
-        (g.substring(0, i), g.substring(i + 1).toLong)
+        if (i <= 0 || i == g.length - 1) None
+        else g.substring(i + 1).toLongOption.map(t => (g.substring(0, i), t))
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

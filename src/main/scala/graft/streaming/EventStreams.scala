@@ -125,23 +125,43 @@ object EventStreams {
     * event time within a (user, micro-batch) group, so intra-batch
     * reordering can't skip or double-count a stage; a stage-k event
     * arriving before stage-k-1 simply doesn't advance (the funnel's
-    * definition, not an error). */
+    * definition, not an error).
+    *
+    * `idleTtlMs`: with 0 (default) a user's stage counter lives in the
+    * state store forever — that IS the funnel's definition, but the
+    * store then grows with every user that EVER appeared. A positive
+    * TTL drops users silent for that long (processing-time timeout,
+    * same trade as [[graft.streaming.ChangelogStream.entityState]]'s
+    * tombstone TTL): a churned user who returns past the horizon
+    * restarts the funnel from stage 0. The per-user per-batch event
+    * list is materialized on the heap for the sort — fine at per-user
+    * volumes, which are human-action-sized by construction. */
   def funnelStages(events: Dataset[FunnelEvent],
-                   stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   idleTtlMs: Long = 0): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) => {
-          val out = Seq.newBuilder[FunnelAdvance]
-          var cur = state.getOption.getOrElse(0)
-          rows.toSeq.sortBy(e => (e.ts, e.etype)).foreach { e =>
-            if (cur < stages.length && e.etype == stages(cur)) {
-              cur += 1
-              out += FunnelAdvance(user, cur, e.ts)
+          if (idleTtlMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[FunnelAdvance]
+            var cur = state.getOption.getOrElse(0)
+            rows.toSeq.sortBy(e => (e.ts, e.etype)).foreach { e =>
+              if (cur < stages.length && e.etype == stages(cur)) {
+                cur += 1
+                out += FunnelAdvance(user, cur, e.ts)
+              }
             }
+            state.update(cur)
+            if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            out.result().iterator
           }
-          state.update(cur)
-          out.result().iterator
         })
   }
 
@@ -163,6 +183,10 @@ object EventStreams {
       .groupBy(window(col("ts"), windowDur))
       .agg(graft.functions.Sketches.bottomKSample(
         Hashing.hashLong64(col("doc_id"), 77L), col("n_chars").cast("long"), k).as("vals"))
+      // a window whose rows were all NULL produces an empty sample —
+      // index floor(q·(size-1))+1 would be 0 and element_at throws, so
+      // such windows emit nothing rather than crash the query
+      .where(size(col("vals")) > 0)
       .select(col("window.start").as("start"),
         explode(typedlit(quantiles)).as("q"), col("vals"))
       .select(col("start"), col("q"),

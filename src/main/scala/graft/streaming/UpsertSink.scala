@@ -2,11 +2,13 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
+import graft.sinks.ZoneMap
 import graft.streaming.ChangelogStream.Change
 
 /** Keyed-table materialization sink: maintains an always-current
@@ -79,10 +81,18 @@ object UpsertSink {
   private def alreadyPublished(tableDir: String, batchId: Long): Boolean =
     ViewLayout.publishedBatch(tableDir).contains(batchId)
 
+  /** The snapshot's fixed column set (the canonical entity frame). */
+  private val snapshotSchema = StructType(Seq(
+    StructField("tbl", StringType), StructField("id", LongType),
+    StructField("value", DoubleType), StructField("lastPos", LongType)))
+
   private def emptySnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, Long, Double, Long)].toDF("tbl", "id", "value", "lastPos")
   }
+
+  private def statsFields(statsCols: Seq[String]): Seq[StructField] =
+    statsCols.map(c => snapshotSchema(c))
 
   /** Read the currently-published snapshot (empty frame if none). */
   def readCurrent(spark: SparkSession, tableDir: String): DataFrame =
@@ -142,7 +152,8 @@ object UpsertSink {
     * `retainVersions` bounds on-disk history (min 2: current +
     * previous). */
   def mergeBatch(batch: Dataset[Change], tableDir: String, batchId: Long,
-                 numBuckets: Int = 64, retainVersions: Int = 2): Unit = {
+                 numBuckets: Int = 64, retainVersions: Int = 2,
+                 statsCols: Seq[String] = Nil): Unit = {
     if (alreadyPublished(tableDir, batchId)) return
     // An empty batch 0 (which Spark does deliver to foreachBatch)
     // writes no parquet, so nothing else would create the table dir —
@@ -193,6 +204,14 @@ object UpsertSink {
       merged.repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
         .parquet(s"$tableDir/$version")
+      // zone-map refresh for the JUST-WRITTEN version dir: per-file
+      // min/max from parquet footers (file-count-sized — no second
+      // pass over the bucket data), so LIVE views get file-skipping
+      // range reads ([[readCurrentRange]]), not just static writes.
+      // Untouched buckets keep the manifests their own writing batch
+      // produced.
+      if (statsCols.nonEmpty)
+        ZoneMap.writeManifest(spark, s"$tableDir/$version", statsFields(statsCols))
     }
 
     // A touched bucket may come back EMPTY (every key deleted) — then
@@ -235,7 +254,7 @@ object UpsertSink {
     * every future batch is O(batch + touched buckets) again at a
     * bucket size that fits the grown table. */
   def rebucket(spark: SparkSession, tableDir: String, newN: Int,
-               retainVersions: Int = 2): Unit = {
+               retainVersions: Int = 2, statsCols: Seq[String] = Nil): Unit = {
     require(newN > 0, s"newN must be positive, got $newN")
     val lastBatch = ViewLayout.publishedBatch(tableDir)
     val version = ViewLayout.nextVersion(tableDir)
@@ -244,6 +263,8 @@ object UpsertSink {
       .repartition(col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$tableDir/$version")
+    if (statsCols.nonEmpty)
+      ZoneMap.writeManifest(spark, s"$tableDir/$version", statsFields(statsCols))
     val written = ViewLayout.writtenBuckets(tableDir, version)
     val body = (Seq(s"batch ${lastBatch.getOrElse(-1L)}") ++
       written.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }).mkString("\n")
@@ -255,13 +276,57 @@ object UpsertSink {
 
   /** Start materializing a changelog stream into `tableDir`.
     * `retainVersions` > 2 keeps that much [[readVersion]] time-travel
-    * history on disk. */
+    * history on disk. `statsCols` (e.g. `Seq("lastPos")`) maintains a
+    * per-version zone-map manifest so [[readCurrentRange]] can skip
+    * files — `lastPos` is the natural choice: each version's files
+    * carry that batch's position range, so "rows changed since pos P"
+    * reads only recently-rewritten buckets. */
   def materialize(changes: Dataset[Change], tableDir: String,
                   checkpointDir: String, numBuckets: Int = 64,
-                  retainVersions: Int = 2): StreamingQuery =
+                  retainVersions: Int = 2,
+                  statsCols: Seq[String] = Nil): StreamingQuery =
     changes.writeStream
       .foreachBatch((batch: Dataset[Change], batchId: Long) =>
-        mergeBatch(batch, tableDir, batchId, numBuckets, retainVersions))
+        mergeBatch(batch, tableDir, batchId, numBuckets, retainVersions, statsCols))
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** The current snapshot's data files whose zone on `statsCol`
+    * intersects `[lo, hi]` — resolved per referenced VERSION dir
+    * (each version's `_zonemap` covers exactly the files that version
+    * wrote; only files under bucket dirs the current manifest actually
+    * references count). A version without a manifest (written before
+    * stats were enabled) contributes all its referenced bucket dirs —
+    * conservative, never a false skip. */
+  def currentRangeFiles(spark: SparkSession, tableDir: String, statsCol: String,
+                        lo: Column, hi: Column): Seq[String] =
+    ViewLayout.currentVersion(tableDir) match {
+      case None => Nil
+      case Some(v) =>
+        val bucketDirs = ViewLayout.readBucketManifest(tableDir, v).values.toSeq
+        bucketDirs.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).flatMap {
+          case (ver, dirs) =>
+            val zm = s"$tableDir/$ver/${ZoneMap.manifestDir}"
+            if (Files.exists(Paths.get(tableDir, ver, ZoneMap.manifestDir)))
+              ZoneMap.candidateFilesAt(spark, zm, statsCol, lo, hi)
+                // the version's manifest covers every file IT wrote;
+                // keep only files under bucket dirs still referenced
+                .filter(f => dirs.exists(d => f.contains(s"/$d/")))
+            else dirs.sorted.map(d => s"$tableDir/$d")
+        }
+    }
+
+  /** Range read over the LIVE view with zone-map file skipping:
+    * result-identical to `readCurrent(...).filter(statsCol ∈ [lo,
+    * hi])` (the residual filter drops in-file non-matches; unknown
+    * bounds are kept), scanning only intersecting files. */
+  def readCurrentRange(spark: SparkSession, tableDir: String, statsCol: String,
+                       lo: Column, hi: Column): DataFrame = {
+    val files = currentRangeFiles(spark, tableDir, statsCol, lo, hi)
+    val base =
+      if (files.isEmpty) emptySnapshot(spark)
+      else spark.read.parquet(files: _*).select(
+        col("tbl"), col("id"), col("value"), col("lastPos"))
+    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
 }

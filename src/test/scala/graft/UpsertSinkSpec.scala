@@ -287,6 +287,50 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(all == Set(100L, 101L, 102L, 103L)) // history intact via shared dirs
   }
 
+  test("live-view zone maps: range reads on lastPos skip untouched buckets' files") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tableDir = Files.createTempDirectory("graft_sink_zm").toString
+    // batch 0: 200 keys at pos 1..200 spread over (almost surely) all
+    // 16 buckets; batch 1: two keys at pos 1000+ touching few buckets
+    UpsertSink.mergeBatch(
+      (1 to 200).map(i => Change(i.toLong, "upsert", "t", i.toLong, i.toDouble)).toDS(),
+      tableDir, 0L, numBuckets = 16, retainVersions = 4, statsCols = Seq("lastPos"))
+    UpsertSink.mergeBatch(
+      Seq(Change(1001L, "upsert", "t", 7L, 7.5),
+          Change(1002L, "upsert", "t", 8L, 8.5)).toDS(),
+      tableDir, 1L, numBuckets = 16, retainVersions = 4, statsCols = Seq("lastPos"))
+
+    val allFiles = UpsertSink.currentRangeFiles(spark, tableDir, "lastPos",
+      lit(Long.MinValue), lit(Long.MaxValue))
+    val recent = UpsertSink.currentRangeFiles(spark, tableDir, "lastPos",
+      lit(1000L), lit(2000L))
+    assert(recent.nonEmpty && recent.size * 2 <= allFiles.size,
+      s"a recent-positions read must skip most files: ${recent.size}/${allFiles.size}")
+    // result identity with the unpruned read + filter (no false skips)
+    val got = UpsertSink.readCurrentRange(spark, tableDir, "lastPos",
+        lit(1000L), lit(2000L))
+      .select("id", "value", "lastPos").as[(Long, Double, Long)].collect().toSet
+    val want = UpsertSink.readCurrent(spark, tableDir)
+      .filter(col("lastPos") >= 1000L && col("lastPos") <= 2000L)
+      .select("id", "value", "lastPos").as[(Long, Double, Long)].collect().toSet
+    assert(got == want && got == Set((7L, 7.5, 1001L), (8L, 8.5, 1002L)))
+  }
+
+  test("versions written before stats were enabled degrade to conservative full reads") {
+    import org.apache.spark.sql.functions.lit
+    val tableDir = Files.createTempDirectory("graft_sink_zm_mixed").toString
+    UpsertSink.mergeBatch( // no statsCols: v0 has no _zonemap
+      (1 to 50).map(i => Change(i.toLong, "upsert", "t", i.toLong, i.toDouble)).toDS(),
+      tableDir, 0L, numBuckets = 8, retainVersions = 4)
+    UpsertSink.mergeBatch( // stats enabled from v1 on
+      Seq(Change(500L, "upsert", "t", 3L, 3.5)).toDS(),
+      tableDir, 1L, numBuckets = 8, retainVersions = 4, statsCols = Seq("lastPos"))
+    val got = UpsertSink.readCurrentRange(spark, tableDir, "lastPos", lit(1L), lit(600L))
+      .select("id", "value").as[(Long, Double)].collect().toMap
+    assert(got.size == 50 && got(3L) == 3.5,
+      "mixed manifest/no-manifest versions must still read exactly")
+  }
+
   test("time travel: a retained version reads as the exact post-batch snapshot; pruned raises") {
     val tableDir = Files.createTempDirectory("graft_sink_tt").toString
     // retain 3 versions of a table evolving one key per batch

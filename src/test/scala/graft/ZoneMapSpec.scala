@@ -72,6 +72,43 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == (100L to 149L).toSet)
   }
 
+  test("manifest derives from parquet footers — no second pass over the data") {
+    // the write itself reads the 20k source rows once; a post-write
+    // manifest scan would read them AGAIN (≈40k total). Footer stats
+    // keep total input reads strictly below that.
+    val src = tmp("graft_zonemap_src")
+    spark.range(20000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").parquet(src)
+    val df = spark.read.parquet(src).repartition(6, col("k"))
+    val dir = tmp("graft_zonemap_io")
+    @volatile var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) records += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ZoneMap.write(df, dir, Seq("k"))
+      // listener events are async; wait until the counter settles
+      var last = -1L; var settle = 0
+      while (settle < 3) {
+        Thread.sleep(200)
+        if (records == last) settle += 1 else { settle = 0; last = records }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(records <= 30000L,
+      s"manifest must not re-scan the data: $records input records for a 20k write")
+    // and the footer-derived manifest equals the scan-derived truth
+    def byName(rows: Array[org.apache.spark.sql.Row]): Map[String, (Long, Long)] =
+      rows.map(r => (r.getString(0).split('/').last, (r.getLong(1), r.getLong(2)))).toMap
+    val got = byName(spark.read.parquet(s"$dir/_zonemap")
+      .select(col("file"), col("min_k"), col("max_k")).collect())
+    val want = byName(spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx")).collect())
+    assert(got == want, s"footer stats must equal scan stats\n got=$got\nwant=$want")
+  }
+
   test("files with NULL bounds are conservatively kept, never falsely skipped") {
     val dir = tmp("graft_zonemap_null")
     // one partition all-NULL keys (NULL min/max), one normal
