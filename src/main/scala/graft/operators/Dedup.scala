@@ -542,9 +542,30 @@ object Dedup {
     * and Jaccards, and `n_dup_snap` re-inflates by snapshot group
     * size), id-only (band, bucket) equi-join for candidates, shingle
     * arrays attach to candidate rows only, one final member fan-out.
-    * Empty-shingle docs are never banded: no candidates, kept. */
+    * Empty-shingle docs are never banded: no candidates, kept.
+    *
+    * EAGER, cache-scoped: unlike the batch pair miners (whose persists
+    * follow the documented caller-clears-cache convention), this
+    * operator materializes its batch-doc-sized result via
+    * `localCheckpoint` and releases the corpus-sized shingle/group
+    * caches before returning — a library caller looping daily
+    * increments must not accumulate pinned shingle frames. Same
+    * fault-tolerance trade as [[connectedComponents]]'s label
+    * checkpoints: swap reliable `checkpoint()` in for cluster runs
+    * where re-running the operator on executor loss is unacceptable. */
   def incrementalNearDup(docs: DataFrame, cutoff: Long, numHashes: Int = 128,
                          bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val (out, cached) = incrementalNearDupPlan(docs, cutoff, numHashes, bands, threshold)
+    try out.localCheckpoint(eager = true)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The lazy plan behind [[incrementalNearDup]] plus its persisted
+    * intermediates — exposed so plan audits can inspect the real
+    * compute shape (the public method returns a checkpoint scan). */
+  private[graft] def incrementalNearDupPlan(
+      docs: DataFrame, cutoff: Long, numHashes: Int = 128,
+      bands: Int = 16, threshold: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val rows = numHashes / bands
     // persisted: the frame feeds BOTH the collapse and the final
     // member fan-out — without the cache the corpus would be scanned,
@@ -582,13 +603,14 @@ object Dedup {
         col("i").cast("double") / (size(col("b_sh")) + size(col("s_sh")) - col("i")))
       .filter(col("j") >= threshold)
       .groupBy(col("b_gid")).agg(sum(col("s_m")).as("n_dup"))
-    withKey.filter(col("side")).select(col("doc_id"), col("gk"), col("gk2"))
+    val out = withKey.filter(col("side")).select(col("doc_id"), col("gk"), col("gk2"))
       .join(groups.filter(col("side")).select(col("gk"), col("gk2"), col("gid")),
         Seq("gk", "gk2"))
       .join(perGroup.withColumnRenamed("b_gid", "gid"), Seq("gid"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_snap"),
         (coalesce(col("n_dup"), lit(0L)) === 0).cast("int").as("keep"))
+    (out, Seq(withKey, groups))
   }
 
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al., 2023,

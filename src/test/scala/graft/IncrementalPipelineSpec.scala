@@ -70,4 +70,20 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(pruned == want)
   }
+
+  test("incrementalNearDup releases its corpus-sized caches before returning") {
+    // a caller looping daily increments must not accumulate pinned
+    // shingle/group frames: only the batch-doc-sized result checkpoint
+    // may survive the call
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.incrementalNearDup(
+      Tables.documents(spark, "/root/testdata/sf0.001"), cutoff = 250L)
+    val n = out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"only the result checkpoint may stay persisted, found ${leaked.size} new RDDs")
+    assert(n > 0)
+    out.unpersist(blocking = false)
+  }
 }

@@ -155,7 +155,14 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dedup_incremental_lsh: only the compute fan-out ships text; the index joins ship ids+buckets") {
-    val p = formatted("dedup_incremental_lsh")
+    // the public operator returns an eager checkpoint scan (so its
+    // corpus-sized caches can be released before return) — audit the
+    // underlying lazy plan via the internal builder
+    spark.catalog.clearCache()
+    val (lazyPlan, cached) = graft.operators.Dedup.incrementalNearDupPlan(
+      Tables.documents(spark, sf), cutoff = 250L)
+    val p = lazyPlan.queryExecution.explainString(FormattedMode)
+    cached.foreach(_.unpersist(blocking = false))
     // ONE deliberate text-carrying exchange exists: the round-robin
     // fan-out BEFORE shingling, so the expensive shingle compute runs
     // at full parallelism instead of at the scan's partition count
