@@ -511,6 +511,32 @@ object SparkEntry {
     }),
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
+    // ---- D10b/D20c/D22b: tokenizer-exact BPE budgets. The merge
+    // table is corpus-trained (deterministic — count ties break
+    // lexicographically) and rides as a plan constant; the encode is a
+    // codegen'd map. These three have NO SQL oracle: BPE's iterative
+    // merge loop is not expressible in DuckDB SQL, so the driver
+    // records the weaker rows-only check and BpeSpec pins equivalence
+    // against an independent serial reference implementation instead.
+    "token_count_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
+      docs.select(col("doc_id"),
+        graft.functions.Bpe.bpeCount(col("text"), m).as("n_bpe"))
+    }),
+    "doc_chunk_bpe" -> ((s, d) => {
+      // context windows budgeted in trained-tokenizer tokens; chunk
+      // text is the pieces concatenated (pieces own their spaces)
+      val docs = Tables.documents(s, d)
+      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
+      Corpus.chunkBpe(docs, m, maxTok = 48, overlap = 8)
+    }),
+    "seq_pack_bpe" -> ((s, d) => {
+      // training-sequence packing against a real token budget
+      val docs = Tables.documents(s, d)
+      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
+      Corpus.packSequencesBpe(docs, 512, col("source"), m)
+    }),
     "pii_scrub" -> ((s, d) => {
       // plant deterministic PII per row (the synthetic corpus has
       // none): an email, a US phone and an IPv4, all doc_id-derived

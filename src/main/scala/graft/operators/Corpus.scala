@@ -111,12 +111,28 @@ object Corpus {
     * doc (even empty) emits ≥ 1 chunk and the final partial window is
     * kept. Output: (doc_id, chunk_idx, chunk_tok, chunk_text),
     * totally ordered by (doc_id, chunk_idx). */
-  def chunk(docs: DataFrame, maxTok: Int = 64, overlap: Int = 8): DataFrame = {
+  def chunk(docs: DataFrame, maxTok: Int = 64, overlap: Int = 8): DataFrame =
+    chunkBy(docs, TextFunctions.tokens(col("text")), " ", maxTok, overlap)
+
+  /** [[chunk]] with TOKENIZER-exact windows: the token stream is the
+    * corpus-trained BPE piece sequence ([[graft.functions.Bpe]]), so
+    * `maxTok` is a real model-context budget, not a whitespace proxy.
+    * Chunk text is the pieces concatenated (pieces carry their own
+    * leading spaces — chunking in token space, decoding back to text,
+    * the way context-window shaping actually runs). Same pure
+    * map-side generate; the merge table rides as a plan constant. */
+  def chunkBpe(docs: DataFrame, merges: graft.functions.BpeMerges,
+               maxTok: Int = 64, overlap: Int = 8): DataFrame =
+    chunkBy(docs, graft.functions.Bpe.bpeEncode(col("text"), merges), "",
+      maxTok, overlap)
+
+  private def chunkBy(docs: DataFrame, toks: Column, sep: String,
+                      maxTok: Int, overlap: Int): DataFrame = {
     require(maxTok > overlap && overlap >= 0,
       s"chunk: need maxTok ($maxTok) > overlap ($overlap) >= 0")
     val stride = maxTok - overlap
     docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), toks.as("w"))
       .withColumn("n_chunks",
         greatest(lit(1L),
           ceil((size(col("w")) - lit(overlap)).cast("double") / stride).cast("long")))
@@ -126,7 +142,7 @@ object Corpus {
         slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(maxTok)))
       .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
         size(col("chunk")).as("chunk_tok"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+        array_join(col("chunk"), sep).as("chunk_text"))
   }
 
   /** PII scrubbing: redact emails, US-style phone numbers and IPv4
@@ -166,14 +182,26 @@ object Corpus {
     * packs on any partitioning, and the only exchange is the hash
     * partition by shard. Output: (doc_id, shard, n_tok, pack_id,
     * pack_off). */
-  def packSequences(docs: DataFrame, budgetTok: Int, shard: Column): DataFrame = {
+  def packSequences(docs: DataFrame, budgetTok: Int, shard: Column): DataFrame =
+    packSequencesBy(docs, budgetTok, shard,
+      size(TextFunctions.tokens(col("text"))))
+
+  /** [[packSequences]] with TOKENIZER-exact budgets: per-doc length is
+    * the corpus-trained BPE token count, so `budgetTok` is a real
+    * training-sequence budget. Same single-shard-exchange shape. */
+  def packSequencesBpe(docs: DataFrame, budgetTok: Int, shard: Column,
+                       merges: graft.functions.BpeMerges): DataFrame =
+    packSequencesBy(docs, budgetTok, shard,
+      graft.functions.Bpe.bpeCount(col("text"), merges).cast("long"))
+
+  private def packSequencesBy(docs: DataFrame, budgetTok: Int, shard: Column,
+                              nTok: Column): DataFrame = {
     require(budgetTok > 0, s"packSequences: budgetTok=$budgetTok must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col("doc_id"), shard.as("shard"),
-        size(TextFunctions.tokens(col("text"))).as("n_tok"))
+      .select(col("doc_id"), shard.as("shard"), nTok.as("n_tok"))
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         expr(s"tok_before div $budgetTok").as("pack_id"),

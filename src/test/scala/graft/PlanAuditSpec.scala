@@ -35,10 +35,17 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("every driver query ships with a SQL oracle (no silent rows-only regressions)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the ONLY sanctioned rows-only queries: BPE's iterative merge
+    // loop has no DuckDB-SQL formulation — BpeSpec pins those against
+    // an independent serial reference instead. Anything else landing
+    // here is a regression.
+    val sqlInexpressible = Set("token_count_bpe", "doc_chunk_bpe", "seq_pack_bpe")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sqlInexpressible
     assert(missing.isEmpty, s"queries without oracles: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+    assert((sqlInexpressible -- SparkEntry.queries.keySet).isEmpty,
+      "stale entries in the rows-only exemption list")
   }
 
   test("q1: shipdate predicate pushed to the scan, unused columns pruned") {
