@@ -728,6 +728,99 @@ object DuckSql {
        |                             CAST(y.embedding AS DOUBLE[])) >= $threshold""".stripMargin
   }
 
+  /** Oracle for `ann_pareto`: the recall/cost sweep replayed — brute
+    * ground truth once, LSH buckets once, one shared IVF assignment +
+    * probe ranking reused by every nprobe row; per (method, knob) the
+    * total exact count, hit count vs ground truth, and candidate
+    * (scored) count, all exact integers. Formulations are verbatim
+    * the per-index oracles' (`ann_topk`/`ann_lsh`/`ann_ivf`), so this
+    * row hashes iff those do. */
+  def annParetoOracle(planes: Array[Array[Double]], nQueries: Int, k: Int,
+                      nlist: Int, nprobes: Seq[Int]): String = {
+    val bucketExpr = planes.zipWithIndex
+      .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} > 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+    val maxNp = nprobes.max
+    val perNp = nprobes.map { np =>
+      s"""ic$np AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                CAST(n.embedding AS DOUBLE[])) AS cos
+         |  FROM prk p
+         |  JOIN assigned a ON a.list_id = p.list_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id
+         |  JOIN embeddings n ON n.vec_id = a.vec_id
+         |  WHERE p.rn <= $np AND a.vec_id <> p.q_id),
+         |it$np AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM ic$np) t
+         |  WHERE rnk <= $k)""".stripMargin
+    }.mkString(",\n")
+    val npRows = nprobes.map { np =>
+      s"""SELECT 'ivf' AS method, CAST($np AS INT) AS knob,
+         |       (SELECT n_exact FROM nex) AS n_exact,
+         |       CAST((SELECT count(*) FROM it$np t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
+         |       CAST((SELECT count(*) FROM ic$np) AS BIGINT) AS n_scored""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM bp) t
+       |  WHERE rnk <= $k),
+       |nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |ncorp AS (SELECT CAST((count(*) - 1) * $nQueries AS BIGINT) AS n_scored FROM embeddings),
+       |le AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |lc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM le q JOIN le c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |lt AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM lc) t
+       |  WHERE rnk <= $k),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $nlist),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                    CAST(c.c_emb AS DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |prk AS (
+       |  SELECT q_id, cid AS list_id, rn FROM (
+       |    SELECT e.vec_id AS q_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                    CAST(c.c_emb AS DOUBLE[])) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $nQueries) t
+       |  WHERE rn <= $maxNp),
+       |$perNp
+       |SELECT 'brute' AS method, CAST(0 AS INT) AS knob,
+       |       (SELECT n_exact FROM nex) AS n_exact,
+       |       (SELECT n_exact FROM nex) AS n_hit,
+       |       (SELECT n_scored FROM ncorp) AS n_scored
+       |UNION ALL
+       |SELECT 'lsh' AS method, CAST(0 AS INT) AS knob,
+       |       (SELECT n_exact FROM nex) AS n_exact,
+       |       CAST((SELECT count(*) FROM lt t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
+       |       CAST((SELECT count(*) FROM lc) AS BIGINT) AS n_scored
+       |UNION ALL
+       |$npRows""".stripMargin
+  }
+
   /** Oracle for `ann_ivf`: centroids = first `nlist` vectors, nearest-
     * centroid assignment (cos desc, cid asc), `nprobe` probe lists per
     * query, cosine top-k within probed lists. */

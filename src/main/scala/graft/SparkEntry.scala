@@ -387,6 +387,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Ann.recall(Ann.lshTopK(emb), Ann.bruteTopK(emb))
     }),
+    "ann_pareto" -> ((s, d) =>
+      // the recall/cost front as ONE diffable frame: per (method,
+      // knob) the hits vs brute ground truth AND the candidates
+      // actually scored — an index change that buys recall by quietly
+      // scanning more shows up in the row it improves
+      Ann.paretoSweep(Tables.embeddings(s, d))),
     "emb_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "ann_topk_q8" -> ((s, d) => Ann.bruteTopKQ8(Tables.embeddings(s, d))),
     "ann_recall_q8" -> ((s, d) => {
@@ -2100,6 +2106,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
       Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
+    "ann_pareto" -> DuckSql.annParetoOracle(Ann.hyperplanes(6, 64),
+      nQueries = 10, k = 5, nlist = 16, nprobes = Seq(1, 2, 4)),
     "kmeans_assign" -> DuckSql.kmeansOracle(k = 8, iters = 2, dim = 64),
     "dedup_semantic" -> DuckSql.semanticDedupOracle(
       k = 8, iters = 2, dim = 64, threshold = 0.4002),

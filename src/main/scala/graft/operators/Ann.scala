@@ -169,6 +169,19 @@ object Ann {
   /** The IVF plan under an explicit codebook (ids + vectors). */
   def ivfTopKWith(embeddings: DataFrame, cids: Array[Long], cents: Array[Array[Float]],
                   nprobe: Int, nQueries: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    ivfCandidatesWith(embeddings, cids, cents, nprobe, nQueries)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** The scored IVF candidate set (q_id, n_id, cos) BEFORE the top-k
+    * window — the rows whose count IS the index's scan cost, which
+    * [[paretoSweep]] reports beside the recall it buys. */
+  private[graft] def ivfCandidatesWith(embeddings: DataFrame, cids: Array[Long],
+                                       cents: Array[Array[Float]], nprobe: Int,
+                                       nQueries: Int): DataFrame = {
     require(cids.nonEmpty, "ivfTopKWith: empty codebook")
     // a sparse corpus can yield fewer than nlist centroids; probing
     // more lists than exist is just "probe them all"
@@ -182,14 +195,11 @@ object Ann {
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCentroids(col("embedding"), cents, cids, probeN)).as("list_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes)
       .join(assigned, Seq("list_id"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+      .select(col("q_id"), col("n_id"), col("cos"))
   }
 
   /** LSH-bucketed approximate top-k: score only same-sign-bucket
@@ -217,6 +227,17 @@ object Ann {
 
   private def lshTopKImpl(embeddings: DataFrame, numPlanes: Int, dim: Int,
                           nQueries: Int, k: Int, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    lshCandidates(embeddings, numPlanes, dim, nQueries, probes)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** The scored LSH candidate set (q_id, n_id, cos) BEFORE the top-k
+    * window — see [[ivfCandidatesWith]]. */
+  private[graft] def lshCandidates(embeddings: DataFrame, numPlanes: Int, dim: Int,
+                                   nQueries: Int, probes: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val dots = planes.map(p => dot(col("embedding"), typedlit(p.toSeq)))
     val bucket = dots.zipWithIndex
@@ -243,13 +264,10 @@ object Ann {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
       }
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+      .select(col("q_id"), col("n_id"), col("cos"))
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the
@@ -594,5 +612,56 @@ object Ann {
     nExact.join(nApprox, Seq("q_id"), "left")
       .join(hits, Seq("q_id"), "left")
       .na.fill(0, Seq("n_approx", "n_hit"))
+  }
+
+  /** The recall/cost PARETO front across the index family, as ONE
+    * graded result: per (method, knob), total exact-neighbor count,
+    * total hits against brute ground truth, and the number of
+    * candidates the index actually SCORED — the cost axis ("fraction
+    * of corpus scanned" = n_scored / (nQueries·(N−1)), kept as exact
+    * integers so the row hash-replays in any engine). The per-index
+    * recall gates are point measurements; this makes the latency/
+    * recall TRADE a single regression-diffable frame: an index change
+    * that buys recall by quietly scanning more shows up in the same
+    * row it improves.
+    *
+    * Methods swept: brute (the recall-1.0 / full-scan anchor), LSH
+    * (sign buckets, probes=0) and IVF at nprobe ∈ {1, 2, 4} — the
+    * components with bit-exact SQL replays; each reuses the SAME
+    * brute ground-truth frame (persisted once by [[recall]]).
+    * Eager like [[recall]] (builds counts); every per-method frame is
+    * query-set- or candidate-count-sized, never corpus-materialized. */
+  def paretoSweep(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  numPlanes: Int = 6, dim: Int = 64, nlist: Int = 16): DataFrame = {
+    val exact = bruteTopK(embeddings, nQueries, k)
+    def row(method: String, knob: Int, approx: DataFrame,
+            scored: DataFrame): DataFrame =
+      recall(approx, exact)
+        .agg(sum(col("n_exact")).cast("long").as("n_exact"),
+          sum(col("n_hit")).cast("long").as("n_hit"))
+        .crossJoin(broadcast(scored))
+        .select(lit(method).as("method"), lit(knob).as("knob"),
+          col("n_exact"), col("n_hit"), col("n_scored"))
+    val bruteScored = embeddings
+      .agg(((count(lit(1)) - 1) * nQueries).cast("long").as("n_scored"))
+    val lshScored = lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)
+      .agg(count(lit(1)).cast("long").as("n_scored"))
+    def ivf(nprobe: Int): (DataFrame, DataFrame) = {
+      val centRows = embeddings.filter(col("vec_id") < nlist)
+        .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+      val cids = centRows.map(_.getLong(0))
+      val cents = centRows.map(_.getSeq[Float](1).toArray)
+      (ivfTopKWith(embeddings, cids, cents, nprobe, nQueries, k),
+        ivfCandidatesWith(embeddings, cids, cents, nprobe, nQueries)
+          .agg(count(lit(1)).cast("long").as("n_scored")))
+    }
+    val rows =
+      row("brute", 0, exact, bruteScored) +:
+      row("lsh", 0, lshTopK(embeddings, numPlanes, dim, nQueries, k), lshScored) +:
+      Seq(1, 2, 4).map { np =>
+        val (topk, scored) = ivf(np)
+        row("ivf", np, topk, scored)
+      }
+    rows.reduce(_.unionByName(_))
   }
 }

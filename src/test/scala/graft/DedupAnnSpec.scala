@@ -32,6 +32,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept < lsh.count() || exactDocs.isEmpty)
   }
 
+  test("paretoSweep: brute anchors recall 1.0 at full scan; ivf recall and cost rise with nprobe") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val rows = Ann.paretoSweep(emb)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    val byKey = rows.map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    val (bx, bh, bs) = byKey(("brute", 0))
+    assert(bh == bx, "brute is its own ground truth: recall 1.0")
+    assert(bs == (n - 1) * 10, "brute scores every (query, other) pair")
+    // every approximate method: hits bounded by exact, cost below full scan
+    rows.foreach { case (_, _, ex, hit, sc) =>
+      assert(hit <= ex && sc <= bs)
+    }
+    // ivf: more probes may only add candidate lists ⇒ recall and cost
+    // are both non-decreasing in nprobe
+    val ivf = rows.filter(_._1 == "ivf").sortBy(_._2)
+    assert(ivf.map(_._2).toSeq == Seq(1, 2, 4))
+    assert(ivf.sliding(2).forall { case Array(a, b) => a._4 <= b._4 && a._5 <= b._5 },
+      s"ivf recall/cost must be monotone in nprobe: ${ivf.toSeq}")
+    assert(ivf.head._5 < bs / 2, "probing 1/16 lists must scan far less than brute")
+  }
+
   test("simhash summary is total (one row per doc) and flags some near-dups") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.simhash(docs)
