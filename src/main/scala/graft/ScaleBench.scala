@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command scaling sweep: times a representative query subset at a
+  * list of data-scale factors and emits the SURVEY §14-style scaling
+  * table as a JSON artifact, so scaling regressions are diffable
+  * round-over-round instead of hand-assembled.
+  *
+  * `runMain graft.ScaleBench <baseDir> <workDir> <factorsCsv> [queriesCsv]`
+  *
+  *  - factor 1 reads `baseDir` directly; factor N materializes (once —
+  *    a `_SCALE_OK` marker makes re-runs reuse it) a [[ScaleData]]
+  *    replica under `workDir/x<N>`;
+  *  - each query runs ONCE per factor (cold-ish single samples — the
+  *    sweep's signal is the RATIO between factors, which host noise
+  *    affects far less than absolute medians; `graft.Bench` remains
+  *    the absolute-throughput instrument);
+  *  - output: one JSON line (stdout) and a file
+  *    (`$SPARK_GRAFT_SCALE_OUT`, default `SCALE_LAST.json`) with
+  *    per-query seconds per factor and the largest/smallest-factor
+  *    ratio per query.
+  */
+object ScaleBench {
+
+  /** Representative subset: one or two rows per operator family
+    * (pushdown analytics, CDC fold/decode/migrate, windowed/session,
+    * exact + banded + incremental + embedding dedup, the ANN trade
+    * space, sketches, text/BPE budgets). Override with the 4th arg. */
+  val defaultQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "cdc_apply",
+    "cdc_entity_state", "cdc_schema_migrate", "cdc_debezium_decode",
+    "sessionize", "event_windowed_agg", "rolling_agg",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_cc_lsh",
+    "dedup_incremental_lsh", "dedup_embedding_lsh",
+    "ann_lsh", "ann_ivf", "ann_ivfpq", "kmeans_assign",
+    "token_count_bpe", "seq_pack_bpe", "group_quantiles",
+    "distinct_kmv", "corpus_stats", "heavy_hitters_cms")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ScaleBench <baseDir> <workDir> <factorsCsv> [queriesCsv]")
+    val base = args(0)
+    val work = args(1)
+    val factors = args(2).split(',').map(_.trim.toInt).toSeq
+    val queries =
+      if (args.length >= 4) args(3).split(',').map(_.trim).toSeq
+      else defaultQueries
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = Sessions.fromEnv(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-scalebench"),
+      cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
+
+    def dirFor(factor: Int): String =
+      if (factor == 1) base
+      else {
+        val out = s"$work/x$factor"
+        val marker = Paths.get(out, "_SCALE_OK")
+        if (!Files.exists(marker)) {
+          System.err.println(s"[scalebench] generating $out (factor $factor)")
+          ScaleData.generate(spark, base, out, factor)
+          Files.writeString(marker, s"factor=$factor base=$base\n")
+        }
+        out
+      }
+
+    // one timed sample per (query, factor); failures recorded, not fatal
+    val results: Seq[(String, Int, Either[String, Double])] =
+      factors.flatMap { f =>
+        val dir = dirFor(f)
+        queries.map { name =>
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          val r =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); Right(()) }
+            catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
+            }
+          spark.catalog.clearCache()
+          val out = r.map(_ => (System.nanoTime() - t0) / 1e9)
+          System.err.println(f"[scalebench] x$f $name: " +
+            out.fold(e => s"FAILED $e", s => f"$s%.2f s"))
+          (name, f, out)
+        }
+      }
+
+    def jnum(d: Double): String = f"$d%.3f"
+    def jstr(s: String): String =
+      "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val perQuery = queries.map { q =>
+      val cells = factors.map { f =>
+        val cell = results.find(r => r._1 == q && r._2 == f).get._3
+        "\"" + f + "\":" + cell.fold(e => jstr("failed: " + e), jnum)
+      }.mkString("{", ",", "}")
+      jstr(q) + ":" + cells
+    }.mkString("{", ",", "}")
+    val ratios = queries.flatMap { q =>
+      val lo = results.find(r => r._1 == q && r._2 == factors.min).get._3
+      val hi = results.find(r => r._1 == q && r._2 == factors.max).get._3
+      (lo, hi) match {
+        case (Right(a), Right(b)) if a > 0 => Some(jstr(q) + ":" + jnum(b / a))
+        case _ => None
+      }
+    }.mkString("{", ",", "}")
+    val totals = factors.map { f =>
+      val t = results.collect { case (_, `f`, Right(s)) => s }.sum
+      "\"" + f + "\":" + jnum(t)
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._3.isLeft)
+    val line = s"""{"metric":"scale","base":${jstr(base)},""" +
+      s""""factors":[${factors.mkString(",")}],"queries":$perQuery,""" +
+      s""""ratio_max_over_min":$ratios,"totals":$totals,"failed":$nFailed}"""
+    println(line)
+    val outPath = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json"))
+    Files.writeString(outPath, line + "\n")
+    System.err.println(s"[scalebench] artifact written to ${outPath.toAbsolutePath}")
+    spark.stop()
+  }
+}

@@ -53,7 +53,13 @@ object ScaleData {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
       cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, in, out, factor)
+    spark.stop()
+  }
 
+  /** Write the factor-times replica of every table under `out` (also
+    * called by [[ScaleBench]] to materialize sweep inputs on demand). */
+  def generate(spark: SparkSession, in: String, out: String, factor: Int): Unit = {
     def raw(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -84,7 +90,5 @@ object ScaleData {
     write("embeddings", replicate(emb, factor, Map("vec_id" -> stride(emb, "vec_id")),
       extra = Seq("embedding" -> expr(
         "transform(embedding, (x, j) -> IF(j = 0, CAST(x + __copy * 0.0003D AS FLOAT), x))"))))
-
-    spark.stop()
   }
 }
