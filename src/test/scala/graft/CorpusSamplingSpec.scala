@@ -266,6 +266,60 @@ class CorpusSamplingSpec extends AnyFunSuite {
       (3L, 1, 10L), (3L, 2, 20L)))
   }
 
+  test("B31b: funnel idle-user TTL drops silent users' state; a returner restarts at stage 0") {
+    // ProcessingTimeTimeout hangs processAllAvailable (see the B1 TTL
+    // note in StreamingSpec) — drive by polling
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val q = graft.streaming.EventStreams.funnelStages(in.toDS(), idleTtlMs = 300)
+      .writeStream.format("memory").queryName("b31ttl").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("b31ttl").count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(spark.table("b31ttl").count() >= n)
+    }
+    in.addData(FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L))
+    awaitRows(2) // user 1 at stage 2
+    // let the TTL lapse with no traffic: state for user 1 must leave
+    val deadline = System.currentTimeMillis + 30000
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    while (stateRows != 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(stateRows === 0, "idle user's funnel state should expire")
+    // the churned user returns: funnel restarts from stage 0 (a view
+    // advances to 1; the pre-expiry progress is forgotten by design)
+    in.addData(FunnelEvent(1L, "view", 100L))
+    awaitRows(3)
+    q.stop()
+    val got = spark.table("b31ttl").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 1, 10L), (1L, 2, 20L), (1L, 1, 100L)))
+  }
+
+  test("B30b: a window whose rows are all NULL emits no quantile rows instead of crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Option[Long], java.sql.Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "n_chars", "ts")
+    val q = graft.streaming.EventStreams.windowedQuantiles(stream, k = 16)
+      .writeStream.format("memory").queryName("b30null").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    in.addData((1L, None, t0), (2L, None, t0),      // all-NULL window → empty sample
+               (3L, Some(42L), t1))                 // normal window
+    q.processAllAvailable()
+    in.addData((999L, Some(1L), java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+    q.processAllAvailable(); q.stop()
+    val byWindow = spark.table("b30null").groupBy("start").count()
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(!byWindow.contains(t0), "the all-NULL window must emit nothing")
+    assert(byWindow(t1) == 7L, "the normal window emits its 7 deciles")
+  }
+
   test("B30: windowed streaming quantiles equal the batch sketch over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

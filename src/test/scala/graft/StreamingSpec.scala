@@ -93,6 +93,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(g == Set(("s1", 5L, 6L)), "one gap row, exactly once, no s2 row for a re-delivery")
   }
 
+  test("B28b: malformed GTIDs are dropped, not a crash; gaps on the clean lines still fire") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val gaps = ChangelogStream.gtidGaps(in.toDS())
+      .writeStream.format("memory").queryName("b28bad").outputMode("append").start()
+    in.addData("s1:1", "garbage", "nocolon", ":5", "s1:", "s1:abc", "s1:2")
+    gaps.processAllAvailable()
+    in.addData("s1:9", "also bad") // clean gap 3-8 among noise
+    drain(gaps)
+    val g = spark.table("b28bad").as[(String, Long, Long)].collect().toSet
+    assert(g == Set(("s1", 3L, 8L)),
+      "bad lines dropped (no crash, no fabricated source), real gap detected")
+  }
+
   test("B1b: streaming update images — PK change tombstones old key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ChangelogStream.ImagedChange]
