@@ -281,4 +281,26 @@ object Bpe {
 
   def bpeEncode(text: Column, m: BpeMerges): Column = toColumn(BpeEncode(toExpr(text), m))
   def bpeCount(text: Column, m: BpeMerges): Column = toColumn(BpeCount(toExpr(text), m))
+
+  /** Persist a merge table as parquet (rank, left, right) — train the
+    * tokenizer ONCE on the corpus, then every downstream job (chunk,
+    * pack, count, a serving path) loads the same vocabulary instead of
+    * re-scanning 100 TB; checking the artifact in also pins the token
+    * budget across corpus versions. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: BpeMerges, path: String): Unit = {
+    import spark.implicits._
+    m.pairs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d merge table (rank order restored). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeMerges = {
+    import spark.implicits._
+    BpeMerges(spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)]
+      .collect().sortBy(_._1).map(r => (r._2, r._3)).toIndexedSeq)
+  }
 }

@@ -144,6 +144,21 @@ class BpeSpec extends AnyFunSuite {
       "every extra merge can only shorten or keep a doc's encoding")
   }
 
+  test("save/load round-trips the merge table; loaded encodes identically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Bpe.trainFromCorpus(docs, col("text"), numMerges = 50, maxWords = 4000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.save(spark, m, dir)
+    val m2 = Bpe.load(spark, dir)
+    assert(m2.pairs == m.pairs, "rank order must survive the round trip")
+    val sample = docs.limit(20).select(col("text")).as[String].collect()
+    sample.foreach { t =>
+      val a = Bpe.encodeKernel(org.apache.spark.unsafe.types.UTF8String.fromString(t), m)
+      val b = Bpe.encodeKernel(org.apache.spark.unsafe.types.UTF8String.fromString(t), m2)
+      assert(a.array.toSeq == b.array.toSeq)
+    }
+  }
+
   test("chunkBpe: budget respected, totality, zero-overlap chunks reconstruct the text") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val m = Bpe.trainFromCorpus(docs, col("text"), numMerges = 60, maxWords = 4000)
