@@ -193,6 +193,25 @@ object EventStreams {
         element_at(col("vals"),
           (floor(col("q") * (size(col("vals")) - 1)) + 1).cast("int")).as("v"))
 
+  /** B32: live token-budget accounting — per-window BPE token totals
+    * over a document stream, with the corpus-trained merge table as a
+    * plan constant ([[graft.functions.Bpe]]): the tokens/hour gauge an
+    * ingest pipeline watches against its training-data budget, in the
+    * SAME tokenizer units the batch chunk/pack operators spend. The
+    * aggregate is an ordinary windowed sum (bpe_count is a map-side
+    * codegen'd expression), so state per window is two longs. Append
+    * mode: a window's totals emit once, at watermark close. */
+  def windowedTokenBudget(docs: DataFrame, merges: graft.functions.BpeMerges,
+                          windowDur: String = "1 hour",
+                          watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Bpe.bpeCount(col("text"), merges).cast("long"))
+          .as("n_tokens"))
+      .select(col("window.start").as("start"), col("n_docs"), col("n_tokens"))
+
   /** B29: incremental streaming dedup against an INGESTED SNAPSHOT —
     * the live twin of [[graft.operators.Dedup.incremental]], for the
     * crawl that never stops: a doc survives iff its content

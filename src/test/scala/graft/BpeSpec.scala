@@ -174,6 +174,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("B32 windowedTokenBudget: streamed window totals equal the batch count over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val m = Bpe.trainFromCorpus(docs, col("text"), numMerges = 50, maxWords = 4000)
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.EventStreams.windowedTokenBudget(
+        in.toDF().toDF("doc_id", "text", "ts"), m)
+      .writeStream.format("memory").queryName("b32").outputMode("append").start()
+    val (half1, half2) = rows.splitAt(100)
+    in.addData(half1.map { case (id, t) => (id, t, t0) }.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(half2.map { case (id, t) => (id, t, t0) }.toSeq: _*) // same window: sums merge
+    q.processAllAvailable()
+    in.addData((999L, "closer", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("b32").where(col("start") === lit(t0))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val wantTokens = docs.agg(sum(Bpe.bpeCount(col("text"), m).cast("long")))
+      .as[Long].head()
+    assert(got.length == 1 && got.head._2 == 200L && got.head._3 == wantTokens,
+      s"streamed budget must equal the batch count: $got vs $wantTokens")
+  }
+
   test("packSequencesBpe: offsets within budget, cumulative-sum consistency per shard") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val m = Bpe.trainFromCorpus(docs, col("text"), numMerges = 60, maxWords = 4000)

@@ -180,6 +180,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the pre-shingle fan-out may carry text: $textShuffles")
   }
 
+  test("token_count_bpe: encoding is a map-only plan — zero exchanges, merge table rides as a plan constant") {
+    val p = formatted("token_count_bpe")
+    val n = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+    assert(n == 0, s"BPE counting must not shuffle, found $n exchanges:\n$p")
+    assert(p.contains("bpe_count"), "the codegen'd expression must be in the plan")
+  }
+
   test("ann_topk_filtered: the metadata filter lands BELOW the scoring join") {
     val p = formatted("ann_topk_filtered")
     // a semi-join (or AQE'd broadcast variant) restricts candidates
