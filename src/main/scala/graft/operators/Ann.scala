@@ -646,15 +646,15 @@ object Ann {
       .agg(((count(lit(1)) - 1) * nQueries).cast("long").as("n_scored"))
     val lshScored = lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)
       .agg(count(lit(1)).cast("long").as("n_scored"))
-    def ivf(nprobe: Int): (DataFrame, DataFrame) = {
-      val centRows = embeddings.filter(col("vec_id") < nlist)
-        .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
-      val cids = centRows.map(_.getLong(0))
-      val cents = centRows.map(_.getSeq[Float](1).toArray)
+    // one codebook collect, shared by every nprobe row
+    val centRows = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    def ivf(nprobe: Int): (DataFrame, DataFrame) =
       (ivfTopKWith(embeddings, cids, cents, nprobe, nQueries, k),
         ivfCandidatesWith(embeddings, cids, cents, nprobe, nQueries)
           .agg(count(lit(1)).cast("long").as("n_scored")))
-    }
     val rows =
       row("brute", 0, exact, bruteScored) +:
       row("lsh", 0, lshTopK(embeddings, numPlanes, dim, nQueries, k), lshScored) +:

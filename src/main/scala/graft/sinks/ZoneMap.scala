@@ -92,7 +92,18 @@ object ZoneMap {
     val rows: java.util.List[Row] =
       if (fields.forall(f => footerSupported(f.dataType))) {
         val conf = spark.sessionState.newHadoopConf()
-        listDataFiles(conf, path).map(st => footerStatsRow(conf, st, fields)).asJava
+        val files = listDataFiles(conf, path)
+        // footer reads are independent metadata IOs — overlap them
+        // (driver-side pool; at extreme file counts promote the
+        // manifest build itself to a job over the file list)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, files.size)))
+        try {
+          files.map(st => pool.submit(new java.util.concurrent.Callable[Row] {
+              override def call(): Row = footerStatsRow(conf, st, fields)
+            }))
+            .map(_.get()).asJava
+        } finally pool.shutdown()
       } else {
         scanStatsRows(spark, path, fields).asJava
       }
