@@ -115,11 +115,17 @@ object Bench {
     // stdout tails get truncated in the driver's capture; a file copy
     // keeps the per-query medians/samples recoverable regardless.
     // Default to a repo-relative artifact (BENCH_LAST.json) so the
-    // numbers survive even when the env var is unset.
+    // numbers survive even when the env var is unset. Best-effort: an
+    // unwritable working dir must not turn a successful run into a
+    // non-zero exit after the results already printed.
     val outPath = java.nio.file.Paths
       .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-    java.nio.file.Files.writeString(outPath, line + "\n")
-    System.err.println(s"[bench] artifact written to ${outPath.toAbsolutePath}")
+    try {
+      java.nio.file.Files.writeString(outPath, line + "\n")
+      System.err.println(s"[bench] artifact written to ${outPath.toAbsolutePath}")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] artifact write to $outPath failed: $e (results are on stdout)")
+    }
     spark.stop()
   }
 }

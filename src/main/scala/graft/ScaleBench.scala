@@ -59,15 +59,28 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
 
+    // the marker pins (factor, base, base fingerprint): a re-run
+    // against a different base dir — or the SAME dir regenerated —
+    // must rebuild the replica, or the sweep would compare factor-1
+    // on new data against factor-N replicated from old data
+    def baseFingerprint(): String = {
+      val files = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      files.map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+        .sorted.mkString(",").hashCode.toString
+    }
     def dirFor(factor: Int): String =
       if (factor == 1) base
       else {
         val out = s"$work/x$factor"
         val marker = Paths.get(out, "_SCALE_OK")
-        if (!Files.exists(marker)) {
+        val stamp = s"factor=$factor base=$base fp=${baseFingerprint()}\n"
+        val fresh = Files.exists(marker) && Files.readString(marker) == stamp
+        if (!fresh) {
           System.err.println(s"[scalebench] generating $out (factor $factor)")
           ScaleData.generate(spark, base, out, factor)
-          Files.writeString(marker, s"factor=$factor base=$base\n")
+          Files.writeString(marker, stamp)
         }
         out
       }

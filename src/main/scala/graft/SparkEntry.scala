@@ -709,10 +709,12 @@ object SparkEntry {
       // per-file min/max manifest + file-skipping read: the range
       // scan opens only files whose zone intersects (spec asserts the
       // skip; the oracle proves result-identity with a full filter).
-      // Per-run unique dir — a fixed shared path lets two concurrent
-      // harness runs clobber each other's data/manifest mid-read.
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_zonemap_q").toString
+      // Per-PROCESS dir, reused across invocations (mode overwrite):
+      // concurrent harness runs (different PIDs) can't clobber each
+      // other, and repeated bench samples in one JVM overwrite one
+      // bounded copy instead of leaking a temp dir per run.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_zonemap_q_${ProcessHandle.current().pid()}"
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .repartitionByRange(8, col("l_orderkey"))

@@ -633,34 +633,41 @@ object Ann {
     * query-set- or candidate-count-sized, never corpus-materialized. */
   def paretoSweep(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                   numPlanes: Int = 6, dim: Int = 64, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val exact = bruteTopK(embeddings, nQueries, k)
     def row(method: String, knob: Int, approx: DataFrame,
-            scored: DataFrame): DataFrame =
+            scored: Long): DataFrame =
       recall(approx, exact)
         .agg(sum(col("n_exact")).cast("long").as("n_exact"),
           sum(col("n_hit")).cast("long").as("n_hit"))
-        .crossJoin(broadcast(scored))
         .select(lit(method).as("method"), lit(knob).as("knob"),
-          col("n_exact"), col("n_hit"), col("n_scored"))
-    val bruteScored = embeddings
-      .agg(((count(lit(1)) - 1) * nQueries).cast("long").as("n_scored"))
-    val lshScored = lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)
-      .agg(count(lit(1)).cast("long").as("n_scored"))
+          col("n_exact"), col("n_hit"), lit(scored).as("n_scored"))
+    // each approximate method's candidate frame is scanned ONCE: the
+    // persisted count IS n_scored, and the top-k window reads the same
+    // cache (recall() materializes the top-k eagerly, after which the
+    // candidates can be released)
+    def approxRow(method: String, knob: Int, cand: DataFrame): DataFrame = {
+      val c = cand.persist(StorageLevel.MEMORY_AND_DISK)
+      val scored = c.count()
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      val topk = c.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"))
+      val r = row(method, knob, topk, scored)
+      c.unpersist(blocking = false)
+      r
+    }
+    val nCorpus = embeddings.count()
     // one codebook collect, shared by every nprobe row
     val centRows = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
-    def ivf(nprobe: Int): (DataFrame, DataFrame) =
-      (ivfTopKWith(embeddings, cids, cents, nprobe, nQueries, k),
-        ivfCandidatesWith(embeddings, cids, cents, nprobe, nQueries)
-          .agg(count(lit(1)).cast("long").as("n_scored")))
     val rows =
-      row("brute", 0, exact, bruteScored) +:
-      row("lsh", 0, lshTopK(embeddings, numPlanes, dim, nQueries, k), lshScored) +:
+      row("brute", 0, exact, (nCorpus - 1) * nQueries) +:
+      approxRow("lsh", 0, lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)) +:
       Seq(1, 2, 4).map { np =>
-        val (topk, scored) = ivf(np)
-        row("ivf", np, topk, scored)
+        approxRow("ivf", np, ivfCandidatesWith(embeddings, cids, cents, np, nQueries))
       }
     rows.reduce(_.unionByName(_))
   }

@@ -218,7 +218,11 @@ object ChangelogStream {
       .flatMap { g =>
         val i = g.lastIndexOf(':')
         if (i <= 0 || i == g.length - 1) None
-        else g.substring(i + 1).toLongOption.map(t => (g.substring(0, i), t))
+        else g.substring(i + 1).toLongOption
+          // GTID txnos are >= 1: a non-positive value is malformed
+          // input that would poison the watermark and fabricate gaps
+          .filter(_ > 0)
+          .map(t => (g.substring(0, i), t))
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -205,6 +205,10 @@ object EventStreams {
                           windowDur: String = "1 hour",
                           watermark: String = "10 minutes"): DataFrame =
     docs
+      // NULL-text rows carry no tokens and must not make the window's
+      // sum NULL (the all-NULL-window class windowedQuantiles guards);
+      // dropping them also keeps n_docs = docs actually counted
+      .where(col("text").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur))
       .agg(count(lit(1)).as("n_docs"),

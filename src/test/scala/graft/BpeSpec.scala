@@ -187,6 +187,7 @@ class BpeSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("b32").outputMode("append").start()
     val (half1, half2) = rows.splitAt(100)
     in.addData(half1.map { case (id, t) => (id, t, t0) }.toSeq: _*)
+    in.addData((9999L, null, t0)) // NULL text must not NULL the window's sum
     q.processAllAvailable()
     in.addData(half2.map { case (id, t) => (id, t, t0) }.toSeq: _*) // same window: sums merge
     q.processAllAvailable()

@@ -98,9 +98,9 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[String]
     val gaps = ChangelogStream.gtidGaps(in.toDS())
       .writeStream.format("memory").queryName("b28bad").outputMode("append").start()
-    in.addData("s1:1", "garbage", "nocolon", ":5", "s1:", "s1:abc", "s1:2")
+    in.addData("s1:1", "garbage", "nocolon", ":5", "s1:", "s1:abc", "s1:-5", "s1:2")
     gaps.processAllAvailable()
-    in.addData("s1:9", "also bad") // clean gap 3-8 among noise
+    in.addData("s1:9", "also bad") // clean gap 3-8 among noise; -5 must not poison the watermark
     drain(gaps)
     val g = spark.table("b28bad").as[(String, Long, Long)].collect().toSet
     assert(g == Set(("s1", 3L, 8L)),
