@@ -727,6 +727,13 @@ object Dedup {
     // re-enter as singleton components after the loop (anti-join).
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    // each round's checkpoint supersedes the previous one — release it
+    // as soon as the new round is materialized, or a long convergence
+    // accumulates O(rounds) node-sized pinned frames (only the LAST
+    // checkpoint, which the returned frame reads, outlives the call).
+    // Dataset.unpersist can't free a checkpoint (no CacheManager
+    // entry) — RddBridge unpersists the underlying block-backed RDD.
+    var prevCp: DataFrame = labels
     e0.unpersist() // sym is materialized by the checkpoint above
     var converged = false
     var i = 0
@@ -749,6 +756,10 @@ object Dedup {
         .withColumn("chg", col("label") =!= col("old"))
         .localCheckpoint()
       val changed = jumped.where(col("chg")).limit(1).count()
+      // jumped is materialized (eager checkpoint) — the previous
+      // round's blocks are no longer referenced
+      org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(prevCp)
+      prevCp = jumped
       labels = jumped.select(col("node"), col("label"))
       converged = changed == 0
       i += 1

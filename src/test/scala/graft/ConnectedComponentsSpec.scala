@@ -150,4 +150,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // doc2: ctf(a)+ctf(c) = 3+1 = 4 over 2 tokens
     assert(got(2L) == ((2L, 4L, 2.0)))
   }
+  test("iteration checkpoints are released round-by-round: at most one survives the call") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 64-node chain needs several pointer-jump rounds — each round
+    // checkpoints, and every superseded checkpoint must be freed
+    val nodes = (1L to 64L)
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    val got = cc(nodes, edges)
+    assert(got.values.toSet == Set(1L), "one chain, one component")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"only the final label checkpoint may remain, found ${leaked.size}")
+  }
+
 }
