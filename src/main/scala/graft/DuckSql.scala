@@ -329,6 +329,44 @@ object DuckSql {
        |              THEN 1 ELSE 0 END AS dup
        |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id)""".stripMargin
 
+  /** Oracle for `dedup_pareto`: the near-dup recall/cost sweep —
+    * the blocked-exact baseline's pair + candidate counts (from the
+    * caller-supplied `near_dup_jaccard` CTE chain, whose `p` rows ARE
+    * the blocked candidates), and per band count the minhash replay's
+    * candidate/verified-pair counts (`ver` rows / `dup` sum). Each
+    * configuration runs as its own nested-WITH subquery so the fixed
+    * CTE names never collide; formulations are verbatim the graded
+    * per-query oracles', so this row hashes iff those do. */
+  def dedupParetoOracle(jaccardCtes: String, threshold: Double,
+                        numHashes: Int, bandsList: Seq[Int]): String = {
+    val perB = bandsList.map { b =>
+      s"""m$b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |         CAST(coalesce(sum(dup), 0) AS BIGINT) AS n_found
+         |  FROM (WITH ${minhashCtes(numHashes, b, threshold)}
+         |        SELECT dup FROM ver) v$b)""".stripMargin
+    }.mkString(",\n")
+    val bRows = bandsList.map { b =>
+      s"""SELECT 'minhash_lsh' AS method, CAST($b AS INT) AS bands,
+         |       (SELECT n_exact FROM jx) AS n_exact,
+         |       (SELECT n_found FROM m$b) AS n_found,
+         |       (SELECT n_cand FROM m$b) AS n_cand""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH jx AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM (WITH ${jaccardCtes}SELECT 1 FROM p WHERE j >= ${dlit(threshold)}) q),
+       |jc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM (WITH ${jaccardCtes}SELECT 1 FROM p) q2),
+       |$perB
+       |SELECT 'exact' AS method, CAST(0 AS INT) AS bands,
+       |       (SELECT n_exact FROM jx) AS n_exact,
+       |       (SELECT n_exact FROM jx) AS n_found,
+       |       (SELECT n_cand FROM jc) AS n_cand
+       |UNION ALL
+       |$bRows""".stripMargin
+  }
+
   /** Oracle for `dedup_incremental_lsh`: replay of
     * [[graft.operators.Dedup.incrementalNearDup]] — the per-doc
     * MinHash/band replay, batch×snapshot band-bucket candidates,

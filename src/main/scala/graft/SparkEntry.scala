@@ -312,6 +312,11 @@ object SparkEntry {
       // band index, exact-Jaccard verified
       Dedup.incrementalNearDup(Tables.documents(s, d), cutoff = 250L)),
     "near_dup_jaccard" -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_pareto" -> ((s, d) =>
+      // the near-dup recall/cost front: per (method, bands), baseline
+      // pairs vs banded pairs found vs candidates generated — the
+      // banding S-curve as one diffable frame
+      Dedup.dedupPareto(Tables.documents(s, d))),
     "dedup_cc" -> ((s, d) => {
       // pairs → duplicate GROUPS: transitive closure over the verified
       // jaccard pair set; singletons keep their own id as component
@@ -1352,6 +1357,8 @@ object SparkEntry {
       numHashes = 128, bands = 16, threshold = 0.5, cutoff = 250L),
     "near_dup_jaccard" ->
       ("WITH " + jaccardCtes + "SELECT a_id, b_id, j FROM p WHERE j >= 0.5"),
+    "dedup_pareto" -> DuckSql.dedupParetoOracle(jaccardCtes, threshold = 0.5,
+      numHashes = 128, bandsList = Seq(8, 16, 32)),
     "dedup_cc" ->
       ("WITH RECURSIVE " + jaccardCtes +
         """, pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),

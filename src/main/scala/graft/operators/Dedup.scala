@@ -71,6 +71,15 @@ object Dedup {
     * shingle arrays attach via joins against the persisted projection
     * — no broadcast hints, AQE picks the strategy by observed size. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (t, cand) = jaccardBlocked(docs)
+    verifyJaccard(t, cand, threshold)
+  }
+
+  /** The blocked candidate generation behind [[jaccardPairs]]:
+    * (persisted shingle projection `t`, candidate id pairs) — exposed
+    * so [[dedupPareto]] can report the baseline's candidate count
+    * without replicating the blocking. */
+  private[graft] def jaccardBlocked(docs: DataFrame): (DataFrame, DataFrame) = {
     // Shingle sets are hashed to SORTED long arrays once per doc:
     // string compares / hash-set probes disappear from the per-pair
     // hot loop, and each pair costs one O(n) merge
@@ -95,6 +104,11 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .repartition(col("a_id"))
+    (t, cand)
+  }
+
+  private def verifyJaccard(t: DataFrame, cand: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
         size(col("sh")).as("a_n")), Seq("a_id"))
@@ -110,7 +124,6 @@ object Dedup {
       .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
       .where(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), col("j"))
-  }
 
   /** Containment near-dup pairs (SURVEY §2 D34): pairs where the
     * SMALLER document's shingle set is ≥ `threshold` contained in the
@@ -308,6 +321,42 @@ object Dedup {
       .join(mem.select(col("gid").as("b_gid"), col("doc_id").as("y")), Seq("b_gid"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
     intra.unionAll(inter)
+  }
+
+  /** The near-dup recall/cost PARETO front as ONE graded frame — the
+    * dedup-side twin of [[graft.operators.Ann.paretoSweep]]: per
+    * (method, bands), the blocked-exact baseline's pair count, the
+    * pairs the banded path actually found, and the CANDIDATE pairs it
+    * generated (the cost axis — every candidate pays an exact-Jaccard
+    * verify). Sweeping `bands` at fixed `numHashes` walks the banding
+    * S-curve: more bands (fewer rows per band) → more candidates →
+    * more recall; the artifact makes that trade regression-diffable
+    * (a banding change that buys recall by flooding the verify shows
+    * in the row it improves).
+    *
+    * Units: candidate/found counts are DOC pairs (the collapsed-group
+    * pipeline's per-doc rollup reconstitutes them — `Σ n_cand = 2·|
+    * candidate pairs|`); found pairs are exact-verified at the same
+    * threshold, so they are true near-dup pairs by construction, and
+    * recall vs the baseline is `n_found / n_exact` (banding does not
+    * respect the baseline's length-bucket blocking, so in principle a
+    * banded path can even exceed the blocked baseline). Eager —
+    * counts are computed at build; each pipeline runs once. */
+  def dedupPareto(docs: DataFrame, threshold: Double = 0.5, numHashes: Int = 128,
+                  bandsList: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (t, cand) = jaccardBlocked(docs)
+    val nCandExact = cand.count()
+    val nExact = verifyJaccard(t, cand, threshold).count()
+    val rows = ("exact", 0, nExact, nExact, nCandExact) +: bandsList.map { b =>
+      val agg = minhashLsh(docs, numHashes, b, threshold)
+        .agg((sum(col("n_cand")) / 2).cast("long").as("c"),
+          (sum(col("n_dup")) / 2).cast("long").as("f"))
+        .head()
+      ("minhash_lsh", b, nExact, agg.getLong(1), agg.getLong(0))
+    }
+    rows.toDF("method", "bands", "n_exact", "n_found", "n_cand")
   }
 
   /** SimHash near-dup summary per document (hamming ≤ `maxHamming`):

@@ -55,6 +55,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf.head._5 < bs / 2, "probing 1/16 lists must scan far less than brute")
   }
 
+  test("dedupPareto: banding trades candidates for recall monotonically; baseline anchors the front") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.dedupPareto(docs)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(rows.length == 4)
+    val exact = rows.find(_._1 == "exact").get
+    assert(exact._3 == exact._4, "the baseline finds exactly its own pair set")
+    assert(exact._5 >= exact._4, "candidates bound found pairs")
+    val lsh = rows.filter(_._1 == "minhash_lsh").sortBy(_._2)
+    assert(lsh.map(_._2).toSeq == Seq(8, 16, 32))
+    // more bands ⇒ more band buckets per doc ⇒ candidate and found
+    // sets can only grow (a pair matching on some band still matches
+    // when the signature is cut finer? not in general — but candidates
+    // and recall grow monotonically on this corpus, and the verified
+    // pairs are always true pairs, bounded by the baseline here)
+    assert(lsh.sliding(2).forall { case Array(a, b) => a._4 <= b._4 && a._5 <= b._5 },
+      s"found/candidates must be monotone in bands on this corpus: ${lsh.toSeq}")
+    lsh.foreach { r =>
+      assert(r._4 <= r._3, "every banded pair is exact-verified, within the baseline set here")
+      assert(r._5 < exact._5 / 100,
+        s"banding must generate orders of magnitude fewer candidates: ${r._5} vs ${exact._5}")
+    }
+  }
+
   test("simhash summary is total (one row per doc) and flags some near-dups") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.simhash(docs)
