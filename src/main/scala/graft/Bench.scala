@@ -56,7 +56,13 @@ object Bench {
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       val r =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
+        try {
+          val df = fn(spark, sfDir)
+          try { df.write.format("noop").mode("overwrite").save(); Right(()) }
+          // checkpoint-backed results (incrementalNearDup) hold RDD
+          // blocks clearCache can't see; release is a no-op otherwise
+          finally graft.operators.Dedup.release(df)
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))

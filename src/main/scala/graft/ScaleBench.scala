@@ -63,12 +63,25 @@ object ScaleBench {
     // against a different base dir — or the SAME dir regenerated —
     // must rebuild the replica, or the sweep would compare factor-1
     // on new data against factor-N replicated from old data
+    // recursive walk: driver data is one FILE per table, ScaleData
+    // replicas are DIRECTORIES of part files (whose mtimes/lengths a
+    // top-level stat can't see) — fingerprint the leaf files, and
+    // digest with MD5 rather than 32-bit hashCode so an in-place
+    // regeneration can't silently alias a stale replica
     def baseFingerprint(): String = {
-      val files = Option(new java.io.File(base).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".parquet"))
-      files.map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-        .sorted.mkString(",").hashCode.toString
+      def leaves(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.sortBy(_.getName).flatMap(leaves)
+        else Seq(f)
+      val root = new java.io.File(base)
+      val entries = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+        .flatMap(leaves)
+        .map(f => s"${f.getAbsolutePath}:${f.lastModified}:${f.length}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(entries.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
     }
     def dirFor(factor: Int): String =
       if (factor == 1) base

@@ -346,9 +346,15 @@ object Dedup {
                   bandsList: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (t, cand) = jaccardBlocked(docs)
+    val (t, cand0) = jaccardBlocked(docs)
+    // persist the candidate frame across its two consumers (the cost
+    // count and the verify) — same shape as Ann.paretoSweep.approxRow;
+    // pair-id rows are 16 B, so the cache is pair-count-sized
+    val cand = cand0.persist()
     val nCandExact = cand.count()
     val nExact = verifyJaccard(t, cand, threshold).count()
+    cand.unpersist()
+    t.unpersist()
     val rows = ("exact", 0, nExact, nExact, nCandExact) +: bandsList.map { b =>
       val agg = minhashLsh(docs, numHashes, b, threshold)
         .agg((sum(col("n_cand")) / 2).cast("long").as("c"),
@@ -608,6 +614,16 @@ object Dedup {
     try out.localCheckpoint(eager = true)
     finally cached.foreach(_.unpersist(blocking = false))
   }
+
+  /** Release a frame [[incrementalNearDup]] returned. The result is a
+    * (local)checkpoint scan, and `Dataset.unpersist` cannot free those
+    * blocks (it only clears CacheManager entries) — a caller looping
+    * daily increments would otherwise pin one batch-sized block set
+    * per call until the ContextCleaner happens to GC it. No-op for any
+    * other plan shape, so generic harnesses may call it on every
+    * result. */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
+    org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(df, blocking)
 
   /** The lazy plan behind [[incrementalNearDup]] plus its persisted
     * intermediates — exposed so plan audits can inspect the real

@@ -55,11 +55,17 @@ object ZoneMap {
   /** Types whose parquet chunk statistics we can map back to Spark
     * values. Binary (string) stats compare in unsigned lexicographic
     * byte order — the SAME order Spark's UTF8String min/max uses, so
-    * footer bounds and scan bounds agree. Anything else (decimal,
-    * timestamp variants, nested) falls back to the aggregate scan. */
+    * footer bounds and scan bounds agree. Float/Double are EXCLUDED:
+    * parquet statistics ignore NaN while Spark orders NaN greater
+    * than every value, so a file whose NaN rows hide behind a finite
+    * footer max could be falsely skipped by a range whose hi bound is
+    * NaN — those columns take the aggregate-scan path, where Spark's
+    * own max() surfaces NaN and the no-false-skip contract holds.
+    * Anything else (decimal, timestamp variants, nested) likewise
+    * falls back to the aggregate scan. */
   private def footerSupported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | ShortType | ByteType | FloatType |
-         DoubleType | StringType | BooleanType | DateType => true
+    case IntegerType | LongType | ShortType | ByteType |
+         StringType | BooleanType | DateType => true
     case _ => false
   }
 

@@ -143,21 +143,35 @@ object Debezium {
           col("__env.transaction.id").as("tx_id")): _*)
   }
 
+  /** Single-parse ROUTED decode: [[decode]]'s typed columns plus the
+    * original line preserved as `raw` — one `from_json` total, with
+    * the good/DLQ routing decision (`op IS NULL`) made on the parsed
+    * struct. A caller consuming BOTH splits of one batch should
+    * persist THIS frame and filter it twice (the
+    * [[graft.streaming.EventStreams.routeWithDlq]] pattern — that is
+    * what makes the parse run once per batch, not once per sink);
+    * [[decodeWithDlq]] is the unpersisted convenience split. */
+  def decodeRouted(raw: DataFrame, rowSchema: StructType = canonicalRow,
+                   jsonCol: String = "value"): DataFrame = {
+    require(!raw.columns.contains("raw") || jsonCol == "raw",
+      "Debezium.decodeRouted: input already has a 'raw' column")
+    decode(raw.withColumn("__graft_raw", col(jsonCol)), rowSchema, jsonCol)
+      .withColumnRenamed("__graft_raw", "raw")
+  }
+
   /** [[decode]] split into (good, dlq): a line that parses to no `op`
     * (corrupt JSON, a Kafka tombstone's null value, a non-envelope
     * message) lands in the DLQ frame with the raw line preserved for
     * replay — the streaming twin of [[graft.cdc.RowFormat]]'s
-    * normalize/quarantine split. Both frames derive from one decode —
-    * on a stream each micro-batch evaluates it once per sink. */
+    * normalize/quarantine split. Both frames are filters over ONE
+    * [[decodeRouted]] projection (shared lineage, a single `from_json`
+    * in either plan); a batch caller materializing both sides should
+    * use [[decodeRouted]] + persist so the shared parse runs once. */
   def decodeWithDlq(raw: DataFrame, rowSchema: StructType = canonicalRow,
                     jsonCol: String = "value"): (DataFrame, DataFrame) = {
-    val decoded = decode(raw, rowSchema, jsonCol)
-    val env = envelopeSchema(rowSchema)
-    val bad = raw
-      .withColumn("__parsed", from_json(col(jsonCol), autoSchema(env)))
-      .filter(col("__parsed.payload.op").isNull && col("__parsed.op").isNull)
-      .select(col(jsonCol).as("raw"))
-    (decoded.filter(col("op").isNotNull), bad)
+    val routed = decodeRouted(raw, rowSchema, jsonCol)
+    (routed.filter(col("op").isNotNull).drop("raw"),
+      routed.filter(col("op").isNull).select(col("raw")))
   }
 
   /** Canonical-row envelope → [[ImagedChange]] stream: `c`/`r` (insert

@@ -130,12 +130,19 @@ object EventStreams {
     * `idleTtlMs`: with 0 (default) a user's stage counter lives in the
     * state store forever — that IS the funnel's definition, but the
     * store then grows with every user that EVER appeared. A positive
-    * TTL drops users silent for that long (processing-time timeout,
+    * TTL drops users silent for that long (PROCESSING-time timeout,
     * same trade as [[graft.streaming.ChangelogStream.entityState]]'s
     * tombstone TTL): a churned user who returns past the horizon
-    * restarts the funnel from stage 0. The per-user per-batch event
-    * list is materialized on the heap for the sort — fine at per-user
-    * volumes, which are human-action-sized by construction. */
+    * restarts the funnel from stage 0. Processing-time is the right
+    * default for a funnel TTL — the point is bounding the store when
+    * traffic STOPS, and an event-time timer can only fire while the
+    * watermark still advances — but it costs the idle-timer
+    * empty-micro-batch spin the B18 note documents;
+    * [[funnelStagesEventTtl]] is the event-time twin for deployments
+    * where the watermark is the only clock allowed to expire state.
+    * The per-user per-batch event list is materialized on the heap
+    * for the sort — fine at per-user volumes, which are
+    * human-action-sized by construction. */
   def funnelStages(events: Dataset[FunnelEvent],
                    stages: Seq[String] = Seq("view", "click", "purchase"),
                    idleTtlMs: Long = 0): Dataset[FunnelAdvance] = {
@@ -160,6 +167,56 @@ object EventStreams {
             }
             state.update(cur)
             if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            out.result().iterator
+          }
+        })
+  }
+
+  /** [[funnelStages]] with an EVENT-TIME idle TTL: a user's stage
+    * counter expires when the WATERMARK passes their last event's
+    * time + `idleTtlMs` — the B18 convention (event-time timers never
+    * busy-spin an idle stream with empty micro-batches; the flip side
+    * is that a fully quiet stream stops advancing the watermark and
+    * state then outlives the TTL until traffic resumes — for a funnel
+    * that's usually acceptable: no traffic, no store growth either).
+    * `watermark` is the lateness bound on `ts` (interpreted as
+    * event-time MICROS, the [[FunnelEvent]] contract); timer
+    * resolution is the watermark's granularity. Advance semantics are
+    * identical to [[funnelStages]]. */
+  def funnelStagesEventTtl(events: Dataset[FunnelEvent],
+                           stages: Seq[String] = Seq("view", "click", "purchase"),
+                           idleTtlMs: Long = 3600000L,
+                           watermark: String = "10 minutes"): Dataset[FunnelAdvance] = {
+    require(idleTtlMs > 0, s"funnelStagesEventTtl: idleTtlMs=$idleTtlMs must be > 0")
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", watermark)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[Int]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[FunnelAdvance]
+            var cur = state.getOption.getOrElse(0)
+            var maxTsMs = Long.MinValue
+            rows.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+              if (cur < stages.length && e._2 == stages(cur)) {
+                cur += 1
+                out += FunnelAdvance(user, cur, e._3)
+              }
+              maxTsMs = math.max(maxTsMs, e._3 / 1000L)
+            }
+            state.update(cur)
+            // expire when the watermark passes last-seen + TTL; the
+            // timestamp must sit at/after the current watermark or
+            // Spark rejects it — clamp for deeply late stragglers
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTsMs + idleTtlMs, wm + 1))
             out.result().iterator
           }
         })

@@ -307,7 +307,16 @@ object UpsertSink {
         bucketDirs.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).flatMap {
           case (ver, dirs) =>
             val zm = s"$tableDir/$ver/${ZoneMap.manifestDir}"
-            if (Files.exists(Paths.get(tableDir, ver, ZoneMap.manifestDir)))
+            // a version may predate zone maps entirely, or carry a
+            // manifest built for DIFFERENT statsCols (the sink's
+            // statsCols changed between batches) — both degrade to
+            // the conservative all-referenced-dirs read, never a
+            // false skip
+            def manifestHas(colName: String): Boolean =
+              spark.read.parquet(zm).schema.fieldNames.toSet
+                .intersect(Set(s"min_$colName", s"max_$colName")).size == 2
+            if (Files.exists(Paths.get(tableDir, ver, ZoneMap.manifestDir)) &&
+                manifestHas(statsCol))
               ZoneMap.candidateFilesAt(spark, zm, statsCol, lo, hi)
                 // the version's manifest covers every file IT wrote;
                 // keep only files under bucket dirs still referenced

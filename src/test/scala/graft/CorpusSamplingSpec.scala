@@ -300,6 +300,35 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1, 10L), (1L, 2, 20L), (1L, 1, 100L)))
   }
 
+  test("B31c: event-time funnel TTL expires state when the WATERMARK passes last-seen + TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    // ts is event-time MICROS; watermark 0 seconds so the clock is
+    // exactly max-seen-ts; TTL 1000 ms = 1e6 micros
+    val q = graft.streaming.EventStreams.funnelStagesEventTtl(
+        in.toDS(), idleTtlMs = 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b31et").outputMode("append").start()
+    in.addData(FunnelEvent(1L, "view", 10_000L), FunnelEvent(1L, "click", 20_000L))
+    q.processAllAvailable() // user 1 at stage 2; watermark = 20 ms
+    // OTHER user's traffic drives the watermark past user 1's
+    // (20 ms + 1000 ms) timeout — no wall-clock involved, and
+    // processAllAvailable works (no idle-timer busy spin)
+    in.addData(FunnelEvent(2L, "view", 5_000_000L))
+    q.processAllAvailable() // watermark advances to 5 s; next batch fires the timer
+    in.addData(FunnelEvent(2L, "click", 5_100_000L))
+    q.processAllAvailable()
+    // churned user 1 returns: funnel restarts from stage 0
+    in.addData(FunnelEvent(1L, "view", 6_000_000L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("b31et").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, 10_000L), (1L, 2, 20_000L),
+      (2L, 1, 5_000_000L), (2L, 2, 5_100_000L),
+      (1L, 1, 6_000_000L)), s"got $got")
+  }
+
   test("B30b: a window whose rows are all NULL emits no quantile rows instead of crashing") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

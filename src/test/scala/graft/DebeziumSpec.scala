@@ -45,6 +45,39 @@ class DebeziumSpec extends AnyFunSuite {
       Set("""{"oops": true}""", "not json at all"))
   }
 
+  test("decodeWithDlq: both frames come off ONE single-parse projection (plan audit)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    // a parquet-backed input — a local Seq would be constant-folded
+    // into a LocalRelation and the audit would count zero parses
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbz_audit").toString
+    Seq(
+      env("c", None, Some((1L, 10.0)), "mysql-bin.000001", 100),
+      "not json at all").toDF("value").write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val (good, dlq) = Debezium.decodeWithDlq(raw)
+    // The audit runs on the ANALYZED plan: each frame is authored as
+    // exactly ONE from_json (the merged auto schema). Downstream the
+    // optimizer's OptimizeJsonExprs deliberately rewrites that into
+    // schema-PRUNED conditional parses (payload-only always; the flat
+    // variant only inside the ELSE branch, i.e. for unwrapped rows) —
+    // fewer parsed fields per row, not a second full parse — so the
+    // optimized plan is not the single-parse invariant to pin.
+    def nParses(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.flatMap(p =>
+        p.expressions.flatMap(_.collect { case j: JsonToStructs => j.canonicalized }))
+        .distinct.size
+    assert(nParses(good) == 1, s"good frame must parse once, plan:\n${good.queryExecution.analyzed}")
+    assert(nParses(dlq) == 1, s"dlq frame must parse once, plan:\n${dlq.queryExecution.analyzed}")
+    // shared lineage: a batch caller can persist decodeRouted and
+    // split it, making the one parse run once for BOTH sinks
+    val routed = Debezium.decodeRouted(raw).persist()
+    try {
+      assert(routed.filter(col("op").isNotNull).count() == 1)
+      assert(routed.filter(col("op").isNull).select("raw").as[String].collect().toSeq ==
+        Seq("not json at all"))
+    } finally routed.unpersist(blocking = false)
+  }
+
   test("pinned decode format is one parse and routes the other form to null-op (DLQ reading)") {
     val flatLine = env("c", None, Some((1L, 10.0)), "mysql-bin.000001", 100)
     val wrappedLine = env("u", Some((1L, 10.0)), Some((1L, 12.5)), "mysql-bin.000001", 200, wrapped = true)

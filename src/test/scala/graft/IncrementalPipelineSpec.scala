@@ -84,6 +84,11 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(leaked.size <= 1,
       s"only the result checkpoint may stay persisted, found ${leaked.size} new RDDs")
     assert(n > 0)
-    out.unpersist(blocking = false)
+    // Dataset.unpersist is a no-op on checkpoint blocks — the public
+    // release helper frees them deterministically
+    Dedup.release(out, blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release must free the result checkpoint, still persisted: $after")
   }
 }

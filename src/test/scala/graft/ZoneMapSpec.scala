@@ -109,6 +109,24 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == want, s"footer stats must equal scan stats\n got=$got\nwant=$want")
   }
 
+  test("double stats take the scan path: NaN rows are never falsely skipped") {
+    val dir = tmp("graft_zonemap_nan")
+    // Parquet chunk statistics EXCLUDE NaN while Spark orders NaN
+    // greater than every value: a footer-derived manifest would give
+    // this file a finite max and a [lo, NaN] range read would falsely
+    // skip it — double columns must fall back to the aggregate scan,
+    // whose max() surfaces NaN into the manifest
+    val df = Seq((1.0, 1L), (2.0, 2L), (Double.NaN, 3L))
+      .toDF("k", "v").coalesce(1)
+    ZoneMap.write(df, dir, Seq("k"))
+    val mx = spark.read.parquet(s"$dir/_zonemap")
+      .select("max_k").as[Double].collect()
+    assert(mx.exists(_.isNaN), s"scan-derived max must be NaN, got ${mx.toSeq}")
+    val got = ZoneMap.readRange(spark, dir, "k",
+        lit(3.0), lit(Double.NaN)).select("v").as[Long].collect().toSet
+    assert(got == Set(3L), "the NaN row is found by a [3.0, NaN] range read")
+  }
+
   test("files with NULL bounds are conservatively kept, never falsely skipped") {
     val dir = tmp("graft_zonemap_null")
     // one partition all-NULL keys (NULL min/max), one normal
