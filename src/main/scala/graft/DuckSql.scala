@@ -1076,4 +1076,153 @@ object DuckSql {
        |           CAST(exact_distinct AS DOUBLE)) AS rel_err
        |FROM est e JOIN ex USING (stratum)""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // BPE oracle (token_count_bpe / doc_chunk_bpe / seq_pack_bpe)
+  // --------------------------------------------------------------------
+
+  /** SQL string literal (single quotes doubled; DuckDB standard strings
+    * don't interpret backslashes, so nothing else needs escaping). */
+  private def slit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Shared CTE scaffold for the BPE-budget oracles: replays
+    * [[graft.functions.Bpe.encodeWord]]'s greedy merge loop in DuckDB
+    * as a recursive CTE over each distinct pre-token, with the TRAINED
+    * merge table embedded as literal lists (the SQL is generated by
+    * `graft.Verify` per run, so the table always matches the corpus
+    * the queries trained on — same plan-constant discipline as the ANN
+    * codebook oracles above). Encoding is verified end-to-end and
+    * independently; training determinism is pinned by BpeSpec's serial
+    * reference (the loop itself — 200 sequential global argmax
+    * aggregations — is not expressible as a single SQL statement).
+    *
+    * Replay mechanics, mirroring Bpe.scala exactly:
+    *  - pre-tokens: the same GPT-2-style pattern (Java∩RE2 subset);
+    *  - symbols: code points (`regexp_extract_all(w, '(?s).')` — RE2
+    *    `.` matches one code point, as does the Scala split);
+    *  - pair lookup: the length-prefixed key (code-point length — the
+    *    embedded keys are generated with `codePointCount`, matching
+    *    DuckDB's `length()`); `list_position` is 1-based, 0 on miss,
+    *    so `nullif(..,0)` makes rank order equal list order;
+    *  - one recursion step = one merge pass: lowest-rank pair, ALL
+    *    occurrences left-to-right non-overlapping. The scan's
+    *    left-bias is position parity inside each maximal run of
+    *    consecutive matches (`taken[k] ⇔ match[k] ∧ even(k − d[k] − 1)`
+    *    where d[k] is the last non-match before k) — equivalent
+    *    because taking position p consumes p and p+1 and resumes at
+    *    p+2;
+    *  - rows with no applicable pair stop recursing; the final piece
+    *    list per word is the max-iteration row (QUALIFY).
+    */
+  def bpeEncodeCtes(m: graft.functions.BpeMerges): String = {
+    def listLit(xs: Seq[String]): String =
+      if (xs.isEmpty) "CAST([] AS VARCHAR[])"
+      else xs.map(slit).mkString("[", ", ", "]")
+    val keys = m.pairs.map { case (a, b) =>
+      a.codePointCount(0, a.length).toString + ":" + a + b
+    }
+    val pat = slit(graft.functions.Bpe.preTokenPattern)
+    s"""WITH RECURSIVE
+       |mt AS (SELECT ${listLit(keys)} AS ks,
+       |              ${listLit(m.pairs.map(_._1))} AS ls,
+       |              ${listLit(m.pairs.map(_._2))} AS rs),
+       |pretok AS (
+       |  SELECT doc_id, unnest(l) AS pt, unnest(range(1, len(l) + 1)) AS pi
+       |  FROM (SELECT doc_id, regexp_extract_all(text, $pat) AS l FROM documents) tp),
+       |bwords AS (SELECT DISTINCT pt AS w FROM pretok),
+       |enc AS (
+       |  SELECT w, regexp_extract_all(w, '(?s).') AS syms, 0 AS it FROM bwords
+       |  UNION ALL
+       |  SELECT w,
+       |    list_filter(list_transform(range(1, len(syms) + 1), k ->
+       |      CASE WHEN taken[k] THEN syms[k] || syms[k + 1]
+       |           WHEN k > 1 AND taken[k - 1] THEN NULL
+       |           ELSE syms[k] END), x -> x IS NOT NULL) AS syms,
+       |    it + 1 AS it
+       |  FROM (
+       |    SELECT w, syms, it,
+       |      list_transform(range(1, len(syms)), k ->
+       |        matches[k] AND ((k - coalesce(list_max(
+       |          list_filter(range(1, k), j -> NOT matches[j])), 0) - 1) % 2 = 0)) AS taken
+       |    FROM (
+       |      SELECT w, syms, it,
+       |        list_transform(range(1, len(syms)), k ->
+       |          syms[k] = a AND syms[k + 1] = b) AS matches
+       |      FROM (
+       |        SELECT w, syms, it, mt.ls[bp] AS a, mt.rs[bp] AS b
+       |        FROM (
+       |          SELECT w, syms, it,
+       |            list_min(list_transform(range(1, len(syms)), k ->
+       |              nullif(list_position(mt.ks,
+       |                CAST(length(syms[k]) AS VARCHAR) || ':' || syms[k] || syms[k + 1]), 0))) AS bp
+       |          FROM enc, mt
+       |        ) bq1, mt
+       |        WHERE bp IS NOT NULL
+       |      ) bq2
+       |    ) bq3
+       |  ) bq4
+       |),
+       |encf AS (SELECT w, syms FROM enc
+       |         QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1)""".stripMargin
+  }
+
+  /** Oracle for `token_count_bpe`: per-doc BPE token count =
+    * Σ pieces over the doc's pre-tokens (docs with no pre-token → 0,
+    * matching `Bpe.countKernel` on empty text). */
+  def bpeCountOracle(m: graft.functions.BpeMerges): String =
+    s"""${bpeEncodeCtes(m)}
+       |SELECT dd.doc_id, CAST(coalesce(sum(len(e.syms)), 0) AS INT) AS n_bpe
+       |FROM documents dd
+       |LEFT JOIN pretok p ON p.doc_id = dd.doc_id
+       |LEFT JOIN encf e ON e.w = p.pt
+       |GROUP BY dd.doc_id""".stripMargin
+
+  /** Oracle for `doc_chunk_bpe`: the doc's ordered piece stream
+    * (pre-token order × piece order), windowed exactly like
+    * [[graft.operators.Corpus.chunkBpe]] — stride = maxTok − overlap,
+    * ⌈max(1, n − overlap)/stride⌉ chunks, chunk text = pieces
+    * concatenated with no separator. */
+  def bpeChunkOracle(m: graft.functions.BpeMerges, maxTok: Int, overlap: Int): String = {
+    val stride = maxTok - overlap
+    s"""${bpeEncodeCtes(m)},
+       |docp AS (
+       |  SELECT p.doc_id, flatten(list(e.syms ORDER BY p.pi)) AS toks
+       |  FROM pretok p JOIN encf e ON e.w = p.pt GROUP BY p.doc_id),
+       |allp AS (
+       |  SELECT dd.doc_id, coalesce(dp.toks, CAST([] AS VARCHAR[])) AS w
+       |  FROM documents dd LEFT JOIN docp dp ON dp.doc_id = dd.doc_id),
+       |bc AS (SELECT doc_id, w,
+       |              greatest(1, CAST(ceil(CAST(len(w) - $overlap AS DOUBLE) / $stride) AS BIGINT)) AS n_chunks
+       |       FROM allp),
+       |bx AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM bc),
+       |bs AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |              w[(chunk_idx*$stride + 1):(chunk_idx*$stride + $maxTok)] AS chunk
+       |       FROM bx)
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tok,
+       |       array_to_string(chunk, '') AS chunk_text
+       |FROM bs""".stripMargin
+  }
+
+  /** Oracle for `seq_pack_bpe`: per-doc BPE token count, then the same
+    * streaming-packer window as the `seq_pack` oracle (cumulative
+    * tokens before each doc in (shard, doc_id) order; pack = cum div
+    * budget). */
+  def bpePackOracle(m: graft.functions.BpeMerges, budgetTok: Int): String =
+    s"""${bpeEncodeCtes(m)},
+       |bn AS (
+       |  SELECT dd.doc_id, dd.source AS shard,
+       |         CAST(coalesce(sum(len(e.syms)), 0) AS BIGINT) AS n_tok
+       |  FROM documents dd
+       |  LEFT JOIN pretok p ON p.doc_id = dd.doc_id
+       |  LEFT JOIN encf e ON e.w = p.pt
+       |  GROUP BY dd.doc_id, dd.source),
+       |bw AS (
+       |  SELECT doc_id, shard, n_tok,
+       |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+       |  FROM bn)
+       |SELECT doc_id, shard, n_tok,
+       |       CAST(tok_before // $budgetTok AS BIGINT) AS pack_id,
+       |       CAST(tok_before % $budgetTok AS BIGINT) AS pack_off
+       |FROM bw""".stripMargin
 }

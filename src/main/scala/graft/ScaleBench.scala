@@ -106,7 +106,15 @@ object ScaleBench {
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
           val r =
-            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); Right(()) }
+            try {
+              val df = fn(spark, dir)
+              try { df.write.format("noop").mode("overwrite").save(); Right(()) }
+              // checkpoint-backed results (dedup_incremental_lsh is in
+              // defaultQueries) hold RDD blocks clearCache can't see; a
+              // multi-factor sweep would otherwise pin one batch-sized
+              // block set PER FACTOR. No-op for plain plans.
+              finally graft.operators.Dedup.release(df)
+            }
             catch { case e: Throwable =>
               Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
             }

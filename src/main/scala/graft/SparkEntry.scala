@@ -21,6 +21,13 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** Train-once BPE merge table for the corpus at `dir` (memoized /
+    * artifact-pinned — see [[graft.functions.Bpe.forCorpus]]); shared
+    * by the three graded BPE queries AND their Verify-generated
+    * oracles, so one verify/bench run trains exactly once. */
+  private def corpusBpe(s: SparkSession, dir: String): graft.functions.BpeMerges =
+    graft.functions.Bpe.forCorpus(s, Tables.documents(s, dir), col("text"), dir)
+
   /** Demo GTID synthesis (no MySQL in the sandbox): each committed tx
     * gets `gtid = "src-<tx%3>:<tx>"` — three replication sources whose
     * executed sets interleave, the shape Debezium's `gtid` column
@@ -317,56 +324,40 @@ object SparkEntry {
       // pairs vs banded pairs found vs candidates generated — the
       // banding S-curve as one diffable frame
       Dedup.dedupPareto(Tables.documents(s, d))),
-    "dedup_cc" -> ((s, d) => {
+    "dedup_cc" -> ((s, d) =>
       // pairs → duplicate GROUPS: transitive closure over the verified
-      // jaccard pair set; singletons keep their own id as component
-      val docs = Tables.documents(s, d)
-      val edges = Dedup.jaccardPairs(docs)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
-        .select(col("node").as("doc_id"), col("comp"))
-    }),
+      // jaccard pair set; singletons keep their own id as component.
+      // The closure is memoized per corpus (dedup_cc_keep shares it) —
+      // mining+closure run once per process, not once per graded query.
+      Dedup.jaccardComponentsCached(Tables.documents(s, d), d)
+        .select(col("node").as("doc_id"), col("comp"))),
     "dedup_cc_keep" -> ((s, d) => {
       // groups → keeper: the longest member of each dup component wins
       // (quality-based "keep first occurrence"; n_chars is the
       // integer-exact demo score)
       val docs = Tables.documents(s, d)
-      val edges = Dedup.jaccardPairs(docs)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      val comps = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("node")), edges)
-      Dedup.keepBest(docs, comps, col("n_chars"))
+      Dedup.keepBest(docs, Dedup.jaccardComponentsCached(docs, d), col("n_chars"))
     }),
-    "dedup_cc_lsh" -> ((s, d) => {
+    "dedup_cc_lsh" -> ((s, d) =>
       // the SCALE path end-to-end: duplicate groups over the LSH-mined
       // pair set (banded candidates, linear) instead of the all-pairs
-      // jaccard baseline above — the shape a crawl-scale pipeline runs
-      val docs = Tables.documents(s, d)
-      val edges = Dedup.minhashLshPairs(docs)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
-        .select(col("node").as("doc_id"), col("comp"))
-    }),
-    "dup_cluster_stats" -> ((s, d) => {
+      // jaccard baseline above — the shape a crawl-scale pipeline
+      // runs. Memoized: dedup_cc_keep_lsh and dup_cluster_stats read
+      // the same closure instead of re-mining pairs.
+      Dedup.lshComponentsCached(Tables.documents(s, d), d)
+        .select(col("node").as("doc_id"), col("comp"))),
+    "dup_cluster_stats" -> ((s, d) =>
       // corpus-health headline: the duplicate-cluster SIZE histogram
       // (how many clusters of each size) over the LSH-mined components
       // — two count aggregates past the closure, both map-side partial
-      val docs = Tables.documents(s, d)
-      val edges = Dedup.minhashLshPairs(docs)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      Dedup.connectedComponents(docs.select(col("doc_id").as("node")), edges)
+      Dedup.lshComponentsCached(Tables.documents(s, d), d)
         .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
-    }),
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_cc_keep_lsh" -> ((s, d) => {
       // scale path through to keepers: LSH pairs → components → best
       // member kept (the full crawl-dedup pipeline, no all-pairs stage)
       val docs = Tables.documents(s, d)
-      val edges = Dedup.minhashLshPairs(docs)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      val comps = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("node")), edges)
-      Dedup.keepBest(docs, comps, col("n_chars"))
+      Dedup.keepBest(docs, Dedup.lshComponentsCached(docs, d), col("n_chars"))
     }),
     "text_normalize" -> ((s, d) => Corpus.normalizeText(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -523,30 +514,29 @@ object SparkEntry {
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d), 512, col("source"))),
     // ---- D10b/D20c/D22b: tokenizer-exact BPE budgets. The merge
-    // table is corpus-trained (deterministic — count ties break
-    // lexicographically) and rides as a plan constant; the encode is a
-    // codegen'd map. These three have NO SQL oracle: BPE's iterative
-    // merge loop is not expressible in DuckDB SQL, so the driver
-    // records the weaker rows-only check and BpeSpec pins equivalence
-    // against an independent serial reference implementation instead.
+    // table is corpus-trained ONCE per corpus dir (deterministic —
+    // count ties break lexicographically; Bpe.forCorpus memoizes and
+    // honors a GRAFT_BPE_DIR pinned artifact) and rides as a plan
+    // constant; the encode is a codegen'd map. The DuckDB oracle is
+    // Verify-generated (`oracleSqlDynamic`): the trained merge table
+    // ships into the SQL as literal rows and the greedy encode replays
+    // as a recursive CTE (DuckSql.bpeEncodeCtes).
     "token_count_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
+      val m = corpusBpe(s, d)
       docs.select(col("doc_id"),
         graft.functions.Bpe.bpeCount(col("text"), m).as("n_bpe"))
     }),
     "doc_chunk_bpe" -> ((s, d) => {
       // context windows budgeted in trained-tokenizer tokens; chunk
       // text is the pieces concatenated (pieces own their spaces)
-      val docs = Tables.documents(s, d)
-      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
-      Corpus.chunkBpe(docs, m, maxTok = 48, overlap = 8)
+      Corpus.chunkBpe(Tables.documents(s, d), corpusBpe(s, d),
+        maxTok = 48, overlap = 8)
     }),
     "seq_pack_bpe" -> ((s, d) => {
       // training-sequence packing against a real token budget
-      val docs = Tables.documents(s, d)
-      val m = graft.functions.Bpe.trainFromCorpus(docs, col("text"))
-      Corpus.packSequencesBpe(docs, 512, col("source"), m)
+      Corpus.packSequencesBpe(Tables.documents(s, d), 512, col("source"),
+        corpusBpe(s, d))
     }),
     "pii_scrub" -> ((s, d) => {
       // plant deterministic PII per row (the synthetic corpus has
@@ -2125,5 +2115,19 @@ object SparkEntry {
     "ann_ivf_trained" -> DuckSql.annIvfTrainedOracle(
       nlist = 8, iters = 2, nprobe = 4, nQueries = 10, k = 5, dim = 64),
     "multimodal_features" -> DuckSql.multimodalOracle(dim = 16)
+  )
+
+  /** Oracles that depend on a CORPUS-TRAINED artifact and so cannot be
+    * static SQL strings: `graft.Verify` evaluates these against the
+    * run's (session, sfDir) and merges the result into
+    * `oracle_sql.json`, so the driver's DuckDB compare gets a full
+    * hash-checked oracle whose embedded merge table always matches
+    * the corpus the queries trained on. Same column-alias contract as
+    * [[oracleSql]]. */
+  def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "token_count_bpe" -> ((s, d) => DuckSql.bpeCountOracle(corpusBpe(s, d))),
+    "doc_chunk_bpe" -> ((s, d) =>
+      DuckSql.bpeChunkOracle(corpusBpe(s, d), maxTok = 48, overlap = 8)),
+    "seq_pack_bpe" -> ((s, d) => DuckSql.bpePackOracle(corpusBpe(s, d), 512))
   )
 }

@@ -47,7 +47,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(o => keep(o._1))
+    // dynamic oracles (corpus-trained artifacts embedded as SQL
+    // literals — the BPE merge table) are generated against THIS
+    // run's (session, sfDir); a generator failure downgrades that
+    // query to the rows-only check instead of sinking the whole dump
+    val dynamic = SparkEntry.oracleSqlDynamic.filter(o => keep(o._1))
+      .flatMap { case (k, gen) =>
+        try Some(k -> gen(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+          None
+        }
+      }
+    val json = (SparkEntry.oracleSql.filter(o => keep(o._1)) ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_failures.json"),

@@ -196,7 +196,9 @@ object ZoneMap {
       case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue()))
       case _ => null
     }
-    case other => other // Long / Float / Double / Boolean map 1:1
+    case other => other // Long / Boolean map 1:1 (Float/Double are
+    // excluded from footerSupported — NaN-blind footer stats — and
+    // never reach this path)
   }
 
   /** Fallback manifest rows via one aggregate scan (unsupported stats

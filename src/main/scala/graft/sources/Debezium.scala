@@ -152,12 +152,19 @@ object Debezium {
     * what makes the parse run once per batch, not once per sink);
     * [[decodeWithDlq]] is the unpersisted convenience split. */
   def decodeRouted(raw: DataFrame, rowSchema: StructType = canonicalRow,
-                   jsonCol: String = "value"): DataFrame = {
-    require(!raw.columns.contains("raw") || jsonCol == "raw",
-      "Debezium.decodeRouted: input already has a 'raw' column")
-    decode(raw.withColumn("__graft_raw", col(jsonCol)), rowSchema, jsonCol)
-      .withColumnRenamed("__graft_raw", "raw")
+                   jsonCol: String = "value", rawCol: String = "raw"): DataFrame = {
+    require(!raw.columns.contains(rawCol) || jsonCol == rawCol,
+      s"Debezium.decodeRouted: input already has a '$rawCol' column; " +
+        "pass rawCol= a name the input doesn't use")
+    val internal = freshName(raw.columns, "__graft_raw")
+    decode(raw.withColumn(internal, col(jsonCol)), rowSchema, jsonCol)
+      .withColumnRenamed(internal, rawCol)
   }
+
+  /** `base`, suffixed with `_` until it collides with none of `cols` —
+    * internal working columns never clobber caller data. */
+  private def freshName(cols: Seq[String], base: String): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(cols.contains).next()
 
   /** [[decode]] split into (good, dlq): a line that parses to no `op`
     * (corrupt JSON, a Kafka tombstone's null value, a non-envelope
@@ -169,9 +176,14 @@ object Debezium {
     * use [[decodeRouted]] + persist so the shared parse runs once. */
   def decodeWithDlq(raw: DataFrame, rowSchema: StructType = canonicalRow,
                     jsonCol: String = "value"): (DataFrame, DataFrame) = {
-    val routed = decodeRouted(raw, rowSchema, jsonCol)
-    (routed.filter(col("op").isNotNull).drop("raw"),
-      routed.filter(col("op").isNull).select(col("raw")))
+    // a passthrough column literally named 'raw' (≠ jsonCol) is
+    // tolerated: route under a fresh name, keep the caller's column in
+    // the good frame, and alias back to 'raw' in the one-column DLQ
+    // projection (whose schema is the replay contract)
+    val rc = freshName(raw.columns.filterNot(_ == jsonCol), "raw")
+    val routed = decodeRouted(raw, rowSchema, jsonCol, rc)
+    (routed.filter(col("op").isNotNull).drop(rc),
+      routed.filter(col("op").isNull).select(col(rc).as("raw")))
   }
 
   /** Canonical-row envelope → [[ImagedChange]] stream: `c`/`r` (insert

@@ -201,6 +201,47 @@ class BpeSpec extends AnyFunSuite {
       s"streamed budget must equal the batch count: $got vs $wantTokens")
   }
 
+  test("incremental trainer: a 32768-merge production vocabulary trains in bounded time") {
+    // the naive recount-everything loop is O(numMerges · Σ|word|) —
+    // driver-HOURS at a real vocabulary size; the incremental trainer
+    // (pair-indexed recount + lazy-deletion heap) must stay
+    // interactive. The graded sf corpora saturate early (every
+    // frequent word fully merges in ~126 steps), so the depth
+    // demonstration uses a deterministic synthetic vocabulary deep
+    // enough to sustain 32768 productive merges. Generous wall bound
+    // so CI noise can't flake it; the measured number lands in
+    // SURVEY §2 D10b.
+    var seed = 42L
+    def nxt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val words = (0 until 30000).map { _ =>
+      (new String(Array.fill(16)(('a' + nxt(6)).toChar)), (2 + nxt(5)).toLong)
+    }
+    val t0 = System.nanoTime()
+    val m = Bpe.train(words, 32768)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"trained ${m.pairs.size} merges in $sec%.1f s")
+    assert(m.pairs.size == 32768, "vocabulary must sustain the full 32768 merges")
+    assert(sec < 120.0, f"incremental trainer took $sec%.1f s — perf regression")
+    // prefix property: a deep run begins with the shallow run's table
+    val shallow = Bpe.train(words, 500)
+    assert(m.pairs.take(500) == shallow.pairs,
+      "a longer run must extend, never rewrite, the merge sequence")
+  }
+
+  test("forCorpus: memoized train-once + GRAFT_BPE_DIR artifact pinning contract") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Bpe.clearMemo()
+    val m1 = Bpe.forCorpus(spark, docs, col("text"), "k1", numMerges = 40, maxWords = 2000)
+    val m2 = Bpe.forCorpus(spark, docs, col("text"), "k1", numMerges = 40, maxWords = 2000)
+    assert(m1 eq m2, "same corpus key must return the memoized instance (train once)")
+    val m3 = Bpe.forCorpus(spark, docs, col("text"), "k2", numMerges = 40, maxWords = 2000)
+    assert(m3.pairs == m1.pairs, "same corpus under a different key trains equal merges")
+    Bpe.clearMemo()
+  }
+
   test("packSequencesBpe: offsets within budget, cumulative-sum consistency per shard") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val m = Bpe.trainFromCorpus(docs, col("text"), numMerges = 60, maxWords = 4000)
