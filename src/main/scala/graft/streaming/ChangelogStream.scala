@@ -133,6 +133,75 @@ object ChangelogStream {
     }
   }
 
+  /** [[entityState]] with an EVENT-TIME tombstone TTL: a deleted
+    * entity's tombstone leaves the state store when the WATERMARK
+    * passes its position's time + `tombstoneTtlMs` — the B31c/B18
+    * convention (event-time timers never busy-spin an idle stream
+    * with empty micro-batches; the flip side is that a quiet stream
+    * stops advancing the watermark and tombstones then outlive the
+    * TTL until traffic resumes — for a compaction horizon that's the
+    * safe direction: no traffic means no late positions to defend
+    * against either). `pos` is interpreted as event-time MICROS —
+    * the changelog position is the log's own clock (Debezium's
+    * `ts_ms`-derived positions, file offsets stamped at write);
+    * `watermark` is the lateness bound on it. Live entities never
+    * register timers — their state IS the view. Fold semantics are
+    * identical to [[entityState]]. */
+  def entityStateEventTtl(
+      changes: Dataset[Change],
+      initial: Option[Dataset[Entity]] = None,
+      tombstoneTtlMs: Long = 3600000L,
+      watermark: String = "10 minutes"): Dataset[Entity] = {
+    require(tombstoneTtlMs > 0,
+      s"entityStateEventTtl: tombstoneTtlMs=$tombstoneTtlMs must be > 0")
+    import changes.sparkSession.implicits._
+    val grouped = changes
+      .withColumn("ets", timestamp_micros(col("pos")))
+      .as[(Long, String, String, Long, Double, java.sql.Timestamp)]
+      .withWatermark("ets", watermark)
+      .groupByKey(c => (c._3, c._4))
+
+    def fold(key: (String, Long),
+             rows: Iterator[(Long, String, String, Long, Double, java.sql.Timestamp)],
+             state: GroupState[Entity]): Iterator[Entity] = {
+      if (state.hasTimedOut) {
+        // only tombstones register timers — a quiet delete leaving
+        // the store; downstream already saw the live=false row
+        state.remove()
+        return Iterator.empty
+      }
+      val sorted = rows.map(c => Change(c._1, c._2, c._3, c._4, c._5))
+        .toSeq.sortBy(c => (c.pos, c.op == "upsert"))
+      var cur = state.getOption.orNull
+      sorted.foreach { c =>
+        if (cur == null || c.pos >= cur.lastPos) {
+          cur = Entity(key._1, key._2, c.value, c.pos, live = c.op == "upsert")
+        }
+      }
+      if (cur != null) {
+        state.update(cur)
+        // group invocation clears any prior timer; re-arm only on
+        // tombstones. The timestamp must sit at/after the current
+        // watermark or Spark rejects it — clamp for late stragglers.
+        if (!cur.live) {
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(cur.lastPos / 1000L + tombstoneTtlMs, wm + 1))
+        }
+      }
+      Iterator.single(cur).filter(_ != null)
+    }
+
+    initial match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout,
+          init.groupByKey(e => (e.tbl, e.id)))(fold)
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fold)
+    }
+  }
+
   /** B4: transaction atomicity on a stream — buffer each tx, release
     * on commit, drop on rollback, strip the markers. With
     * `txTimeoutMs > 0` an open tx is dropped (like a never-committed

@@ -73,6 +73,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("b1ttl").filter(col("id") === 1).count() === 2) // upsert + delete
   }
 
+  test("B1c: event-time tombstone TTL — tombstone leaves the store when the WATERMARK passes pos + TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    // pos is event-time MICROS; watermark 0 seconds so the clock is
+    // exactly max-seen-pos; TTL 1000 ms. EventTimeTimeout never
+    // busy-spins, so processAllAvailable works (unlike the B1 TTL).
+    val q = ChangelogStream.entityStateEventTtl(
+        in.toDS(), tombstoneTtlMs = 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b1et").outputMode("update").start()
+    in.addData(Change(10_000L, "upsert", "t", 1, 1.0),
+               Change(20_000L, "upsert", "t", 2, 2.0))
+    q.processAllAvailable() // watermark = 20 ms
+    in.addData(Change(30_000L, "delete", "t", 1, 0.0))
+    q.processAllAvailable() // id 1 tombstoned; timer at 30 ms + 1000 ms
+    // the OTHER entity's traffic drives the watermark past the
+    // timeout — no wall clock involved
+    in.addData(Change(5_000_000L, "upsert", "t", 2, 3.0))
+    q.processAllAvailable() // watermark 5 s; next batch fires the timer
+    in.addData(Change(5_100_000L, "upsert", "t", 2, 4.0))
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    assert(stateRows === 1,
+      "tombstone for id 1 should have left the store (only live id 2 remains)")
+    // the expired entity returns: treated as brand-new state
+    in.addData(Change(6_000_000L, "upsert", "t", 1, 7.0))
+    drain(q)
+    // expiry itself is silent: id 1's rows are upsert + delete + rebirth
+    assert(spark.table("b1et").filter(col("id") === 1).count() === 3)
+    val last = spark.table("b1et").filter(col("id") === 1)
+      .orderBy(desc("lastPos")).as[Entity].head()
+    assert(last.live && last.value == 7.0)
+  }
+
   test("B28: streaming GTID window tracks per-source lo/hi; gap detector fires once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
