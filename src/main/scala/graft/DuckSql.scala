@@ -112,10 +112,10 @@ object DuckSql {
        |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
        |  GROUP BY doc_id, j),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
        |  FROM bits GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, shu,
        |         unnest(range(${bandExprs.length})) AS ci,
        |         unnest([${bandExprs.mkString(", ")}]) AS cv
@@ -123,7 +123,7 @@ object DuckSql {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.shu AS au, b.shu AS bu
        |  FROM bands a JOIN bands b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
-       |ver AS (
+       |ver AS MATERIALIZED (
        |  SELECT a_id, b_id,
        |         CASE WHEN bit_count(xor(${signed("au")}, ${signed("bu")})) <= $maxHamming
        |              THEN 1 ELSE 0 END AS dup
@@ -297,7 +297,7 @@ object DuckSql {
         "doc_id, g", "g", "h1"),
       "doc_id, h1", "xor(g, 1::HUGEINT)", "h2")
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |shl AS (
+       |shl AS MATERIALIZED (
        |  SELECT doc_id,
        |         CASE WHEN len(w) >= 3
        |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
@@ -309,7 +309,7 @@ object DuckSql {
        |  SELECT doc_id, j, min(${signed("(h1 + j*h2) % " + M)}) AS sv
        |  FROM hh CROSS JOIN (SELECT unnest(range($numHashes)) AS j) js
        |  GROUP BY doc_id, j),
-       |bh AS (
+       |bh AS MATERIALIZED (
        |  SELECT doc_id, j // $rows AS band,
        |         list_reduce(list_prepend(17::HUGEINT, list(${unsigned("sv")} ORDER BY j)),
        |                     (a, x) -> (a*31 + x) % $M) AS bv
@@ -321,13 +321,24 @@ object DuckSql {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bh a JOIN bh b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |ver AS (
-       |  SELECT a_id, b_id,
-       |         CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-       |                   >= $threshold
+       |sln AS (SELECT doc_id, len(sh) AS ln FROM shl),
+       |sx AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+       |pint AS (
+       |  -- exact intersection sizes via the shingle posting list
+       |  -- (equals len(list_intersect(..)) pair-by-pair, but scales
+       |  -- with the dup structure instead of candidate-count × |sh|²)
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |ver AS MATERIALIZED (
+       |  SELECT c.a_id, c.b_id,
+       |         CASE WHEN CAST(coalesce(i.inter, 0) AS DOUBLE) /
+       |                   (la.ln + lb.ln - coalesce(i.inter, 0)) >= $threshold
        |              THEN 1 ELSE 0 END AS dup
-       |  FROM cand JOIN shl x ON x.doc_id = a_id JOIN shl y ON y.doc_id = b_id)""".stripMargin
+       |  FROM cand c
+       |  JOIN sln la ON la.doc_id = c.a_id
+       |  JOIN sln lb ON lb.doc_id = c.b_id
+       |  LEFT JOIN pint i ON i.a_id = c.a_id AND i.b_id = c.b_id)""".stripMargin
 
   /** Oracle for `dedup_pareto`: the near-dup recall/cost sweep —
     * the blocked-exact baseline's pair + candidate counts (from the
@@ -355,9 +366,17 @@ object DuckSql {
     s"""WITH jx AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_exact
        |  FROM (WITH ${jaccardCtes}SELECT 1 FROM p WHERE j >= ${dlit(threshold)}) q),
+       |bhx AS (
+       |  SELECT n_chars // 100 AS bucket, count(*) AS n FROM documents GROUP BY 1),
        |jc AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_cand
-       |  FROM (WITH ${jaccardCtes}SELECT 1 FROM p) q2),
+       |  -- blocked-candidate count from the bucket histogram (the
+       |  -- posting-list `p` only materializes pairs sharing a shingle;
+       |  -- the baseline's cost axis is the BLOCKED pair count):
+       |  -- same-bucket C(n,2) + adjacent-bucket n_k * n_{k+1}
+       |  SELECT CAST(coalesce((SELECT sum(n * (n - 1) // 2) FROM bhx), 0) +
+       |              coalesce((SELECT sum(a.n * b.n) FROM bhx a
+       |                        JOIN bhx b ON b.bucket = a.bucket + 1), 0)
+       |         AS BIGINT) AS n_cand),
        |$perB
        |SELECT 'exact' AS method, CAST(0 AS INT) AS bands,
        |       (SELECT n_exact FROM jx) AS n_exact,
@@ -380,13 +399,23 @@ object DuckSql {
        |  SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
        |  FROM bh b JOIN bh s ON b.band = s.band AND b.bv = s.bv
        |  WHERE b.doc_id >= $cutoff AND s.doc_id < $cutoff),
-       |ver AS (
-       |  SELECT b_id, s_id,
-       |         CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |                   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-       |                   >= $threshold
+       |sln AS (SELECT doc_id, len(sh) AS ln FROM shl),
+       |sx AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+       |pint AS (
+       |  -- snapshot < cutoff <= batch, so (s_id, b_id) is the ordered pair
+       |  SELECT s.doc_id AS s_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sx s JOIN sx b ON s.g = b.g
+       |  WHERE s.doc_id < $cutoff AND b.doc_id >= $cutoff
+       |  GROUP BY s.doc_id, b.doc_id),
+       |ver AS MATERIALIZED (
+       |  SELECT c.b_id, c.s_id,
+       |         CASE WHEN CAST(coalesce(i.inter, 0) AS DOUBLE) /
+       |                   (lb.ln + ls.ln - coalesce(i.inter, 0)) >= $threshold
        |              THEN 1 ELSE 0 END AS dup
-       |  FROM cand JOIN shl x ON x.doc_id = b_id JOIN shl y ON y.doc_id = s_id),
+       |  FROM cand c
+       |  JOIN sln lb ON lb.doc_id = c.b_id
+       |  JOIN sln ls ON ls.doc_id = c.s_id
+       |  LEFT JOIN pint i ON i.s_id = c.s_id AND i.b_id = c.b_id),
        |agg AS (SELECT b_id, sum(dup) AS nd FROM ver GROUP BY b_id)
        |SELECT dd.doc_id,
        |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_dup_snap,
@@ -754,7 +783,7 @@ object DuckSql {
       }.mkString(" + ")
     }
     s"""WITH e AS (SELECT vec_id, [${bandExprs.mkString(",\n  ")}] AS bks FROM embeddings),
-       |bb AS (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM e),
+       |bb AS MATERIALIZED (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM e),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)

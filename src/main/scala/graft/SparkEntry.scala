@@ -793,7 +793,20 @@ object SparkEntry {
   /** Shared oracle CTEs: blocked 3-gram-shingle Jaccard pairs (the
     * near_dup_jaccard pipeline) — reused by the connected-components
     * oracle. No WITH prefix so callers can choose WITH vs
-    * WITH RECURSIVE. */
+    * WITH RECURSIVE.
+    *
+    * `p` enumerates pairs via the shingle POSTING LIST (join on a
+    * shared shingle, intersection size = matched-shingle count) rather
+    * than the blocked all-pairs scan: identical result set above any
+    * positive threshold — a blocked pair sharing zero shingles has
+    * J = 0 and can never qualify — but the cost is Σ per-shingle
+    * C(df, 2) instead of Σ per-block C(n, 2), which is what lets the
+    * SAME formulation replay at sf1 (the all-pairs form needed
+    * 27 DuckDB-minutes already at sf0.1 and is quadratic in corpus
+    * size; this one tracks the actual dup structure). Consumers that
+    * need the blocked CANDIDATE count (dedup_pareto's cost axis)
+    * compute it arithmetically from the bucket histogram instead of
+    * counting `p`. */
   private val jaccardCtes =
     """t AS (
       |  SELECT doc_id, n_chars // 100 AS bucket, string_split(text, ' ') AS w FROM documents),
@@ -804,11 +817,14 @@ object SparkEntry {
       |                                  for i in range(1, len(w) - 1)])
       |              ELSE CAST([] AS VARCHAR[]) END AS sh
       |  FROM t),
-      |p AS (
+      |ex AS MATERIALIZED (SELECT doc_id, bucket, len(sh) AS ln, unnest(sh) AS g FROM s),
+      |p AS MATERIALIZED (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1)
+      |         CAST(count(*) AS DOUBLE) /
+      |           (any_value(a.ln) + any_value(b.ln) - count(*)) AS j
+      |  FROM ex a JOIN ex b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1
+      |  GROUP BY a.doc_id, b.doc_id)
       |""".stripMargin
 
   // shared by the ann_topk / ann_lsh oracles and their ann_recall
