@@ -494,6 +494,10 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
     "tfidf_topk" -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
+    "bm25_topk" -> ((s, d) => Corpus.bm25TopK(Tables.documents(s, d))),
+    "lm_score" -> ((s, d) => Corpus.lmBigramScore(Tables.documents(s, d))),
+    "temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), col("source"), 1000000L)),
     "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
     "substr_dup" -> ((s, d) => Corpus.substrPairs(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
@@ -1677,6 +1681,88 @@ object SparkEntry {
         |                ORDER BY score DESC, term) AS INT) AS rk
         |  FROM sc)
         |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 5""".stripMargin,
+    // BM25: rational Robertson idf (no ln — libm-free determinism),
+    // fixed-point per-term contributions so the per-pair sum is an
+    // order-free integer sum. Float op order mirrors Corpus.bm25TopK
+    // exactly (incl. tf·k1 + tf instead of tf·(k1+1)).
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id AS n_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w)) AS term
+        |       FROM d WHERE doc_id < 5),
+        |sc AS (
+        |  SELECT qt.q_id, tf.n_id,
+        |         CAST(floor(1e6 * (
+        |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
+        |            (CAST(dfT.df AS DOUBLE) + 0.5))
+        |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
+        |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |                 (CAST(dl.dl AS DOUBLE) /
+        |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |         )) AS BIGINT) AS contrib_fp
+        |  FROM qt JOIN tf USING (term)
+        |       JOIN dfT USING (term)
+        |       JOIN dl ON dl.n_id = tf.n_id
+        |       CROSS JOIN st
+        |  WHERE qt.q_id <> tf.n_id),
+        |g AS (SELECT q_id, n_id, CAST(sum(contrib_fp) AS BIGINT) AS bm25_fp
+        |      FROM sc GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, bm25_fp,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |               ORDER BY bm25_fp DESC, n_id) AS INT) AS rnk
+        |      FROM g)
+        |SELECT q_id, n_id, bm25_fp, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    // Bigram-LM fluency: add-one-smoothed corpus bigram model, mean
+    // LINEAR probability (ln is libm — see Corpus.lmBigramScore),
+    // per-bigram probabilities fixed-point-quantized before the
+    // order-free integer per-doc sum.
+    "lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |            THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |            ELSE CAST([] AS VARCHAR[]) END) AS bg FROM d),
+        |db AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY bg),
+        |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(w) AS term FROM d) GROUP BY term),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+        |p AS (SELECT c2.bg,
+        |        CAST(floor(1e9 * (CAST(c2.c2 + 1 AS DOUBLE) /
+        |                          CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p_fp
+        |      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.term CROSS JOIN v),
+        |pd AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(db.n * p.p_fp) AS BIGINT) AS sum_fp
+        |       FROM db JOIN p USING (bg) GROUP BY db.doc_id)
+        |SELECT docs.doc_id,
+        |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(pd.sum_fp, 0) AS sum_fp,
+        |       CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |            THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |       END AS lm_score
+        |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin,
+    // Temperature mix at τ=0.5: sqrt is correctly-rounded IEEE on
+    // both engines (pow is not); fixed-point weights → integer
+    // normalizer and pure-integer quota (// = Spark's div).
+    "temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |s AS (SELECT source, n_docs,
+        |        CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+        |        CAST(floor(1e9 * sqrt(CAST(n_docs AS DOUBLE) /
+        |                              CAST(n_total AS DOUBLE))) AS BIGINT) AS w_fp
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT CAST(sum(w_fp) AS BIGINT) AS z_fp FROM s)
+        |SELECT source, n_docs, p, w_fp,
+        |       CAST(w_fp AS DOUBLE) / CAST(z_fp AS DOUBLE) AS weight,
+        |       (w_fp * 1000000) // z_fp AS quota
+        |FROM s CROSS JOIN z""".stripMargin,
     "substr_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |gr AS (SELECT doc_id,

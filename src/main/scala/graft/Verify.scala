@@ -34,6 +34,13 @@ object Verify {
       // them so cached partitions don't accumulate across the queries
       // (SparkEntry.queries.size of them — see SURVEY §2)
       spark.catalog.clearCache()
+      // clearCache frees cached BLOCKS but not SHUFFLE FILES: those
+      // live on disk until the ContextCleaner sees their
+      // ShuffleDependency collected. Across a 128-query run at sf1
+      // that residue fills the drive (observed: spill ENOSPC ~80
+      // queries in). Opt-in because a full GC per query costs wall
+      // time the sf0.01 driver run doesn't need.
+      if (sys.env.get("GRAFT_VERIFY_GC").contains("1")) System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

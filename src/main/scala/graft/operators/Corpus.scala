@@ -309,6 +309,134 @@ object Corpus {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson–Spärck Jones / Okapi
+    * BM25) — the keyword leg production hybrid search actually runs
+    * (the RRF fusion in `Ann.hybridTopKRrf` uses shared-token count as
+    * its lexical rank; this is the real scoring function behind it).
+    * The first `nQueries` docs are the query set (same convention as
+    * `hybrid_search_rrf`); every other doc is scored against each
+    * query by `Σ_t idf(t) · tf_sat(t, d)` over shared terms, and the
+    * per-query top `k` survive.
+    *
+    * Determinism engineering (house rules, see [[tfidfTopK]] and
+    * `Sampling.weightedSample`): (a) the classical `ln`-idf is a libm
+    * call whose last-ulp rounding differs across engines, so idf is
+    * the RATIONAL Robertson form WITHOUT the log —
+    * `(N - df + 0.5) / (df + 0.5)` — one subtraction and one division,
+    * both correctly-rounded IEEE, monotone in the same direction;
+    * (b) per-term contributions are quantized to fixed-point
+    * (`floor(1e6 · idf · tf_sat)` as BIGINT) before the per-pair sum,
+    * because a DOUBLE sum's value depends on partition order while an
+    * integer sum does not. `tf_sat = tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl))` is written as `(tf·k1 + tf) / …` so both engines
+    * evaluate the same float op sequence (no compile-time constant
+    * folding of `k1+1` whose rounding could tie-break differently).
+    * Query term multiplicity is ignored (qtf = 1, the standard
+    * simplification for short queries).
+    *
+    * Scale shape: queries are dim-sized by construction → the distinct
+    * query-term table BROADCASTS; the corpus side is [[termFreq]]
+    * (map-side-combined posting rows, never one row per occurrence);
+    * the probe is a term-keyed hash join; `(q, d)` partial sums
+    * combine map-side; the per-query top-k runs through row_number
+    * whose WindowGroupLimit caps every map partition at k rows per
+    * query BEFORE the exchange. Corpus stats (N, Σdl) ride as a
+    * broadcast 1-row frame. Nothing is driver-collected. */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFreq(docs)                                   // (doc_id, term, tf)
+    val dl = docs.select(col("doc_id").as("n_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val tfSat = ((tfd * lit(k1)) + tfd) /
+      (tfd + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("bm25_fp").desc, col("n_id"))
+    broadcast(qt)
+      .join(tf.withColumnRenamed("doc_id", "n_id"), Seq("term"))
+      .where(col("q_id") =!= col("n_id"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("n_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_fp", floor(lit(1e6) * (idf * tfSat)).cast("long"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("contrib_fp")).as("bm25_fp"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("bm25_fp"), col("rnk"))
+  }
+
+  /** Corpus-LM fluency score — the distributed seat of perplexity
+    * filtering (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data": score every document
+    * with a language model trained on trusted text; drop the tail).
+    * The LM here is an add-one-smoothed token-BIGRAM model trained on
+    * the corpus itself: `p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`, and
+    * a document's score is the MEAN bigram probability over its bigram
+    * occurrences. Docs with fewer than 2 tokens score NULL.
+    *
+    * Honest note on the metric (same class of trade as [[tfidfTopK]]'s
+    * linear idf): true perplexity exponentiates a mean of `log p`, and
+    * `ln` is a libm call whose last-ulp rounding differs across
+    * engines — a single differing ulp across millions of bigrams
+    * breaks a bit-exact oracle. Mean LINEAR probability ranks fluency
+    * the same direction (rare/unseen transitions drag the score down)
+    * using only +,·,/ — every op correctly-rounded IEEE. Per-bigram
+    * probabilities are quantized to fixed-point (`floor(1e9·p)` as
+    * BIGINT) so the per-doc sum is an order-free integer sum; the
+    * single final division to the mean is one deterministic double op.
+    *
+    * Scale shape: a doc's bigrams collapse to (doc, bigram, n) counts
+    * map-side before any exchange (HashAggregate partial — the
+    * [[termFreq]] argument); corpus bigram counts are one narrow
+    * bigram-keyed exchange; the unigram-count join is vocabulary-sized
+    * and keyed on the bigram's FIRST token; V rides as a broadcast
+    * 1-row frame. The per-doc rollup re-keys by doc_id — result-sized
+    * rows throughout, never one row per token occurrence. */
+  def lmBigramScore(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val bg = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, c) => concat(a, lit(" "), c))
+    ).otherwise(array().cast("array<string>"))
+    // (doc_id, bg, n): bigram occurrences per doc, combined map-side
+    val docBg = docs.select(col("doc_id"), explode(bg).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val c2 = docBg.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+    val c1 = docs.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val pFp = c2
+      .withColumn("term", element_at(split(col("bg"), " "), 1))
+      .join(c1, Seq("term"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_fp", floor(lit(1e9) *
+        ((col("c2") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")))
+        .cast("long"))
+      .select(col("bg"), col("p_fp"))
+    val perDoc = docBg.join(pFp, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("p_fp")).as("sum_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("sum_fp", coalesce(col("sum_fp"), lit(0L)))
+      .withColumn("lm_score",
+        when(col("n_bigrams") > 0,
+          col("sum_fp").cast("double") / col("n_bigrams").cast("double")))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_fp"), col("lm_score"))
+  }
+
   /** Exact-substring duplicate pair mining: document pairs sharing at
     * least one identical run of `ngram` consecutive tokens, with the
     * count of distinct shared windows — the distributed seat of

@@ -68,8 +68,9 @@ object Dedup {
     * Execution shape: candidate pairs are generated from *id-only*
     * rows (the blocked join touches 16-byte rows, never arrays), then
     * repartitioned by a_id so the verify spreads across the cluster;
-    * shingle arrays attach via joins against the persisted projection
-    * — no broadcast hints, AQE picks the strategy by observed size. */
+    * shingle arrays attach via SHUFFLE_HASH joins against the
+    * persisted projection (see [[verifyJaccard]] for why the strategy
+    * is pinned rather than left to AQE). */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val (t, cand) = jaccardBlocked(docs)
     verifyJaccard(t, cand, threshold)
@@ -107,13 +108,25 @@ object Dedup {
     (t, cand)
   }
 
+  /** Attach shingle arrays to candidate pairs and keep pairs with
+    * Jaccard ≥ threshold. Both attach joins are pinned SHUFFLE_HASH
+    * with the DOC side as build: the candidate stream is quadratic in
+    * duplicate-group sizes and each joined row carries KB-sized
+    * shingle arrays, so a sort-merge join would externally SORT that
+    * widest stream — measured at sf1 (50k docs, ~6.5M pairs) the SMJ
+    * sort spilled >75 GB and filled the drive, while the hash build
+    * side is only doc-count-sized (per-partition: corpus/shuffle
+    * partitions — executor-memory-sized at any scale since partition
+    * counts grow with the cluster). AQE can't make this call: it
+    * plans from byte statistics that underestimate the per-row
+    * blow-up of the array attach. */
   private def verifyJaccard(t: DataFrame, cand: DataFrame,
                             threshold: Double): DataFrame =
     cand
       .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        size(col("sh")).as("a_n")), Seq("a_id"))
+        size(col("sh")).as("a_n")).hint("SHUFFLE_HASH"), Seq("a_id"))
       .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        size(col("sh")).as("b_n")), Seq("b_id"))
+        size(col("sh")).as("b_n")).hint("SHUFFLE_HASH"), Seq("b_id"))
       // size-ratio prefilter: j ≥ t ⇒ i ≥ t(na+nb)/(1+t) and
       // i ≤ min(na,nb), so min(na,nb)·(1+t) ≥ t·(na+nb) is a
       // necessary condition — prunes pairs before the merge pass

@@ -88,6 +88,46 @@ object Sampling {
       .where(col("rk") <= perStratum)
   }
 
+  /** Temperature-scaled domain mixture (the pretraining data-mixing
+    * step: upsample small domains, downsample the head — e.g. the
+    * multilingual sampling rule `p_i^τ / Σ p_j^τ` of Conneau &
+    * Lample, "Cross-lingual Language Model Pretraining", and the
+    * domain-weights tables of GPT-3/The Pile): per domain, the
+    * natural share `p_i = n_i/N`, its temperature-flattened weight,
+    * and the integer document quota out of `budget` the domain gets
+    * under that mix.
+    *
+    * τ is FIXED at 0.5 — `p^0.5 = sqrt(p)`, and `sqrt` is an
+    * IEEE-754 correctly-rounded operation on BOTH engines, while
+    * arbitrary-τ `pow` is a libm call with engine-dependent last-ulp
+    * rounding (the same determinism trade documented on
+    * [[weightedSample]]'s Efraimidis–Spirakis deviation). τ = 0.5 is
+    * itself a standard operating point (XLM uses τ ∈ {0.5, 0.7}).
+    * Weights are quantized to fixed-point (`floor(1e9·sqrt(p))` as
+    * BIGINT) so the normalizer is an order-free integer sum, and the
+    * quota uses pure integer arithmetic (`w_fp·budget div Σw_fp`) —
+    * no float ever crosses an aggregation.
+    *
+    * Scale shape: one corpus-wide count per domain (map-side
+    * combined), then two broadcast 1-row stat frames (N, Σw_fp); the
+    * result is domain-cardinality-sized. Rounding note: quotas are
+    * floors, so `Σ quota ≤ budget` — the ≤ #domains leftover docs are
+    * the caller's to assign (largest-remainder or drop). */
+  def temperatureMix(df: DataFrame, stratum: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cnt = df.groupBy(stratum.as("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = cnt.agg(sum(col("n_docs")).as("n_total"))
+    val scored = cnt.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("w_fp", floor(lit(1e9) * sqrt(col("p"))).cast("long"))
+    val z = scored.agg(sum(col("w_fp")).as("z_fp"))
+    scored.crossJoin(broadcast(z))
+      .withColumn("weight", col("w_fp").cast("double") / col("z_fp").cast("double"))
+      .withColumn("quota", expr(s"(w_fp * ${budget}L) div z_fp"))
+      .select(col("source"), col("n_docs"), col("p"), col("w_fp"),
+        col("weight"), col("quota"))
+  }
+
   /** Deterministic global shuffle into training shards: every row gets
     * a `(shard, shard_pos)` address — shard by sign-free hash modulo,
     * position by hash rank WITHIN the shard. This is the "shuffle

@@ -223,6 +223,63 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("bm25 ranks more shared rare terms above fewer, drops no-overlap docs") {
+    // doc 0 is the query; 'banana' is rarer than 'apple' so doc 1
+    // (shares both) must outrank doc 2 (shares only apple); doc 3
+    // shares nothing and must not appear at all.
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple banana cherry"),
+      (2L, "apple fig grape kiwi"),
+      (3L, "zebra yak xylo")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(docs, nQueries = 1, k = 10)
+      .select("q_id", "n_id", "bm25_fp", "rnk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L), "overlap docs only, best first")
+    assert(out.head._3 > out(1)._3, "two shared terms beat one")
+    assert(out.forall(_._1 == 0L))
+    // deterministic: identical rerun, identical fixed-point scores
+    val again = Corpus.bm25TopK(docs, nQueries = 1, k = 10)
+      .select("q_id", "n_id", "bm25_fp", "rnk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("bigram LM score: add-one-smoothed probabilities, exact fixed-point") {
+    // corpus: "a b", "a b", "a c", "solo" → unigrams a=3 b=2 c=1
+    // solo=1, so V=4; bigram counts: (a b)=2, (a c)=1.
+    // p(a b) = (2+1)/(c1(a)+V) = 3/7  → fp floor(3e9/7) = 428571428
+    // p(a c) = (1+1)/7         = 2/7  → fp floor(2e9/7) = 285714285
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lmBigramScore(docs)
+      .select("doc_id", "n_bigrams", "sum_fp", "lm_score")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((1L, 428571428L, Some(4.28571428e8))))
+    assert(out(1L) == ((1L, 428571428L, Some(4.28571428e8))))
+    assert(out(2L) == ((1L, 285714285L, Some(2.85714285e8))))
+    assert(out(3L) == ((0L, 0L, None)), "sub-2-token docs score NULL, not dropped")
+  }
+
+  test("temperature mix flattens the head: sqrt weights, integer quotas") {
+    // counts 1:4 → p 0.2/0.8; sqrt flattens the 4× ratio to 2×.
+    val docs = (0 until 5).map(i => (i.toLong, if (i == 0) "rare" else "big"))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, col("source"), budget = 1000L)
+      .select("source", "n_docs", "w_fp", "weight", "quota")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val rare = out("rare"); val big = out("big")
+    assert(rare._3 == math.floor(1e9 * math.sqrt(0.2)).toLong)
+    assert(big._3 == math.floor(1e9 * math.sqrt(0.8)).toLong)
+    assert(math.abs(big._4 / rare._4 - 2.0) < 1e-8, "sqrt halves the log-ratio")
+    assert(math.abs(rare._4 + big._4 - 1.0) < 1e-12, "weights normalize")
+    assert(rare._5 + big._5 <= 1000L, "floor quotas never exceed the budget")
+    assert(rare._5 > 200L, "the rare domain is upsampled past its 20% share")
+  }
+
   test("streaming dedup drops in-watermark duplicate bodies, state keyed by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -398,6 +398,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global range sort anywhere in the rank loop:\n$p")
   }
 
+  test("near_dup_jaccard: the shingle-array attach joins hash-build on the doc side — the quadratic pair stream is never sorted") {
+    // The SMJ alternative externally sorts the candidate×array stream
+    // (measured at sf1: >75 GB of sort spill — the disk-full failure
+    // this audit pins the fix for). The two verifyJaccard attach
+    // joins must be ShuffledHashJoin; any other sort-merge join in
+    // the plan may only touch id-sized rows, never the arrays.
+    val p = formatted("near_dup_jaccard")
+    assert(raw"\(\d+\) ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"both array-attach joins must be hash joins:\n$p")
+    p.split("\n\n").filter(b => raw"^\(\d+\) SortMergeJoin".r.findFirstIn(b).isDefined)
+      .foreach { b =>
+        assert(!b.contains("a_sh") && !b.contains("b_sh"),
+          s"a sort-merge join touches shingle arrays:\n$b")
+      }
+  }
+
+  test("bm25_topk: query terms broadcast; per-query top-k caps map-side") {
+    val p = formatted("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim-sized query-term table must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=k must cap partitions before the final exchange:\n$p")
+  }
+
   test("tableStats scale path: one scan, all per-column sketches partial, no Expand") {
     import org.apache.spark.sql.functions.col
     val p = graft.operators.Sketch.tableStats(
