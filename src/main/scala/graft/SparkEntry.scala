@@ -371,6 +371,10 @@ object SparkEntry {
       // no score calibration needed, integer ranks + exact divisions
       // keep the fused ordering oracle-stable
       Ann.hybridTopKRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "hybrid_search_bm25" -> ((s, d) =>
+      // the production hybrid shape: BM25 lexical leg (rational idf,
+      // fixed-point scores) + exact cosine leg, fused by RRF
+      Ann.hybridTopKBm25(Tables.documents(s, d), Tables.embeddings(s, d))),
     "ann_topk_filtered" -> ((s, d) =>
       // vector search under a metadata predicate: top-k among ENGLISH
       // docs only — filter semi-joins in BEFORE scoring (top-k over
@@ -1431,6 +1435,62 @@ object SparkEntry {
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
       nQueries = 10, k = 5, dim = 64),
+    // Same fusion tail as hybrid_search_rrf; the lexical leg is the
+    // bm25_topk chain at kEach=20 (see that oracle for the
+    // determinism notes on idf / fixed-point contributions).
+    "hybrid_search_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id AS n_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w)) AS term
+        |       FROM d WHERE doc_id < 5),
+        |sc AS (
+        |  SELECT qt.q_id, tf.n_id,
+        |         CAST(floor(1e6 * (
+        |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
+        |            (CAST(dfT.df AS DOUBLE) + 0.5))
+        |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
+        |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |                 (CAST(dl.dl AS DOUBLE) /
+        |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |         )) AS BIGINT) AS contrib_fp
+        |  FROM qt JOIN tf USING (term)
+        |       JOIN dfT USING (term)
+        |       JOIN dl ON dl.n_id = tf.n_id
+        |       CROSS JOIN st
+        |  WHERE qt.q_id <> tf.n_id),
+        |g AS (SELECT q_id, n_id, CAST(sum(contrib_fp) AS BIGINT) AS bm25_fp
+        |      FROM sc GROUP BY 1, 2),
+        |kw AS (SELECT q_id, n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY bm25_fp DESC, n_id) AS INT) AS kw_rnk
+        |      FROM g),
+        |kw20 AS (SELECT * FROM kw WHERE kw_rnk <= 20),
+        |vp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])) AS cos
+        |       FROM embeddings q CROSS JOIN embeddings c
+        |       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |vr AS (SELECT q_id, n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY cos DESC, n_id) AS INT) AS vec_rnk
+        |       FROM vp),
+        |v20 AS (SELECT * FROM vr WHERE vec_rnk <= 20),
+        |f AS (SELECT coalesce(k.q_id, v.q_id) AS q_id,
+        |             coalesce(k.n_id, v.n_id) AS n_id,
+        |             coalesce(1.0::DOUBLE / (60 + k.kw_rnk), 0.0::DOUBLE) +
+        |             coalesce(1.0::DOUBLE / (60 + v.vec_rnk), 0.0::DOUBLE) AS rrf
+        |      FROM kw20 k FULL JOIN v20 v ON k.q_id = v.q_id AND k.n_id = v.n_id),
+        |r AS (SELECT q_id, n_id,
+        |             CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY rrf DESC, n_id) AS INT) AS rnk
+        |      FROM f)
+        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "hybrid_search_rrf" ->
       """WITH qt AS (SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |           FROM documents WHERE doc_id < 5),

@@ -99,6 +99,32 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Hybrid retrieval with a REAL lexical leg: BM25 top-kEach
+    * ([[Corpus.bm25TopK]] — rational idf, fixed-point scores) fused
+    * with exact cosine top-kEach by reciprocal-rank fusion. This is
+    * the production hybrid-search shape (BM25 + vector + RRF — e.g.
+    * the default hybrid mode of OpenSearch/Elasticsearch and Vespa);
+    * [[hybridTopKRrf]] keeps the simpler shared-token leg as the
+    * pedagogical baseline. Same scale posture as both legs: the
+    * query side broadcasts, each leg's top-kEach caps map-side via
+    * WindowGroupLimit, and the fusion join is (nQueries·kEach)-sized
+    * — dim-sized by construction. */
+  def hybridTopKBm25(docs: DataFrame, embeddings: DataFrame,
+                     nQueries: Int = 5, kEach: Int = 20, k: Int = 10): DataFrame = {
+    val kw = Corpus.bm25TopK(docs, nQueries, kEach)
+      .select(col("q_id"), col("n_id"), col("rnk").as("kw_rnk"))
+    val vec = bruteTopK(embeddings, nQueries, kEach)
+      .select(col("q_id"), col("n_id"), col("rnk").as("vec_rnk"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    kw.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("kw_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wF))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** FILTERED exact top-k — vector search under a metadata predicate
     * ("nearest neighbors among English docs"), the shape production
     * vector search almost always runs. The filter is applied BEFORE
