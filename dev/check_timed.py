@@ -91,8 +91,15 @@ for name in names:
             break
         except Exception:
             if not proc.is_alive() and q.empty():
-                err = "oracle process died"
-                break
+                # the child's feeder thread flushes asynchronously: the
+                # process can be dead while its result is still in
+                # flight — drain once more before declaring death
+                try:
+                    exp = q.get(timeout=2)
+                    break
+                except Exception:
+                    err = "oracle process died"
+                    break
     secs = int(time.time() - t0)
     if exp is None and err is None:
         proc.terminate()

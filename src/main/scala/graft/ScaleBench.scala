@@ -102,6 +102,11 @@ object ScaleBench {
     val results: Seq[(String, Int, Either[String, Double])] =
       factors.flatMap { f =>
         val dir = dirFor(f)
+        // each factor is a new corpus key for the dup-closure memo:
+        // drop the previous factor's closures (checkpoint blocks the
+        // per-query release below can't reach) or the sweep pins two
+        // node-sized block sets per factor until JVM exit
+        graft.operators.Dedup.clearComponentsMemo()
         queries.map { name =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()

@@ -815,6 +815,44 @@ object SparkEntry {
     * need the blocked CANDIDATE count (dedup_pareto's cost axis)
     * compute it arithmetically from the bucket histogram instead of
     * counting `p`. */
+  /** Shared BM25 scoring chain (raw docs → per-pair fixed-point BM25
+    * in `g`) for the `bm25_topk` and `hybrid_search_bm25` oracles —
+    * ONE copy so a determinism fix to the op-order-sensitive
+    * contribution formula cannot reach one oracle and miss the other
+    * (the [[jaccardCtes]] convention). Mirrors `Corpus.bm25TopK`
+    * float-op-for-float-op: rational Robertson idf (no ln),
+    * `tf·k1 + tf` instead of pre-folded `tf·(k1+1)`, fixed-point
+    * contributions so the per-pair sum is an order-free integer. */
+  private val bm25Ctes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id AS n_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w)) AS term
+      |       FROM d WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT qt.q_id, tf.n_id,
+      |         CAST(floor(1e6 * (
+      |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
+      |            (CAST(dfT.df AS DOUBLE) + 0.5))
+      |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
+      |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+      |                 (CAST(dl.dl AS DOUBLE) /
+      |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+      |         )) AS BIGINT) AS contrib_fp
+      |  FROM qt JOIN tf USING (term)
+      |       JOIN dfT USING (term)
+      |       JOIN dl ON dl.n_id = tf.n_id
+      |       CROSS JOIN st
+      |  WHERE qt.q_id <> tf.n_id),
+      |g AS (SELECT q_id, n_id, CAST(sum(contrib_fp) AS BIGINT) AS bm25_fp
+      |      FROM sc GROUP BY 1, 2),
+      |""".stripMargin
+
   private val jaccardCtes =
     """t AS (
       |  SELECT doc_id, n_chars // 100 AS bucket, string_split(text, ' ') AS w FROM documents),
@@ -1436,37 +1474,10 @@ object SparkEntry {
     "ann_pq" -> DuckSql.annPqOracle(m = 4, ksub = 16, iters = 2,
       nQueries = 10, k = 5, dim = 64),
     // Same fusion tail as hybrid_search_rrf; the lexical leg is the
-    // bm25_topk chain at kEach=20 (see that oracle for the
-    // determinism notes on idf / fixed-point contributions).
+    // shared bm25Ctes chain at kEach=20 (determinism notes there).
     "hybrid_search_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
-        |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM t GROUP BY 1, 2),
-        |dl AS (SELECT doc_id AS n_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w)) AS term
-        |       FROM d WHERE doc_id < 5),
-        |sc AS (
-        |  SELECT qt.q_id, tf.n_id,
-        |         CAST(floor(1e6 * (
-        |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
-        |            (CAST(dfT.df AS DOUBLE) + 0.5))
-        |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
-        |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
-        |                 (CAST(dl.dl AS DOUBLE) /
-        |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-        |         )) AS BIGINT) AS contrib_fp
-        |  FROM qt JOIN tf USING (term)
-        |       JOIN dfT USING (term)
-        |       JOIN dl ON dl.n_id = tf.n_id
-        |       CROSS JOIN st
-        |  WHERE qt.q_id <> tf.n_id),
-        |g AS (SELECT q_id, n_id, CAST(sum(contrib_fp) AS BIGINT) AS bm25_fp
-        |      FROM sc GROUP BY 1, 2),
-        |kw AS (SELECT q_id, n_id,
+      ("WITH " + bm25Ctes +
+      """kw AS (SELECT q_id, n_id,
         |              CAST(row_number() OVER (PARTITION BY q_id
         |                     ORDER BY bm25_fp DESC, n_id) AS INT) AS kw_rnk
         |      FROM g),
@@ -1490,7 +1501,7 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY q_id
         |                    ORDER BY rrf DESC, n_id) AS INT) AS rnk
         |      FROM f)
-        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10""".stripMargin,
+        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 10""".stripMargin),
     "hybrid_search_rrf" ->
       """WITH qt AS (SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |           FROM documents WHERE doc_id < 5),
@@ -1741,43 +1752,15 @@ object SparkEntry {
         |                ORDER BY score DESC, term) AS INT) AS rk
         |  FROM sc)
         |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 5""".stripMargin,
-    // BM25: rational Robertson idf (no ln — libm-free determinism),
-    // fixed-point per-term contributions so the per-pair sum is an
-    // order-free integer sum. Float op order mirrors Corpus.bm25TopK
-    // exactly (incl. tf·k1 + tf instead of tf·(k1+1)).
+    // BM25: the shared bm25Ctes chain (determinism notes there) + the
+    // per-query top-10 rank.
     "bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
-        |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM t GROUP BY 1, 2),
-        |dl AS (SELECT doc_id AS n_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w)) AS term
-        |       FROM d WHERE doc_id < 5),
-        |sc AS (
-        |  SELECT qt.q_id, tf.n_id,
-        |         CAST(floor(1e6 * (
-        |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
-        |            (CAST(dfT.df AS DOUBLE) + 0.5))
-        |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
-        |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
-        |                 (CAST(dl.dl AS DOUBLE) /
-        |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-        |         )) AS BIGINT) AS contrib_fp
-        |  FROM qt JOIN tf USING (term)
-        |       JOIN dfT USING (term)
-        |       JOIN dl ON dl.n_id = tf.n_id
-        |       CROSS JOIN st
-        |  WHERE qt.q_id <> tf.n_id),
-        |g AS (SELECT q_id, n_id, CAST(sum(contrib_fp) AS BIGINT) AS bm25_fp
-        |      FROM sc GROUP BY 1, 2),
-        |r AS (SELECT q_id, n_id, bm25_fp,
-        |        CAST(row_number() OVER (PARTITION BY q_id
-        |               ORDER BY bm25_fp DESC, n_id) AS INT) AS rnk
-        |      FROM g)
-        |SELECT q_id, n_id, bm25_fp, rnk FROM r WHERE rnk <= 10""".stripMargin,
+      ("WITH " + bm25Ctes +
+        """r AS (SELECT q_id, n_id, bm25_fp,
+          |        CAST(row_number() OVER (PARTITION BY q_id
+          |               ORDER BY bm25_fp DESC, n_id) AS INT) AS rnk
+          |      FROM g)
+          |SELECT q_id, n_id, bm25_fp, rnk FROM r WHERE rnk <= 10""".stripMargin),
     // Bigram-LM fluency: add-one-smoothed corpus bigram model, mean
     // LINEAR probability (ln is libm — see Corpus.lmBigramScore),
     // per-bigram probabilities fixed-point-quantized before the

@@ -89,6 +89,16 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("kw_rnk"))
     val vec = bruteTopK(embeddings, nQueries, kEach)
       .select(col("q_id"), col("n_id"), col("rnk").as("vec_rnk"))
+    fuseRrf(kw, vec, k)
+  }
+
+  /** The shared RRF fusion tail of both hybrids: full-outer join the
+    * two (q_id, n_id, *_rnk) rank lists, score `Σ 1/(60+rank)`
+    * (missing leg contributes 0), keep the per-query top `k`. Fixed
+    * two-term sum + integer ranks keep the fused ordering bit-exact
+    * across engines — change the RRF constant or tie-break HERE so
+    * the two graded hybrids can't diverge. */
+  private def fuseRrf(kw: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
     kw.join(vec, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf",
@@ -115,14 +125,7 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("rnk").as("kw_rnk"))
     val vec = bruteTopK(embeddings, nQueries, kEach)
       .select(col("q_id"), col("n_id"), col("rnk").as("vec_rnk"))
-    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
-    kw.join(vec, Seq("q_id", "n_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60) + col("kw_rnk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("vec_rnk")), lit(0.0)))
-      .withColumn("rnk", row_number().over(wF))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+    fuseRrf(kw, vec, k)
   }
 
   /** FILTERED exact top-k — vector search under a metadata predicate

@@ -133,6 +133,13 @@ object Dedup {
       // without changing the result set
       .where(least(col("a_n"), col("b_n")) * (1.0 + threshold) >=
         (col("a_n") + col("b_n")) * threshold)
+      // two EMPTY shingle sets: j = 0/0 = NaN, and Spark's
+      // NaN-greatest comparison would pass `j >= threshold` — but
+      // Jaccard 0/0 is NOT a match by this family's own convention
+      // (minhashParts gates the same case with grp_ok = 0, so the
+      // banded path would disagree with its own baseline). Empty-vs-
+      // nonempty is already excluded (i = 0 ⇒ j = 0).
+      .where(col("a_n") + col("b_n") > 0)
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
       .where(col("j") >= threshold)
@@ -907,7 +914,15 @@ object Dedup {
         jaccardPairs(docs, threshold)
           .select(col("a_id").as("a"), col("b_id").as("b"))))
 
-  /** Test hook: clear the closure memo (specs that mutate the corpus
-    * under one key). */
-  private[graft] def clearComponentsMemo(): Unit = ccMemo.clear()
+  /** Drop the closure memo AND free its checkpoint blocks (they sit
+    * below projections, so the per-result [[release]] can't see
+    * them). Call between corpora in one process — a multi-factor
+    * scale sweep would otherwise pin two node-sized closures PER
+    * FACTOR until JVM exit. Unsafe while any consumer of a memoized
+    * closure is still pending (truncated lineage can't recompute). */
+  def clearComponentsMemo(blocking: Boolean = false): Unit = {
+    ccMemo.values().forEach(df =>
+      org.apache.spark.sql.graftbridge.RddBridge.unpersistAllCheckpoints(df, blocking))
+    ccMemo.clear()
+  }
 }

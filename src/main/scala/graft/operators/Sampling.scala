@@ -115,6 +115,13 @@ object Sampling {
     * the caller's to assign (largest-remainder or drop). */
   def temperatureMix(df: DataFrame, stratum: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // quota = w_fp·budget div z_fp with w_fp ≤ 1e9: the product must
+    // stay in 64 bits (Spark's ANSI-off multiply wraps silently).
+    // Budgets here are mix-batch DOC counts; for a larger unit scale
+    // it down (the quota is a proportion — units cancel).
+    require(budget <= Long.MaxValue / 1000000000L,
+      s"budget=$budget overflows the fixed-point quota arithmetic " +
+        s"(max ${Long.MaxValue / 1000000000L})")
     val cnt = df.groupBy(stratum.as("source")).agg(count(lit(1)).as("n_docs"))
     val tot = cnt.agg(sum(col("n_docs")).as("n_total"))
     val scored = cnt.crossJoin(broadcast(tot))

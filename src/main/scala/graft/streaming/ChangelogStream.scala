@@ -146,7 +146,17 @@ object ChangelogStream {
     * `ts_ms`-derived positions, file offsets stamped at write);
     * `watermark` is the lateness bound on it. Live entities never
     * register timers — their state IS the view. Fold semantics are
-    * identical to [[entityState]]. */
+    * identical to [[entityState]].
+    *
+    * Known gap (also in [[entityState]]): a tombstone supplied via
+    * `initial` has no timer until its key next receives traffic —
+    * Spark seeds initial state into the store without invoking the
+    * fold, and timers can only be armed inside an invocation. A
+    * snapshot carrying dead entities should drop them first
+    * (`filter(_.live)` — the semantically right bootstrap for a
+    * compaction horizon: the snapshot IS the compacted view), or
+    * accept that silent bootstrap tombstones persist until first
+    * touch. */
   def entityStateEventTtl(
       changes: Dataset[Change],
       initial: Option[Dataset[Entity]] = None,

@@ -96,6 +96,24 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(out(11L) == ((11L, 1L, 1L, 0)))
   }
 
+  test("jaccardPairs: two empty-shingle docs in one length bucket are NOT a pair (0/0 is not a match)") {
+    // Blocking puts docs 1 and 2 in the same n_chars bucket and both
+    // have empty 3-gram shingle sets, so j = 0/0 = NaN; Spark orders
+    // NaN greatest, so without the explicit guard `NaN >= 0.5` PASSES
+    // and the baseline would emit a pair its own banded path (grp_ok
+    // gate, test above) rejects. The guard keeps baseline ≡ banded.
+    val docs = Seq(
+      (1L, "hello world", 11),       // 2 tokens → no shingles
+      (2L, "howdy globe", 11),       // 2 tokens → no shingles, same bucket
+      (10L, "the quick brown fox jumps over the lazy dog", 43),
+      (11L, "the quick brown fox jumps over the lazy dog", 43)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.jaccardPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 2L)), "empty ∩ empty must not be a dup")
+    assert(pairs.contains((10L, 11L)), "the true dup pair survives the guard")
+  }
+
   // driver-side naive reference of the FULL minhash pipeline (same
   // Hashing kernels, no collapse/rollup arithmetic) — guards the
   // group-level reconstruction against corpus shapes the sf data
