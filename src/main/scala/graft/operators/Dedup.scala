@@ -178,13 +178,16 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     cand
-      // SHUFFLE_HASH: same argument as verifyJaccard — never let SMJ
-      // sort the candidate×array stream; the doc-side build is
-      // corpus/partitions-sized
+      // no join-strategy pin here (contrast verifyJaccard): the
+      // candidate volume is bounded by C(maxDf, 2) per shingle BY
+      // CONSTRUCTION, so the attach stream can't reach the quadratic
+      // regime where SMJ's sort spills — and the r11 A/B on the
+      // banded paths measured a 25-45% cost for pinning bounded
+      // streams. AQE decides from observed sizes.
       .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        size(col("sh")).as("a_n")).hint("SHUFFLE_HASH"), Seq("a_id"))
+        size(col("sh")).as("a_n")), Seq("a_id"))
       .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        size(col("sh")).as("b_n")).hint("SHUFFLE_HASH"), Seq("b_id"))
+        size(col("sh")).as("b_n")), Seq("b_id"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("c",
         col("i").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
@@ -304,15 +307,14 @@ object Dedup {
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
       .distinct()
     val shProj = groups.select(col("gid"), col("sh"))
-    // SHUFFLE_HASH on the array side: the candidate stream may be
-    // orders of magnitude larger than the group table and each joined
-    // row carries both shingle arrays — SMJ would sort that widest
-    // stream (the verifyJaccard sf1 disk-full shape)
+    // deliberately NOT strategy-pinned (contrast verifyJaccard):
+    // banded candidates are bounded by band-bucket occupancy with the
+    // exact-dup collapse defending mega-buckets, so this attach never
+    // reaches the spill regime — and the r11 A/B measured SHUFFLE_HASH
+    // costing 29% here at 10× data for no benefit. AQE decides.
     val verified = shProj.select(col("gid").as("a_gid"), col("sh").as("a_sh"))
-      .hint("SHUFFLE_HASH")
       .join(candG, Seq("a_gid"))
-      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh"))
-        .hint("SHUFFLE_HASH"), Seq("b_gid"))
+      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
@@ -688,15 +690,12 @@ object Dedup {
         Seq("band", "bh"))
       .select(col("b_gid"), col("s_gid")).distinct()
     val perGroup = candG
-      // SHUFFLE_HASH: the candidate stream carries both shingle
-      // arrays after the attach — never SMJ-sort it (verifyJaccard's
-      // measured sf1 disk-full shape); group projections build
+      // not strategy-pinned — banded, collapse-defended candidate set
+      // (see the minhashParts note; A/B-measured)
       .join(groups.filter(col("side"))
-        .select(col("gid").as("b_gid"), col("sh").as("b_sh"))
-        .hint("SHUFFLE_HASH"), Seq("b_gid"))
+        .select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
       .join(groups.filter(!col("side"))
-        .select(col("gid").as("s_gid"), col("sh").as("s_sh"), col("m").as("s_m"))
-        .hint("SHUFFLE_HASH"), Seq("s_gid"))
+        .select(col("gid").as("s_gid"), col("sh").as("s_sh"), col("m").as("s_m")), Seq("s_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("b_sh"), col("s_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("b_sh")) + size(col("s_sh")) - col("i")))

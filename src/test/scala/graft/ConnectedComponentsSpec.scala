@@ -164,4 +164,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       s"only the final label checkpoint may remain, found ${leaked.size}")
   }
 
+  test("clearComponentsMemo frees the memoized closures' checkpoint blocks") {
+    import org.apache.spark.sql.functions.col
+    Dedup.clearComponentsMemo()
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 43),
+      (2L, "the quick brown fox jumps over the lazy dog", 43),
+      (3L, "a completely different document body here now", 45)
+    ).toDF("doc_id", "text", "n_chars")
+    val labels = Dedup.jaccardComponentsCached(docs, cacheKey = "memo-spec")
+    assert(labels.count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "the memoized closure must hold a live checkpoint while cached")
+    Dedup.clearComponentsMemo(blocking = true)
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"teardown must free every closure checkpoint, found ${leaked.size}")
+  }
+
 }
