@@ -37,7 +37,9 @@ object ScaleBench {
     "dedup_incremental_lsh", "dedup_embedding_lsh",
     "ann_lsh", "ann_ivf", "ann_ivfpq", "kmeans_assign",
     "token_count_bpe", "seq_pack_bpe", "group_quantiles",
-    "distinct_kmv", "corpus_stats", "heavy_hitters_cms")
+    "distinct_kmv", "corpus_stats", "heavy_hitters_cms",
+    // r11 retrieval/quality surface (posting joins + corpus LM)
+    "bm25_topk", "lm_score")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -409,22 +409,30 @@ object Corpus {
         slice(toks, lit(2), size(toks) - 1),
         (a, c) => concat(a, lit(" "), c))
     ).otherwise(array().cast("array<string>"))
-    // (doc_id, bg, n): bigram occurrences per doc, combined map-side
+    // (doc_id, bgk, w1, n): bigram occurrences per doc, combined
+    // map-side. Bigram IDENTITY travels as its xxhash64 (`bgk`) —
+    // every downstream exchange and join keys on 8 bytes instead of
+    // the bigram string (the hashed-shingle argument from Dedup: a
+    // count merged across distinct bigrams needs a 64-bit collision
+    // inside one corpus, ~1e-15-class). `w1` (the conditioning
+    // unigram) is extracted BEFORE the combine so no string ever
+    // needs to come back out of a hash.
     val docBg = docs.select(col("doc_id"), explode(bg).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
-    val c2 = docBg.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("bgk"),
+        element_at(split(col("bg"), " "), 1).as("w1"))
+      .groupBy(col("doc_id"), col("bgk"), col("w1")).agg(count(lit(1)).as("n"))
+    val c2 = docBg.groupBy(col("bgk"), col("w1")).agg(sum(col("n")).as("c2"))
     val c1 = docs.select(explode(toks).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
     val pFp = c2
-      .withColumn("term", element_at(split(col("bg"), " "), 1))
-      .join(c1, Seq("term"))
+      .join(c1, col("w1") === col("term"))
       .crossJoin(broadcast(vocab))
       .withColumn("p_fp", floor(lit(1e9) *
         ((col("c2") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")))
         .cast("long"))
-      .select(col("bg"), col("p_fp"))
-    val perDoc = docBg.join(pFp, Seq("bg"))
+      .select(col("bgk"), col("p_fp"))
+    val perDoc = docBg.join(pFp, Seq("bgk"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("p_fp")).as("sum_fp"))
     docs.select(col("doc_id"))

@@ -422,6 +422,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rnk<=k must cap partitions before the final exchange:\n$p")
   }
 
+  test("lm_score: vocab size broadcasts; no cartesian; doc rollup is result-sized") {
+    val p = formatted("lm_score")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row V stats frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the stats crossJoin must never become a real cartesian:\n$p")
+    // per-doc bigram counts combine map-side before any exchange —
+    // the shuffle carries (doc, bigram, n) result rows, never one row
+    // per bigram occurrence
+    assert(p.contains("partial_count"),
+      s"bigram counting must have a partial aggregate:\n$p")
+  }
+
   test("tableStats scale path: one scan, all per-column sketches partial, no Expand") {
     import org.apache.spark.sql.functions.col
     val p = graft.operators.Sketch.tableStats(
