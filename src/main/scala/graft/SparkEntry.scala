@@ -495,6 +495,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) =>
       Corpus.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
+    "gopher_filter" -> ((s, d) => Corpus.gopherFilter(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => Corpus.topNgrams(Tables.documents(s, d))),
     "tfidf_topk" -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
@@ -1695,6 +1696,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(n_sh) AS INT) AS n_sh, CAST(sum(hit) AS BIGINT) AS n_hit,
         |       CAST(CASE WHEN sum(hit) >= 5 THEN 1 ELSE 0 END AS INT) AS contaminated
         |FROM m GROUP BY doc_id""".stripMargin,
+    // Gopher gate: every predicate is an integer comparison (the
+    // 10·dup > 3·n form) so the bitmask replays bit-exactly.
+    "gopher_filter" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |             CAST(len(w) AS INT) AS n_tok,
+        |             CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+        |             CAST(list_max(list_transform(list_distinct(w),
+        |                    x -> len(list_filter(w, y -> y = x)))) AS INT) AS top_n,
+        |             CAST(len(list_distinct(CASE WHEN len(w) >= 2
+        |                    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |                    ELSE CAST([] AS VARCHAR[]) END)) AS INT) AS n_uniq_bi,
+        |             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha,
+        |             (CASE WHEN len(list_filter(w, x -> x = 'the')) > 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN len(list_filter(w, x -> x = 'a')) > 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN len(list_filter(w, x -> x = 'data')) > 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN len(list_filter(w, x -> x = 'join')) > 0 THEN 1 ELSE 0 END
+        |             ) AS n_stop_kinds
+        |      FROM d),
+        |r AS (SELECT doc_id, n_tok,
+        |        (CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN n_tok > 100000 THEN 2 ELSE 0 END)
+        |        + (CASE WHEN n_chars - (n_tok - 1) < n_tok * 3
+        |                   OR n_chars - (n_tok - 1) > n_tok * 10 THEN 4 ELSE 0 END)
+        |        + (CASE WHEN n_alpha * 5 < n_tok * 4 THEN 8 ELSE 0 END)
+        |        + (CASE WHEN n_stop_kinds < 2 THEN 16 ELSE 0 END)
+        |        + (CASE WHEN (n_tok - n_uniq) * 10 > n_tok * 3 THEN 32 ELSE 0 END)
+        |        + (CASE WHEN n_tok > 1
+        |                  AND (n_tok - 1 - n_uniq_bi) * 10 > (n_tok - 1) * 4
+        |                THEN 64 ELSE 0 END)
+        |        + (CASE WHEN top_n * 5 > n_tok THEN 128 ELSE 0 END) AS reasons
+        |      FROM c)
+        |SELECT doc_id, n_tok, CAST(reasons AS INT) AS reasons,
+        |       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r""".stripMargin,
     "quality_filter" ->
       """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, n_chars, CAST(len(w) AS INT) AS n_tok,

@@ -73,6 +73,60 @@ object Corpus {
       .drop("n_stop", "n_chars")
   }
 
+  /** The COMBINED Gopher quality gate (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A1.1) as one reasons bitmask — the production
+    * rule set that [[qualityFilter]] (C4-style) and [[repetition]]
+    * publish the raw signals for: token-count bounds, mean-word-length
+    * band, alphabetic-word fraction ≥ 0.8, ≥ 2 distinct stopwords,
+    * duplicate-token fraction ≤ 0.3, duplicate-bigram fraction ≤ 0.4,
+    * dominant-token fraction ≤ 0.2. Bits (1,2,4,8,16,32,64,128) in
+    * that order; `keep = reasons == 0`.
+    *
+    * Every gate is an INTEGER comparison (`10·(n_tok−n_uniq) > 3·n_tok`
+    * instead of `dup_frac > 0.3` — same predicate, no float), so the
+    * mask is bit-identical in any engine. Thresholds follow the paper
+    * except the token floor (`minTok`, default 10 vs Gopher's 50 —
+    * the synthetic corpus runs shorter than web documents; the knob is
+    * the parameter). The stopword list is the corpus's fake-stopword
+    * set (see [[TextFunctions.tokenStatsKernel]]), counted as DISTINCT
+    * stopwords present, per the paper. Entirely map-side: one
+    * codegen'd RepStats + TokenStats pass plus one alphabetic HOF —
+    * no shuffle at any scale. */
+  def gopherFilter(docs: DataFrame, minTok: Int = 10,
+                   maxTok: Int = 100000): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val alphaCnt = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      TextFunctions.repStats(toks).as("r"),
+      TextFunctions.tokenStats(toks).as("s"),
+      alphaCnt.as("n_alpha"))
+      .select(col("doc_id"), col("n_chars"),
+        col("r.n_tok").as("n_tok"), col("r.n_uniq").as("n_uniq"),
+        col("r.top_n").as("top_n"), col("r.n_uniq_bi").as("n_uniq_bi"),
+        ((col("s.n_the") > 0).cast("int") + (col("s.n_a") > 0).cast("int") +
+          (col("s.n_data") > 0).cast("int") + (col("s.n_join") > 0).cast("int"))
+          .as("n_stop_kinds"),
+        col("n_alpha"))
+    // total word chars under the single-space-joined contract
+    val chars = col("n_chars") - (col("n_tok") - 1)
+    val reasons =
+      when(col("n_tok") < minTok, 1).otherwise(0) +
+        when(col("n_tok") > maxTok, 2).otherwise(0) +
+        when(chars < col("n_tok") * 3 || chars > col("n_tok") * 10, 4).otherwise(0) +
+        when(col("n_alpha") * 5 < col("n_tok") * 4, 8).otherwise(0) +
+        when(col("n_stop_kinds") < 2, 16).otherwise(0) +
+        when((col("n_tok") - col("n_uniq")) * 10 > col("n_tok") * 3, 32).otherwise(0) +
+        when(col("n_tok") > 1 &&
+          (col("n_tok") - 1 - col("n_uniq_bi")) * 10 > (col("n_tok") - 1) * 4, 64)
+          .otherwise(0) +
+        when(col("top_n") * 5 > col("n_tok"), 128).otherwise(0)
+    base
+      .withColumn("reasons", reasons.cast("int"))
+      .withColumn("keep", (col("reasons") === 0).cast("int"))
+      .select(col("doc_id"), col("n_tok"), col("reasons"), col("keep"))
+  }
+
   /** Gopher-style repetition signals per doc, from ONE codegen'd pass
     * ([[TextFunctions.RepStats]]): duplicate-token fraction,
     * dominant-token fraction gate, duplicate-bigram fraction. Entirely

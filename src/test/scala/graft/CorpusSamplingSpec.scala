@@ -223,6 +223,28 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("gopher filter: each gate bit fires on its designed violation, integer-exact") {
+    val texts = Seq(
+      // clean: 12 distinct words, mean len in [3,10], 4 stopword kinds
+      1L -> "the a data join alpha beta gamma delta epsilon zeta eta theta",
+      // tiny: too few tokens (1) + mean-len (4) + stopwords (16) + dominance (128)
+      2L -> "x y",
+      // repetitive: dup-token (32) + dup-bigram (64) + dominance (128)
+      3L -> "the a spam spam spam spam spam spam spam spam spam spam",
+      // numeric: alphabetic-word fraction (8) only
+      4L -> "the a 1111 2222 3333 4444 5555 6666 7777 8888 9999 0000"
+    )
+    val docs = texts.map { case (id, t) => (id, t, t.length) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Corpus.gopherFilter(docs)
+      .select("doc_id", "reasons", "keep").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0, 1)), s"clean doc must keep: ${out(1L)}")
+    assert(out(2L) == ((1 + 4 + 16 + 128, 0)), s"tiny doc bits: ${out(2L)}")
+    assert(out(3L) == ((32 + 64 + 128, 0)), s"repetitive doc bits: ${out(3L)}")
+    assert(out(4L) == ((8, 0)), s"numeric doc bits: ${out(4L)}")
+  }
+
   test("bm25 ranks more shared rare terms above fewer, drops no-overlap docs") {
     // doc 0 is the query; 'banana' is rarer than 'apple' so doc 1
     // (shares both) must outrank doc 2 (shares only apple); doc 3
