@@ -1716,6 +1716,7 @@ object SparkEntry {
         |             ) AS n_stop_kinds
         |      FROM d),
         |r AS (SELECT doc_id, n_tok,
+        |        CASE WHEN n_tok IS NULL THEN 256 ELSE
         |        (CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
         |        + (CASE WHEN n_tok > 100000 THEN 2 ELSE 0 END)
         |        + (CASE WHEN n_chars - (n_tok - 1) < n_tok * 3
@@ -1726,7 +1727,8 @@ object SparkEntry {
         |        + (CASE WHEN n_tok > 1
         |                  AND (n_tok - 1 - n_uniq_bi) * 10 > (n_tok - 1) * 4
         |                THEN 64 ELSE 0 END)
-        |        + (CASE WHEN top_n * 5 > n_tok THEN 128 ELSE 0 END) AS reasons
+        |        + (CASE WHEN top_n * 5 > n_tok THEN 128 ELSE 0 END)
+        |        END AS reasons
         |      FROM c)
         |SELECT doc_id, n_tok, CAST(reasons AS INT) AS reasons,
         |       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INT) AS keep

@@ -42,7 +42,7 @@ object TextFunctions {
     * per-stopword counts, BPE-ish piece sum `Σ ⌈len/4⌉`. */
   def tokenStatsKernel(arr: ArrayData): GenericInternalRow = {
     val n = arr.numElements()
-    var nThe = 0; var nA = 0; var nData = 0; var nJoin = 0
+    var nThe = 0; var nA = 0; var nData = 0; var nJoin = 0; var nAlpha = 0
     var bpe = 0L
     var i = 0
     while (i < n) {
@@ -52,9 +52,21 @@ object TextFunctions {
       else if (t.equals(TokData)) nData += 1
       else if (t.equals(TokJoin)) nJoin += 1
       bpe += (t.numChars() + 3) / 4
+      // token contains an ASCII letter (≡ rlike "[a-zA-Z]"): a byte
+      // scan is exact in UTF-8 — letter bytes can't appear inside
+      // multi-byte sequences (continuation bytes are ≥ 0x80)
+      val bytes = t.getBytes
+      var j = 0
+      var hasAlpha = false
+      while (j < bytes.length && !hasAlpha) {
+        val b = bytes(j)
+        hasAlpha = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
       i += 1
     }
-    new GenericInternalRow(Array[Any](n, nThe, nA, nData, nJoin, bpe))
+    new GenericInternalRow(Array[Any](n, nThe, nA, nData, nJoin, bpe, nAlpha))
   }
 
   /** All token statistics the text operators need, in ONE codegen'd
@@ -66,7 +78,8 @@ object TextFunctions {
       StructField("n_a", IntegerType, nullable = false),
       StructField("n_data", IntegerType, nullable = false),
       StructField("n_join", IntegerType, nullable = false),
-      StructField("n_bpe", LongType, nullable = false)))
+      StructField("n_bpe", LongType, nullable = false),
+      StructField("n_alpha", IntegerType, nullable = false)))
     override def nullIntolerant: Boolean = true
     override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 

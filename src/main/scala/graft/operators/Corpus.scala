@@ -90,24 +90,23 @@ object Corpus {
     * the synthetic corpus runs shorter than web documents; the knob is
     * the parameter). The stopword list is the corpus's fake-stopword
     * set (see [[TextFunctions.tokenStatsKernel]]), counted as DISTINCT
-    * stopwords present, per the paper. Entirely map-side: one
-    * codegen'd RepStats + TokenStats pass plus one alphabetic HOF —
-    * no shuffle at any scale. */
+    * stopwords present, per the paper. NULL text fails CLOSED
+    * (reason bit 256). Entirely map-side: one codegen'd RepStats +
+    * TokenStats pass (alphabetic-word counting lives in the kernel —
+    * no interpreted HOF) — no shuffle at any scale. */
   def gopherFilter(docs: DataFrame, minTok: Int = 10,
                    maxTok: Int = 100000): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    val alphaCnt = size(filter(toks, t => t.rlike("[a-zA-Z]")))
     val base = docs.select(col("doc_id"), col("n_chars"),
       TextFunctions.repStats(toks).as("r"),
-      TextFunctions.tokenStats(toks).as("s"),
-      alphaCnt.as("n_alpha"))
+      TextFunctions.tokenStats(toks).as("s"))
       .select(col("doc_id"), col("n_chars"),
         col("r.n_tok").as("n_tok"), col("r.n_uniq").as("n_uniq"),
         col("r.top_n").as("top_n"), col("r.n_uniq_bi").as("n_uniq_bi"),
         ((col("s.n_the") > 0).cast("int") + (col("s.n_a") > 0).cast("int") +
           (col("s.n_data") > 0).cast("int") + (col("s.n_join") > 0).cast("int"))
           .as("n_stop_kinds"),
-        col("n_alpha"))
+        col("s.n_alpha").as("n_alpha"))
     // total word chars under the single-space-joined contract
     val chars = col("n_chars") - (col("n_tok") - 1)
     val reasons =
@@ -122,7 +121,12 @@ object Corpus {
           .otherwise(0) +
         when(col("top_n") * 5 > col("n_tok"), 128).otherwise(0)
     base
-      .withColumn("reasons", reasons.cast("int"))
+      // fail CLOSED on NULL text: every gate comparison is NULL, so
+      // the bit sums would all take their otherwise(0) branch and a
+      // record with no text at all would pass a quality filter —
+      // reason 256 rejects it explicitly
+      .withColumn("reasons",
+        when(col("n_tok").isNull, 256).otherwise(reasons).cast("int"))
       .withColumn("keep", (col("reasons") === 0).cast("int"))
       .select(col("doc_id"), col("n_tok"), col("reasons"), col("keep"))
   }

@@ -178,16 +178,16 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     cand
-      // no join-strategy pin here (contrast verifyJaccard): the
-      // candidate volume is bounded by C(maxDf, 2) per shingle BY
-      // CONSTRUCTION, so the attach stream can't reach the quadratic
-      // regime where SMJ's sort spills — and the r11 A/B on the
-      // banded paths measured a 25-45% cost for pinning bounded
-      // streams. AQE decides from observed sizes.
+      // split strategy (the minhashParts note): C(maxDf, 2) bounds
+      // the PER-SHINGLE fan-out but Σ over shingles can still be
+      // huge, so the second attach — whose probe already carries
+      // a_sh and would be SMJ-sorted as candidate×array rows — is
+      // pinned SHUFFLE_HASH; the first sorts only id-pairs plus the
+      // doc-linear array side and is left to AQE (A/B-measured).
       .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
         size(col("sh")).as("a_n")), Seq("a_id"))
       .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        size(col("sh")).as("b_n")), Seq("b_id"))
+        size(col("sh")).as("b_n")).hint("SHUFFLE_HASH"), Seq("b_id"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("c",
         col("i").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
@@ -307,14 +307,20 @@ object Dedup {
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
       .distinct()
     val shProj = groups.select(col("gid"), col("sh"))
-    // deliberately NOT strategy-pinned (contrast verifyJaccard):
-    // banded candidates are bounded by band-bucket occupancy with the
-    // exact-dup collapse defending mega-buckets, so this attach never
-    // reaches the spill regime — and the r11 A/B measured SHUFFLE_HASH
-    // costing 29% here at 10× data for no benefit. AQE decides.
+    // Split strategy (refined by the r11 A/B + its review): the
+    // exact-dup collapse bounds BYTE-IDENTICAL floods only — a
+    // near-identical-but-distinct template cluster still collides per
+    // band, so candG can go quadratic on real corpora. The SECOND
+    // attach is the catastrophic shape (its probe stream already
+    // carries a_sh, so an SMJ would externally sort candidate×array
+    // rows — the measured 75 GB verifyJaccard spill) and stays pinned
+    // SHUFFLE_HASH; the FIRST attach sorts only id-pair rows plus the
+    // group-linear array side under SMJ, so it is left to AQE (the
+    // A/B measured pinning both at 29% slower at 10× data).
     val verified = shProj.select(col("gid").as("a_gid"), col("sh").as("a_sh"))
       .join(candG, Seq("a_gid"))
-      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
+      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh"))
+        .hint("SHUFFLE_HASH"), Seq("b_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
@@ -690,12 +696,14 @@ object Dedup {
         Seq("band", "bh"))
       .select(col("b_gid"), col("s_gid")).distinct()
     val perGroup = candG
-      // not strategy-pinned — banded, collapse-defended candidate set
-      // (see the minhashParts note; A/B-measured)
+      // split strategy per the minhashParts note: the second attach
+      // (probe already carries b_sh) is the SMJ spill shape → pinned;
+      // the first sorts only id-pairs + a group-linear side → AQE
       .join(groups.filter(col("side"))
         .select(col("gid").as("b_gid"), col("sh").as("b_sh")), Seq("b_gid"))
       .join(groups.filter(!col("side"))
-        .select(col("gid").as("s_gid"), col("sh").as("s_sh"), col("m").as("s_m")), Seq("s_gid"))
+        .select(col("gid").as("s_gid"), col("sh").as("s_sh"), col("m").as("s_m"))
+        .hint("SHUFFLE_HASH"), Seq("s_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("b_sh"), col("s_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("b_sh")) + size(col("s_sh")) - col("i")))
