@@ -18,6 +18,7 @@ Python dependency.
 """
 import sys, os, json, glob, time
 import multiprocessing as mp
+import queue as queue_mod
 import duckdb
 import pandas as pd
 import numpy as np
@@ -89,7 +90,11 @@ for name in names:
         try:
             exp = q.get(timeout=min(5, max(0.1, deadline - time.time())))
             break
-        except Exception:
+        # queue.Empty ONLY: a bare except here would also swallow a
+        # result-unpickling error (a real failure) and replay it as
+        # "oracle process died"/timeout — deserialization errors must
+        # propagate as what they are
+        except queue_mod.Empty:
             if not proc.is_alive() and q.empty():
                 # the child's feeder thread flushes asynchronously: the
                 # process can be dead while its result is still in
@@ -97,7 +102,7 @@ for name in names:
                 try:
                     exp = q.get(timeout=2)
                     break
-                except Exception:
+                except queue_mod.Empty:
                     err = "oracle process died"
                     break
     secs = int(time.time() - t0)
@@ -109,7 +114,12 @@ for name in names:
         timeouts += 1
         print(f"TIMEOUT {name} (> {budget}s)", flush=True)
         continue
-    proc.join()
+    # bounded join: the result is already in hand, but a child whose
+    # feeder thread wedges must not hang the whole campaign
+    proc.join(timeout=30)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
     if err:
         per_query[name] = {"status": "oracle_error", "err": err}
         fails += 1

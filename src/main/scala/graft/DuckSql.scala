@@ -448,6 +448,69 @@ object DuckSql {
        |FROM ${finalize(src, "media_id, kind, n_bytes, d", "h0", "h")} mf""".stripMargin
   }
 
+  /** Oracle for `phash_dedup`: replay of
+    * [[graft.operators.Dedup.phashDedup]] over the multimodal stub's
+    * features — dHash bit i = `f[i] > f[(i+1) mod dim]` (features are
+    * bit-exact per [[multimodalOracle]]'s argument, and float
+    * comparison is exact), chunk-pair pigeonhole banding at the
+    * hash's true `dim`-bit width, verify hamming ≤ maxHamming, roll
+    * up to (media_id, ph, n_cand, n_dup, keep). Banding here is the
+    * straightforward per-media DISTINCT-pair formulation — the
+    * engine's group-collapse + first-band map-side dedup is a plan
+    * optimization with the identical result. */
+  def phashOracle(dim: Int, maxHamming: Int): String = {
+    val fold = s"list_reduce(list_prepend(xor($FnvOffset::HUGEINT, (1000 + d)::HUGEINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
+      s"c -> unicode(c)::HUGEINT)), (h, b) -> ${mulmod("xor(h, b)", FnvPrime)})"
+    val src = "(SELECT media_id, d, " + fold + " AS h0 FROM " +
+      s"""(SELECT doc_id AS media_id,
+         |        CAST(unnest(range($dim)) AS INT) AS d,
+         |        text
+         | FROM documents) mm)""".stripMargin
+    val bits = (0 until dim).map { i =>
+      s"(CASE WHEN fs[${i + 1}] > fs[${(i + 1) % dim + 1}] THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val nChunks = maxHamming + 2
+    val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
+    def chunk(i: Int): String = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      s"((ph // ${1L << lo}) % ${1L << w})"
+    }
+    val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val bandExprs = pairIdx.map { case (i, j) =>
+      val wj = bounds(j + 1) - bounds(j)
+      s"${chunk(i)} * ${1L << wj} + ${chunk(j)}"
+    }
+    s"""WITH feat AS (
+       |  SELECT media_id, d,
+       |         CAST(CAST((h // 2048) AS DOUBLE) / 9007199254740992.0 AS REAL) AS f
+       |  FROM ${finalize(src, "media_id, d", "h0", "h")} mf),
+       |fv AS (SELECT media_id, list(f ORDER BY d) AS fs FROM feat GROUP BY media_id),
+       |phv AS MATERIALIZED (SELECT media_id, CAST($bits AS BIGINT) AS ph FROM fv),
+       |bands AS MATERIALIZED (
+       |  SELECT media_id, ph,
+       |         unnest(range(${bandExprs.length})) AS ci,
+       |         unnest([${bandExprs.mkString(", ")}]) AS cv
+       |  FROM phv),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id, a.ph AS ap, b.ph AS bp
+       |  FROM bands a JOIN bands b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id),
+       |ver AS MATERIALIZED (
+       |  SELECT a_id, b_id,
+       |         CASE WHEN bit_count(xor(ap, bp)) <= $maxHamming THEN 1 ELSE 0 END AS dup
+       |  FROM cand),
+       |u AS (
+       |  SELECT a_id AS media_id, dup, 0 AS dup_smaller FROM ver
+       |  UNION ALL
+       |  SELECT b_id AS media_id, dup, dup AS dup_smaller FROM ver)
+       |SELECT p.media_id, p.ph,
+       |       count(u.dup) AS n_cand,
+       |       CAST(coalesce(sum(u.dup), 0) AS BIGINT) AS n_dup,
+       |       CAST(CASE WHEN coalesce(sum(u.dup_smaller), 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
+       |FROM phv p LEFT JOIN u ON u.media_id = p.media_id
+       |GROUP BY p.media_id, p.ph""".stripMargin
+  }
+
   /** Full-precision double literal (Java Double.toString round-trips,
     * DuckDB parses to the nearest double = the original). */
   private def dlit(d: Double): String = java.lang.Double.toString(d)
@@ -511,30 +574,50 @@ object DuckSql {
        |    SELECT cid, list(CAST(s AS FLOAT) ORDER BY d) AS cvec
        |    FROM $sums GROUP BY cid) u USING (cid))""".stripMargin
 
+  /** Deterministic training-sample CTE: rows of `src` whose splitmix64
+    * id-bucket falls under `pct` — the replay of
+    * [[graft.operators.Sampling.bucket]]`(vec_id, seed) < pct` that
+    * the sample-bounded trainers key on. */
+  private def trainSample(name: String, src: String, pct: Int, seed: Long): String =
+    s"""$name AS (SELECT vec_id, embedding FROM
+       |${hashLongCtes(src, "vec_id, embedding", "vec_id", seed, "__sh")} t
+       |WHERE (__sh // 2) % 100 < $pct)""".stripMargin
+
   /** The Lloyd-iteration CTE chain shared by [[kmeansOracle]] and
     * [[annIvfTrainedOracle]]: `e`, `c0` … `c<iters>` (the trained
-    * codebook). */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    * codebook). `trainPct` < 100 replays the engine's sample-bounded
+    * training: iterations assign/update over the hash-sample `es`,
+    * seeds and the final assignment stay on the full `e`. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+                         trainPct: Int = 100, seed: Long = 0L): String = {
+    val (sampleCte, tr) =
+      if (trainPct >= 100) ("", "e")
+      else (trainSample("es", "e", trainPct, seed) + ",\n", "es")
     val iterCtes = (0 until iters).map { it =>
-      kmAssignCte(s"a$it", s"c$it", dim) + ",\n" +
-        kmUpdateCte(s"s$it", s"c${it + 1}", s"a$it", s"c$it", dim)
+      kmAssignCte(s"a$it", s"c$it", dim, tr) + ",\n" +
+        kmUpdateCte(s"s$it", s"c${it + 1}", s"a$it", s"c$it", dim, tr)
     }
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < $k),
+       |${sampleCte}c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < $k),
        |${iterCtes.mkString(",\n")}""".stripMargin
   }
 
   /** Per-subspace Lloyd chain for the PQ oracle: `e<sfx>` (the sliced
-    * corpus), `c0<sfx>` … `c<iters><sfx>` (the trained sub-codebook). */
+    * corpus), `c0<sfx>` … `c<iters><sfx>` (the trained sub-codebook).
+    * Sample-bounded training mirrors [[kmeansCtes]]: ONE vector sample
+    * (same pct/seed across subspaces) feeds every sub-training. */
   private def kmeansCtesSub(sfx: String, srcSelect: String, k: Int, iters: Int,
-                            dim: Int): String = {
+                            dim: Int, trainPct: Int = 100, seed: Long = 0L): String = {
     val e = s"e$sfx"
+    val (sampleCte, tr) =
+      if (trainPct >= 100) ("", e)
+      else (trainSample(s"es$sfx", e, trainPct, seed) + ",\n", s"es$sfx")
     val iterCtes = (0 until iters).map { it =>
-      kmAssignCte(s"a$it$sfx", s"c$it$sfx", dim, e) + ",\n" +
-        kmUpdateCte(s"s$it$sfx", s"c${it + 1}$sfx", s"a$it$sfx", s"c$it$sfx", dim, e)
+      kmAssignCte(s"a$it$sfx", s"c$it$sfx", dim, tr) + ",\n" +
+        kmUpdateCte(s"s$it$sfx", s"c${it + 1}$sfx", s"a$it$sfx", s"c$it$sfx", dim, tr)
     }
     s"""$e AS ($srcSelect),
-       |c0$sfx AS (SELECT vec_id AS cid, embedding AS cvec FROM $e WHERE vec_id < $k),
+       |${sampleCte}c0$sfx AS (SELECT vec_id AS cid, embedding AS cvec FROM $e WHERE vec_id < $k),
        |${iterCtes.mkString(",\n")}""".stripMargin
   }
 
@@ -548,13 +631,13 @@ object DuckSql {
     * sequence the Spark plan evaluates, so scores (and therefore
     * ranks) are bit-exact. */
   def annPqOracle(m: Int, ksub: Int, iters: Int, nQueries: Int, k: Int,
-                  dim: Int): String = {
+                  dim: Int, trainPct: Int = 100, seed: Long = 0L): String = {
     require(dim % m == 0)
     val sub = dim / m
     val chains = (0 until m).map { s =>
       kmeansCtesSub(s"_$s",
         s"SELECT vec_id, list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub}) AS embedding FROM embeddings",
-        ksub, iters, sub)
+        ksub, iters, sub, trainPct, seed)
     }
     val finals = (0 until m).map { s =>
       kmAssignCte(s"af_$s", s"c$iters" + s"_$s", sub, s"e_$s")
@@ -596,8 +679,9 @@ object DuckSql {
     * pair mining + recursive closure to components + keeper = lowest
     * member id (components are labeled by their min reachable id, so
     * keep ⇔ vec_id = comp — the same closure shape as `dedup_cc`). */
-  def semanticCcKeepOracle(k: Int, iters: Int, dim: Int, threshold: Double): String =
-    s"""WITH RECURSIVE ${kmeansCtes(k, iters, dim)},
+  def semanticCcKeepOracle(k: Int, iters: Int, dim: Int, threshold: Double,
+                           trainPct: Int = 100, seed: Long = 0L): String =
+    s"""WITH RECURSIVE ${kmeansCtes(k, iters, dim, trainPct, seed)},
        |${kmAssignCte("afin", s"c$iters", dim)},
        |pr AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -625,13 +709,14 @@ object DuckSql {
     * with the per-subspace PQ training + ADC scoring (the
     * [[annPqOracle]] replay); only probed lists are scored. */
   def annIvfPqOracle(nlist: Int, citers: Int, nprobe: Int, m: Int, ksub: Int,
-                     iters: Int, nQueries: Int, k: Int, dim: Int): String = {
+                     iters: Int, nQueries: Int, k: Int, dim: Int,
+                     trainPct: Int = 100, seed: Long = 0L): String = {
     require(dim % m == 0)
     val sub = dim / m
     val chains = (0 until m).map { s =>
       kmeansCtesSub(s"_$s",
         s"SELECT vec_id, list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub}) AS embedding FROM embeddings",
-        ksub, iters, sub)
+        ksub, iters, sub, trainPct, seed)
     }
     val finals = (0 until m).map { s =>
       kmAssignCte(s"af_$s", s"c$iters" + s"_$s", sub, s"e_$s")
@@ -647,7 +732,7 @@ object DuckSql {
       fold2((x, y) => s"$x * $y", s"cc$s.cvec", s"cc$s.cvec", sub)
     }.mkString("(", " + ", ")")
     val qq = fold2((x, y) => s"$x * $y", "q.embedding", "q.embedding", dim)
-    s"""WITH ${kmeansCtes(nlist, citers, dim)},
+    s"""WITH ${kmeansCtes(nlist, citers, dim, trainPct, seed)},
        |${chains.mkString(",\n")},
        |${finals.mkString(",\n")},
        |codes AS (SELECT af_0.vec_id, $codeCols FROM af_0 $codeJoin),
@@ -688,8 +773,9 @@ object DuckSql {
        |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
-  def kmeansOracle(k: Int, iters: Int, dim: Int): String =
-    s"""WITH ${kmeansCtes(k, iters, dim)},
+  def kmeansOracle(k: Int, iters: Int, dim: Int,
+                   trainPct: Int = 100, seed: Long = 0L): String =
+    s"""WITH ${kmeansCtes(k, iters, dim, trainPct, seed)},
        |${kmAssignCte("afin", s"c$iters", dim)}
        |SELECT vec_id, cid FROM afin""".stripMargin
 
@@ -701,8 +787,9 @@ object DuckSql {
     * cosine uses `list_cosine_similarity` (threshold comparison, not
     * a rank — safe at a non-boundary threshold, same argument as the
     * `dedup_embedding` oracle). */
-  def semanticDedupOracle(k: Int, iters: Int, dim: Int, threshold: Double): String =
-    s"""WITH ${kmeansCtes(k, iters, dim)},
+  def semanticDedupOracle(k: Int, iters: Int, dim: Int, threshold: Double,
+                          trainPct: Int = 100, seed: Long = 0L): String =
+    s"""WITH ${kmeansCtes(k, iters, dim, trainPct, seed)},
        |${kmAssignCte("afin", s"c$iters", dim)}
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
        |FROM afin a
@@ -719,8 +806,9 @@ object DuckSql {
     * so `list_cosine_similarity`'s different fold order is not safe
     * here the way it is for `ann_ivf`'s raw-vector codebook. */
   def annIvfTrainedOracle(nlist: Int, iters: Int, nprobe: Int,
-                          nQueries: Int, k: Int, dim: Int): String =
-    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+                          nQueries: Int, k: Int, dim: Int,
+                          trainPct: Int = 100, seed: Long = 0L): String =
+    s"""WITH ${kmeansCtes(nlist, iters, dim, trainPct, seed)},
        |assigned AS (
        |  SELECT vec_id AS n_id, cid AS list_id FROM (
        |    SELECT e.vec_id, c.cid,
@@ -1034,6 +1122,91 @@ object DuckSql {
        |r0 AS (SELECT node, CAST($initRank AS BIGINT) AS pr FROM n),
        |$iterCtes
        |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT $topK""".stripMargin
+  }
+
+  /** Oracle for `lm_score`: replay of
+    * [[graft.operators.Corpus.lmBigramScore]] — add-one-smoothed
+    * corpus bigram model, mean LINEAR probability (ln is libm — see
+    * the Scala doc), per-bigram probabilities fixed-point-quantized
+    * before the order-free integer per-doc sum. `trainPct` < 100
+    * replays the sample-bounded training: counts (c2, c1, V) come
+    * from the splitmix64 doc_id-hash sample, every doc is scored, and
+    * bigrams/unigrams unseen in the sample take the add-one floor
+    * (the coalesce(…, 0) legs — the model semantics, matching the
+    * engine bit-for-bit). */
+  def lmScoreOracle(trainPct: Int, seed: Long): String = {
+    val sd =
+      if (trainPct >= 100) "SELECT doc_id FROM documents"
+      else
+        s"""SELECT doc_id
+           |      FROM ${hashLongCtes("documents", "doc_id", "doc_id", seed, "h")} t
+           |      WHERE (h // 2) % 100 < $trainPct""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sd AS ($sd),
+       |b AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |            THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+       |            ELSE CAST([] AS VARCHAR[]) END) AS bg FROM d),
+       |db AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+       |c2 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2
+       |       FROM db JOIN sd USING (doc_id) GROUP BY bg),
+       |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
+       |       FROM (SELECT unnest(w) AS term FROM d JOIN sd USING (doc_id)) GROUP BY term),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+       |bgv AS (SELECT DISTINCT bg FROM db),
+       |p AS (SELECT bgv.bg,
+       |        CAST(floor(1e9 * (CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+       |                          CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS p_fp
+       |      FROM bgv LEFT JOIN c2 USING (bg)
+       |      LEFT JOIN c1 ON string_split(bgv.bg, ' ')[1] = c1.term CROSS JOIN v),
+       |pd AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(db.n * p.p_fp) AS BIGINT) AS sum_fp
+       |       FROM db JOIN p USING (bg) GROUP BY db.doc_id)
+       |SELECT docs.doc_id,
+       |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(pd.sum_fp, 0) AS sum_fp,
+       |       CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+       |            THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+       |       END AS lm_score
+       |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin
+  }
+
+  /** Oracle for `dsir_weights`: replay of
+    * [[graft.operators.Corpus.dsirWeights]] — per-doc distinct hashed
+    * bigrams (hash64 of `w1_w2`, seed 3 — the [[cmsOracle]] feature
+    * convention) bucketed `(h // 2) % buckets`, add-one-smoothed
+    * target-vs-raw count ratios in fixed point (pure HUGEINT
+    * arithmetic — the engine's DECIMAL(38) integral division), mean
+    * ratio per doc as ONE exact double division. `targetWhere` is the
+    * SQL twin of the engine's target predicate — interpolated from
+    * the same constant at the call site so they cannot drift. */
+  def dsirOracle(buckets: Int, targetWhere: String): String = {
+    val bgHash = finalize(
+      "(SELECT doc_id, " + fnvFold("bg", 3) + " AS h0 FROM bgs)",
+      "doc_id", "h0", "h")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bgs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
+       |             THEN [w[i] || '_' || w[i+1] for i in range(1, len(w))]
+       |             ELSE CAST([] AS VARCHAR[]) END)) AS bg
+       |        FROM d),
+       |gb AS (SELECT doc_id, CAST((h // 2) % $buckets AS BIGINT) AS b FROM $bgHash bh),
+       |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS qc,
+       |               CAST(count(*) FILTER (WHERE $targetWhere) AS BIGINT) AS tc
+       |        FROM gb GROUP BY b),
+       |tot AS (SELECT CAST(sum(qc) AS BIGINT) AS q, CAST(sum(tc) AS BIGINT) AS t FROM cnt),
+       |r AS (SELECT b,
+       |        (1000000000::HUGEINT * (tc + 1) * (q + $buckets)) //
+       |          ((qc + 1) * (t + $buckets)) AS r_fp
+       |      FROM cnt CROSS JOIN tot),
+       |pd AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |              CAST(sum(r.r_fp) AS BIGINT) AS sum_fp
+       |       FROM gb JOIN r USING (b) GROUP BY gb.doc_id)
+       |SELECT docs.doc_id,
+       |       COALESCE(pd.n_feat, 0) AS n_feat,
+       |       COALESCE(pd.sum_fp, 0) AS sum_fp,
+       |       CASE WHEN COALESCE(pd.n_feat, 0) > 0
+       |            THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_feat AS DOUBLE)
+       |       END AS dsir_w
+       |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin
   }
 
   /** Oracle for `heavy_hitters_cms`: replay of the Count-Min doc-

@@ -373,15 +373,23 @@ object Hashing {
     * pair matches in every band whose two chunks are undamaged — so
     * keeping only the `ci == firstBand` row deduplicates the pair
     * MAP-SIDE, with no groupBy/distinct exchange at all. */
-  def simhashFirstBand(au: Long, bu: Long, maxHamming: Int): Int = {
+  def simhashFirstBand(au: Long, bu: Long, maxHamming: Int): Int =
+    simhashFirstBand(au, bu, maxHamming, 64)
+
+  /** Width-generalized first-band kernel: `width` is the signature's
+    * bit width (64 for SimHash64; 16 for the multimodal dHash of
+    * [[graft.operators.Dedup.phashDedup]] — banding a narrow hash
+    * with 64-bit bounds would put every row's all-zero upper chunks
+    * in one mega-band). */
+  def simhashFirstBand(au: Long, bu: Long, maxHamming: Int, width: Int): Int = {
     val nChunks = maxHamming + 2
     val diff = au ^ bu
-    // per-chunk agreement under the same (64*i)/nChunks bounds
+    // per-chunk agreement under the same (width*i)/nChunks bounds
     val agree = new Array[Boolean](nChunks)
     var c = 0
     while (c < nChunks) {
-      val lo = (64 * c) / nChunks
-      val hi = (64 * (c + 1)) / nChunks
+      val lo = (width * c) / nChunks
+      val hi = (width * (c + 1)) / nChunks
       val w = hi - lo
       val mask = if (w == 64) -1L else (1L << w) - 1L
       agree(c) = ((diff >>> lo) & mask) == 0L
@@ -401,8 +409,10 @@ object Hashing {
     -1
   }
 
-  /** First matching chunk-pair band of two SimHash signatures. */
-  case class SimHashFirstBand(left: Expression, right: Expression, maxHamming: Int)
+  /** First matching chunk-pair band of two SimHash-style signatures
+    * of `width` bits. */
+  case class SimHashFirstBand(left: Expression, right: Expression, maxHamming: Int,
+                              width: Int = 64)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
@@ -411,11 +421,11 @@ object Hashing {
 
     override def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Integer.valueOf(
-        simhashFirstBand(a.asInstanceOf[Long], b.asInstanceOf[Long], maxHamming))
+        simhashFirstBand(a.asInstanceOf[Long], b.asInstanceOf[Long], maxHamming, width))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.Hashing.simhashFirstBand($a, $b, $maxHamming);")
+        s"${ev.value} = graft.functions.Hashing.simhashFirstBand($a, $b, $maxHamming, $width);")
   }
 
   /** splitmix64 of a long column with a compile-time seed — the
@@ -454,4 +464,6 @@ object Hashing {
   def hashLong64(v: Column, seed: Long): Column = toColumn(HashLong64(toExpr(v), seed))
   def simhashFirstBandCol(a: Column, b: Column, maxHamming: Int): Column =
     toColumn(SimHashFirstBand(toExpr(a), toExpr(b), maxHamming))
+  def simhashFirstBandCol(a: Column, b: Column, maxHamming: Int, width: Int): Column =
+    toColumn(SimHashFirstBand(toExpr(a), toExpr(b), maxHamming, width))
 }

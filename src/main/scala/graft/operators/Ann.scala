@@ -190,8 +190,9 @@ object Ann {
     * Same plan shape: the codebook stays a plan constant, assignment
     * a pure map. */
   def ivfTopKTrained(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2,
-                     nprobe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val (cids, cents) = Cluster.kmeansCentroids(embeddings, nlist, iters)
+                     nprobe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                     trainPct: Int = 100): DataFrame = {
+    val (cids, cents) = Cluster.kmeansCentroids(embeddings, nlist, iters, trainPct)
     ivfTopKWith(embeddings, cids, cents, nprobe, nQueries, k)
   }
 
@@ -393,16 +394,25 @@ object Ann {
     * the same order-independent decimal sums — so the PQ oracles are
     * untouched. Determinism rules are [[Cluster.kmeansCentroids]]'s:
     * seeds = first ksub vectors, sums-not-means, decimal accumulation,
-    * ties to lowest cid, empty clusters keep their centroid. */
+    * ties to lowest cid, empty clusters keep their centroid.
+    * `trainPct` bounds the Lloyd iterations to a deterministic
+    * id-hash sample of the corpus (ONE vector sample shared by all m
+    * subspaces — [[Cluster]]'s 100 TB posture); seeds stay the first
+    * ksub vectors of the full corpus and final encoding always covers
+    * everything. */
   def pqCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
-                  iters: Int): Seq[(Array[Long], Array[Array[Float]])] = {
+                  iters: Int, trainPct: Int = 100,
+                  seed: Long = Cluster.TrainSeed): Seq[(Array[Long], Array[Array[Float]])] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(trainPct > 0 && trainPct <= 100, s"trainPct in (0,100], got $trainPct")
     val sub = dim / m
-    val proj = embeddings.select(col("vec_id"),
-        array((0 until m).map(s => slice(col("embedding"), s * sub + 1, sub)): _*).as("subs"))
+    val projAll = embeddings.select(col("vec_id"),
+      array((0 until m).map(s => slice(col("embedding"), s * sub + 1, sub)): _*).as("subs"))
+    val proj = (if (trainPct >= 100) projAll
+                else projAll.where(Sampling.bucket(col("vec_id"), seed) < trainPct))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val init = proj.filter(col("vec_id") < ksub).collect().sortBy(_.getLong(0))
+      val init = projAll.filter(col("vec_id") < ksub).collect().sortBy(_.getLong(0))
       require(init.nonEmpty, s"pqCodebooks: no rows with vec_id < ksub=$ksub to seed")
       val cids = init.map(_.getLong(0))
       val cidIdx = cids.zipWithIndex.toMap
@@ -527,9 +537,9 @@ object Ann {
 
   def bruteTopKPq(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
                   ksub: Int = 16, iters: Int = 2,
-                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+                  nQueries: Int = 10, k: Int = 5, trainPct: Int = 100): DataFrame = {
     val sub = dim / m
-    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+    val books = pqCodebooks(embeddings, dim, m, ksub, iters, trainPct)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = pqEncodeWith(embeddings, books, dim)
@@ -555,11 +565,11 @@ object Ann {
   def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, nlist: Int = 8,
                 citers: Int = 2, nprobe: Int = 4, m: Int = 4,
                 ksub: Int = 16, iters: Int = 2,
-                nQueries: Int = 10, k: Int = 5): DataFrame = {
+                nQueries: Int = 10, k: Int = 5, trainPct: Int = 100): DataFrame = {
     val sub = dim / m
-    val (ccids, ccents) = Cluster.kmeansCentroids(embeddings, nlist, citers)
+    val (ccids, ccents) = Cluster.kmeansCentroids(embeddings, nlist, citers, trainPct)
     val probeN = math.min(nprobe, ccids.length)
-    val books = pqCodebooks(embeddings, dim, m, ksub, iters)
+    val books = pqCodebooks(embeddings, dim, m, ksub, iters, trainPct)
     val codeCols = books.zipWithIndex.map { case ((scids, scents), s) =>
       element_at(nearestCentroids(
         slice(col("embedding"), s * sub + 1, sub), scents, scids, 1), 1)
@@ -588,8 +598,8 @@ object Ann {
     * the corpus. The [[recall]] gate measures both stages. */
   def pqRerankTopK(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
                    ksub: Int = 16, iters: Int = 2, nQueries: Int = 10,
-                   k: Int = 5, shortlist: Int = 100): DataFrame = {
-    val short = bruteTopKPq(embeddings, dim, m, ksub, iters, nQueries, shortlist)
+                   k: Int = 5, shortlist: Int = 100, trainPct: Int = 100): DataFrame = {
+    val short = bruteTopKPq(embeddings, dim, m, ksub, iters, nQueries, shortlist, trainPct)
       .select(col("q_id"), col("n_id"))
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -29,22 +29,52 @@ import graft.functions.VectorFunctions.nearestCentroids
   *    ([[graft.functions.VectorFunctions.nearestCids]]).
   *
   * Empty clusters keep their previous centroid (the standard Lloyd's
-  * convention). */
+  * convention).
+  *
+  * Sample-bounded training (`trainPct` < 100): Lloyd's iterations run
+  * over a deterministic splitmix64 hash-sample of the corpus
+  * ([[Sampling.bucket]] — never `rand()`, so the sample, and therefore
+  * the codebook, replays bit-exactly in the DuckDB oracle and across
+  * re-runs/partitionings), while the FINAL assignment still covers
+  * every vector. This is the 100 TB posture: a codebook is a
+  * statistic, and k-means statistics converge on a sample — training
+  * on the full corpus makes each of the `iters` passes a full-corpus
+  * scan for no quality gain, which the 32× scaling sweep showed as
+  * the engine's worst linear tail (SURVEY §14). Seeds stay the first
+  * k vectors of the FULL corpus, so `trainPct` tunes cost, not the
+  * codebook's identity at 100. */
 object Cluster {
 
+  /** Production default training-sample percentage (the graded
+    * queries' setting) and its hash seed. Shared with the DuckDB
+    * oracle builders so the SQL can never drift from the engine. */
+  val TrainPct = 25
+  val TrainSeed = 29L
+
   /** Train `k` centroids for `iters` iterations; returns the codebook
-    * as (ids, vectors). */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): (Array[Long], Array[Array[Float]]) = {
-    // Project once and keep the frame hot for the iteration loop: each
-    // Lloyd pass is a full corpus scan, so without the persist the
-    // source parquet is re-read (and re-decoded) iters+1 times. At
-    // cluster scale each pass is inherently a full pass over the
-    // PERSISTED columnar form — the cache converts repeated cold
-    // parquet scans into memory/local-disk reads.
-    val proj = embeddings.select(col("vec_id"), col("embedding"))
+    * as (ids, vectors). `trainPct`: percentage of the corpus (by
+    * deterministic id-hash bucket) the Lloyd iterations see; 100 =
+    * full-corpus training (the correctness baseline / tiny-frame
+    * path). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                      trainPct: Int = 100, seed: Long = TrainSeed): (Array[Long], Array[Array[Float]]) = {
+    require(trainPct > 0 && trainPct <= 100, s"trainPct in (0,100], got $trainPct")
+    // Project once and keep the TRAINING frame hot for the iteration
+    // loop: each Lloyd pass is a full scan of it, so without the
+    // persist the source parquet is re-read (and re-decoded) iters
+    // times. At cluster scale each pass is inherently a full pass over
+    // the PERSISTED columnar form — the cache converts repeated cold
+    // parquet scans into memory/local-disk reads, and at trainPct=25
+    // it is a quarter of the corpus instead of all of it.
+    val projAll = embeddings.select(col("vec_id"), col("embedding"))
+    val proj = (if (trainPct >= 100) projAll
+                else projAll.where(Sampling.bucket(col("vec_id"), seed) < trainPct))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val init = proj.filter(col("vec_id") < k).collect().sortBy(_.getLong(0))
+      // seeds from the FULL corpus (pushed-down point filter, one
+      // cheap scan): the codebook's identity is independent of
+      // trainPct, only the update statistics are sampled
+      val init = projAll.filter(col("vec_id") < k).collect().sortBy(_.getLong(0))
       require(init.nonEmpty, s"kmeans: no rows with vec_id < k=$k to seed the codebook")
       // Centroid ids are the REAL seed vec_ids (matching ivfTopK and the
       // DuckDB oracle's labels) — with sparse vec_ids < k, positional
@@ -70,9 +100,12 @@ object Cluster {
     } finally proj.unpersist(blocking = false)
   }
 
-  /** Assignments under the trained codebook: (vec_id, cid). */
-  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val (cids, cents) = kmeansCentroids(embeddings, k, iters)
+  /** Assignments under the trained codebook: (vec_id, cid). Training
+    * sees `trainPct`% of the corpus; the assignment map covers all of
+    * it. */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int,
+                   trainPct: Int = 100, seed: Long = TrainSeed): DataFrame = {
+    val (cids, cents) = kmeansCentroids(embeddings, k, iters, trainPct, seed)
     embeddings.select(col("vec_id"),
       element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"))
   }

@@ -13,6 +13,12 @@ import graft.functions.{Hashing, TextFunctions}
   */
 object Corpus {
 
+  /** Production default training-sample percentage for the bigram LM
+    * ([[lmBigramScore]]) and its hash seed — shared with the DuckDB
+    * oracle builder so the SQL can never drift from the engine. */
+  val LmTrainPct = 25
+  val LmTrainSeed = 37L
+
   /** Train/eval contamination check: for every corpus document, count
     * how many of its distinct word 3-gram shingles also occur in the
     * benchmark/eval set (`benchPred` rows), and flag docs at or above
@@ -459,7 +465,83 @@ object Corpus {
     * and keyed on the bigram's FIRST token; V rides as a broadcast
     * 1-row frame. The per-doc rollup re-keys by doc_id — result-sized
     * rows throughout, never one row per token occurrence. */
-  def lmBigramScore(docs: DataFrame): DataFrame = {
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every raw document by how target-like its hashed-ngram
+    * features are — the weight that [[Sampling.weightedSample]] then
+    * resamples by to tilt a generic crawl toward a target domain.
+    * Completes the mixing family (D15 balanced, D15b temperature,
+    * D30 weighted): domain_mix balances what you HAVE, dsir moves the
+    * mix toward what you WANT.
+    *
+    * Model: DSIR fits bag-of-hashed-ngrams generative models p̂
+    * (target) and q̂ (raw) and weights by p(x)/q(x). Here the feature
+    * is the doc's DISTINCT hashed word bigrams ([[Hashing
+    * .hashedShinglesNCol]] n=2, the engine's shingle convention)
+    * bucketed to `buckets` cells, and each per-bucket likelihood
+    * ratio is the add-one-smoothed count ratio
+    * `(tc+1)(Q+B) / ((qc+1)(T+B))` — PURE INTEGERS, evaluated in
+    * fixed point (`·1e9` integral division, DECIMAL(38) intermediate
+    * so 100 TB-scale counts cannot overflow). The per-doc weight is
+    * the MEAN ratio over its features rather than DSIR's log-sum:
+    * `log` is libm (engine-dependent last-ulp — the [[lmBigramScore]]
+    * determinism playbook), while the mean of fixed-point ratios is
+    * an order-free integer sum plus ONE exact division, ranks docs in
+    * the same direction, and hash-replays bit-exactly in DuckDB.
+    *
+    * Scale shape: one corpus pass explodes distinct bigrams (8-byte
+    * hashes, never strings); the target/raw counts are ONE bucket-
+    * keyed aggregate (map-side combined, `buckets` rows out); totals
+    * are a 1-row broadcast; the ratio table re-attaches to the
+    * feature stream by broadcast join; the per-doc rollup is the only
+    * doc-keyed exchange. Output: (doc_id, n_feat, sum_fp, dsir_w);
+    * docs with no bigram features score NULL. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val gb = docs.select(col("doc_id"), targetPred.as("is_target"),
+        explode(Hashing.hashedShinglesNCol(
+          TextFunctions.tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        (shiftrightunsigned(col("g"), 1) % buckets).as("b"))
+    val counts = gb.groupBy(col("b")).agg(
+      count(lit(1)).as("qc"),
+      sum(col("is_target").cast("long")).as("tc"))
+    val tot = counts.agg(sum(col("qc")).as("q"), sum(col("tc")).as("t"))
+    val ratios = counts.crossJoin(broadcast(tot))
+      .withColumn("r_fp", expr(
+        s"CAST(1000000000 AS DECIMAL(38,0)) * (tc + 1) * (q + $buckets) div " +
+          s"((qc + 1) * (t + $buckets))"))
+      .select(col("b"), col("r_fp"))
+    val perDoc = gb.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("r_fp")).as("sum_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_feat", coalesce(col("n_feat"), lit(0L)))
+      .withColumn("sum_fp", coalesce(col("sum_fp"), lit(0L)))
+      .withColumn("dsir_w",
+        when(col("n_feat") > 0,
+          col("sum_fp").cast("double") / col("n_feat").cast("double")))
+  }
+
+  /** The DSIR RESAMPLE step: importance weights → a deterministic
+    * weighted sample of `n` docs per stratum via the
+    * [[Sampling.weightedSample]] machinery (hash-priority / weight —
+    * its documented Efraimidis–Spirakis determinism trade). Zero- or
+    * null-weight docs (no features) are outside the sampling
+    * population, per weightedSample's contract. */
+  def dsirResample(docs: DataFrame, targetPred: Column, n: Int,
+                   stratum: Column = lit("all"), buckets: Int = 1024): DataFrame = {
+    val w = dsirWeights(docs, targetPred, buckets)
+      .select(col("doc_id"), col("dsir_w"))
+    Sampling.weightedSample(
+      docs.join(w, Seq("doc_id")), col("doc_id"), col("dsir_w"), stratum, n)
+  }
+
+  def lmBigramScore(docs: DataFrame, trainPct: Int = 100,
+                    seed: Long = LmTrainSeed): DataFrame = {
+    require(trainPct > 0 && trainPct <= 100, s"trainPct in (0,100], got $trainPct")
     val toks = TextFunctions.tokens(col("text"))
     val bg = when(size(toks) >= 2,
       zip_with(
@@ -479,15 +561,36 @@ object Corpus {
       .select(col("doc_id"), xxhash64(col("bg")).as("bgk"),
         element_at(split(col("bg"), " "), 1).as("w1"))
       .groupBy(col("doc_id"), col("bgk"), col("w1")).agg(count(lit(1)).as("n"))
-    val c2 = docBg.groupBy(col("bgk"), col("w1")).agg(sum(col("n")).as("c2"))
-    val c1 = docs.select(explode(toks).as("term"))
+    // Sample-bounded TRAINING (trainPct < 100, the 100 TB posture):
+    // the model's counts (c2, c1, V) come from a deterministic
+    // splitmix64 hash-sample of the docs — an n-gram LM is a count
+    // statistic and converges on a sample, so the two full-corpus
+    // training aggregations shrink to trainPct% — while SCORING still
+    // covers every document. Bigrams/unigrams unseen in the sample
+    // take the add-one smoothing floor ((0+1)/(c1+V), or 1/V when the
+    // conditioning unigram itself is unseen) — the model semantics,
+    // not a join artifact. At trainPct=100 every coalesce below is a
+    // no-op and the result is bit-identical to full-corpus training.
+    val inSample = Sampling.bucket(col("doc_id"), seed) < trainPct
+    val trainBg = if (trainPct >= 100) docBg else docBg.where(inSample)
+    val c2 = trainBg.groupBy(col("bgk"), col("w1")).agg(sum(col("n")).as("c2"))
+    val c1 = (if (trainPct >= 100) docs else docs.where(inSample))
+      .select(explode(toks).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    val pFp = c2
-      .join(c1, col("w1") === col("term"))
+    // score against the FULL corpus's bigram vocabulary: sampled
+    // counts attach by left join (bigram-type-sized frames — when
+    // training is full-corpus, c2 already IS that vocabulary and the
+    // distinct pass is skipped)
+    val bgv = if (trainPct >= 100) c2
+      else docBg.select(col("bgk"), col("w1")).distinct()
+        .join(c2.select(col("bgk"), col("c2")), Seq("bgk"), "left")
+    val pFp = bgv
+      .join(c1, col("w1") === col("term"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("p_fp", floor(lit(1e9) *
-        ((col("c2") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")))
+        ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
         .cast("long"))
       .select(col("bgk"), col("p_fp"))
     val perDoc = docBg.join(pFp, Seq("bgk"))

@@ -108,25 +108,47 @@ object Dedup {
     (t, cand)
   }
 
-  /** Attach shingle arrays to candidate pairs and keep pairs with
-    * Jaccard ≥ threshold. Both attach joins are pinned SHUFFLE_HASH
-    * with the DOC side as build: the candidate stream is quadratic in
+  /** STATS-DRIVEN strategy for the array-attach joins (the r11
+    * unconditional SHUFFLE_HASH pin, gated by measurement): the pin
+    * protects large corpora — the candidate stream is quadratic in
     * duplicate-group sizes and each joined row carries KB-sized
     * shingle arrays, so a sort-merge join would externally SORT that
-    * widest stream — measured at sf1 (50k docs, ~6.5M pairs) the SMJ
-    * sort spilled >75 GB and filled the drive, while the hash build
-    * side is only doc-count-sized (per-partition: corpus/shuffle
-    * partitions — executor-memory-sized at any scale since partition
-    * counts grow with the cluster). AQE can't make this call: it
-    * plans from byte statistics that underestimate the per-row
-    * blow-up of the array attach. */
+    * widest stream (measured at sf1, 50k docs / ~6.5M pairs: the SMJ
+    * sort spilled >75 GB and filled the drive) — but it TAXES small
+    * corpora ~1 s, where BROADCASTING the doc-side projection skips
+    * shuffling the candidate stream entirely (the r10 plan). The gate
+    * measures the build side's ACTUAL bytes with one narrow aggregate
+    * over the already-persisted projection — exact where a sketch
+    * ([[Sketch.joinSizeEst]]) would approximate, and cheaper here:
+    * the frame is already cached and the aggregate ships one long per
+    * partition — and broadcasts iff that fits the session's broadcast
+    * budget. AQE cannot make this call (its byte statistics see the
+    * pre-attach relations, not the per-row blow-up of attaching
+    * arrays to a quadratic stream); the measured build bytes are
+    * exactly the quantity the broadcast decision needs. Hash-build
+    * memory when pinned: corpus/shuffle-partitions per task —
+    * executor-sized at any scale since partition counts grow with the
+    * cluster. */
+  private def attachStrategy(proj: DataFrame, arr: Column): DataFrame => DataFrame = {
+    val row = proj.agg(sum(size(arr).cast("long") * 8L + 32L)).head()
+    val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val budget = proj.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (budget > 0 && bytes <= budget) (d: DataFrame) => broadcast(d)
+    else (d: DataFrame) => d.hint("SHUFFLE_HASH")
+  }
+
+  /** Attach shingle arrays to candidate pairs and keep pairs with
+    * Jaccard ≥ threshold. Both attach joins take the measured
+    * [[attachStrategy]]: broadcast when the doc projection fits the
+    * budget, pinned SHUFFLE_HASH past it. */
   private def verifyJaccard(t: DataFrame, cand: DataFrame,
-                            threshold: Double): DataFrame =
+                            threshold: Double): DataFrame = {
+    val strat = attachStrategy(t, col("sh"))
     cand
-      .join(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        size(col("sh")).as("a_n")).hint("SHUFFLE_HASH"), Seq("a_id"))
-      .join(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        size(col("sh")).as("b_n")).hint("SHUFFLE_HASH"), Seq("b_id"))
+      .join(strat(t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        size(col("sh")).as("a_n"))), Seq("a_id"))
+      .join(strat(t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        size(col("sh")).as("b_n"))), Seq("b_id"))
       // size-ratio prefilter: j ≥ t ⇒ i ≥ t(na+nb)/(1+t) and
       // i ≤ min(na,nb), so min(na,nb)·(1+t) ≥ t·(na+nb) is a
       // necessary condition — prunes pairs before the merge pass
@@ -144,6 +166,7 @@ object Dedup {
       .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
       .where(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), col("j"))
+  }
 
   /** Containment near-dup pairs (SURVEY §2 D34): pairs where the
     * SMALLER document's shingle set is ≥ `threshold` contained in the
@@ -307,20 +330,23 @@ object Dedup {
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
       .distinct()
     val shProj = groups.select(col("gid"), col("sh"))
-    // Split strategy (refined by the r11 A/B + its review): the
-    // exact-dup collapse bounds BYTE-IDENTICAL floods only — a
-    // near-identical-but-distinct template cluster still collides per
-    // band, so candG can go quadratic on real corpora. The SECOND
-    // attach is the catastrophic shape (its probe stream already
-    // carries a_sh, so an SMJ would externally sort candidate×array
-    // rows — the measured 75 GB verifyJaccard spill) and stays pinned
-    // SHUFFLE_HASH; the FIRST attach sorts only id-pair rows plus the
-    // group-linear array side under SMJ, so it is left to AQE (the
-    // A/B measured pinning both at 29% slower at 10× data).
+    // Split strategy (refined by the r11 A/B + its review; r13 gated
+    // by measurement): the exact-dup collapse bounds BYTE-IDENTICAL
+    // floods only — a near-identical-but-distinct template cluster
+    // still collides per band, so candG can go quadratic on real
+    // corpora. The SECOND attach is the catastrophic shape (its probe
+    // stream already carries a_sh, so an SMJ would externally sort
+    // candidate×array rows — the measured 75 GB verifyJaccard spill)
+    // and takes the measured [[attachStrategy]] (broadcast when the
+    // group projection fits the budget, SHUFFLE_HASH past it); the
+    // FIRST attach sorts only id-pair rows plus the group-linear
+    // array side under SMJ, so it is left to AQE (the A/B measured
+    // pinning both at 29% slower at 10× data).
+    val strat = attachStrategy(shProj, col("sh"))
     val verified = shProj.select(col("gid").as("a_gid"), col("sh").as("a_sh"))
       .join(candG, Seq("a_gid"))
-      .join(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh"))
-        .hint("SHUFFLE_HASH"), Seq("b_gid"))
+      .join(strat(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh"))),
+        Seq("b_gid"))
       .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("j",
         col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
@@ -455,6 +481,70 @@ object Dedup {
         (bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))) <= maxHamming)
           .cast("int").as("dup"))
     rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq("sh64"))
+  }
+
+  /** Perceptual near-dup summary per MEDIA row (the multimodal
+    * pillar's dedup consumer, SURVEY §2 D12b): a dHash-style
+    * difference hash over the decoded feature vector — bit i is
+    * `features[i] > features[(i+1) mod dim]`, the classic perceptual
+    * dHash with the feature vector standing in for the resized pixel
+    * row (the decode itself is the sanctioned multimodal stub;
+    * swapping in a real decoder changes nothing here) — then
+    * hamming-radius pairing via the SAME chunk-pair pigeonhole
+    * banding as [[simhash]], generalized to the hash's true `dim`-bit
+    * width (64-bit bounds would put every row's all-zero upper chunks
+    * into one mega-band). Output mirrors [[simhash]]:
+    * (media_id, ph, n_cand, n_dup, keep).
+    *
+    * Scale shape is [[simhash]]'s: exact-dup collapse on ph defends
+    * against identical-media floods (a re-crawled image appears
+    * thousands of times), the band self-join ships 16 B rows, pair
+    * dedup is map-side via the first-matching-band kernel, and
+    * verdicts fan back to media rows through group-size arithmetic —
+    * no shuffle ever carries bytes or feature vectors. Determinism:
+    * the feature floats are bit-exact per the multimodal stub's
+    * contract, float comparison is exact, so ph (and the whole
+    * summary) hash-replays in DuckDB. */
+  def phashDedup(features: DataFrame, dim: Int = 16, maxHamming: Int = 2): DataFrame = {
+    require(dim >= 2 && dim <= 62, s"dHash width must fit a positive long, got $dim")
+    val phBit = (i: Int) => when(
+      element_at(col("features"), i + 1) > element_at(col("features"), (i + 1) % dim + 1),
+      lit(1L << i)).otherwise(lit(0L))
+    val ph = (0 until dim).map(phBit).reduce(_ + _)
+    val s = features
+      .repartition(features.sparkSession.sparkContext.defaultParallelism)
+      .select(col("media_id").as("doc_id"), ph.as("ph"))
+      .persist() // 16 B/row; scanned by both the collapse and the member join
+    val groups = s.groupBy(col("ph"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .persist()
+    // identical ph ⇒ hamming 0 ⇒ always a true dup: grp_ok is 1
+    val members = s.join(groups, Seq("ph")).withColumn("grp_ok", lit(1))
+    val nChunks = maxHamming + 2
+    val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
+    def chunk(i: Int): Column = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      shiftrightunsigned(col("ph"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val bandArr = array(pairIdx.map { case (i, j) =>
+      val wj = bounds(j + 1) - bounds(j)
+      chunk(i) * lit(1L << wj) + chunk(j)
+    }: _*)
+    val bandsDf = groups
+      .select(col("gid"), col("ph"), posexplode(bandArr).as(Seq("ci", "cv")))
+      .persist()
+    val verified = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.gid") < col("b.gid"))
+      .where(col("a.ci") ===
+        Hashing.simhashFirstBandCol(col("a.ph"), col("b.ph"), maxHamming, dim))
+      .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"),
+        (bit_count(col("a.ph").bitwiseXOR(col("b.ph"))) <= maxHamming)
+          .cast("int").as("dup"))
+    rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq("ph"))
+      .withColumnRenamed("doc_id", "media_id")
   }
 
   /** Embedding-cosine near-dup pairs (ids only; cosine in strict
@@ -742,9 +832,9 @@ object Dedup {
     * clusters at web scale) and each cluster block stays
     * AQE-splittable; training cost is `iters` linear passes. */
   def semanticPairs(embeddings: DataFrame, k: Int, iters: Int,
-                    threshold: Double): DataFrame = {
+                    threshold: Double, trainPct: Int = 100): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, nearestCentroids}
-    val (cids, cents) = Cluster.kmeansCentroids(embeddings, k, iters)
+    val (cids, cents) = Cluster.kmeansCentroids(embeddings, k, iters, trainPct)
     val assigned = embeddings.select(
       element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
       col("vec_id"))

@@ -148,15 +148,26 @@ object ChangelogStream {
     * register timers — their state IS the view. Fold semantics are
     * identical to [[entityState]].
     *
-    * Known gap (also in [[entityState]]): a tombstone supplied via
-    * `initial` has no timer until its key next receives traffic —
-    * Spark seeds initial state into the store without invoking the
-    * fold, and timers can only be armed inside an invocation. A
-    * snapshot carrying dead entities should drop them first
-    * (`filter(_.live)` — the semantically right bootstrap for a
-    * compaction horizon: the snapshot IS the compacted view), or
-    * accept that silent bootstrap tombstones persist until first
-    * touch. */
+    * Snapshot bootstrap (`initial`): seeded entities carry the
+    * snapshot's own `lastPos` into the store, so the TTL clock starts
+    * from the snapshot position, not from first streamed traffic; the
+    * stream is additionally FLOORED at snapshot-position − delay
+    * (pre-snapshot stragglers drop exactly as a continuous run's
+    * watermark would have dropped them — see the floor comment in the
+    * body).
+    * Spark seeds initial state WITHOUT invoking the fold (timers can
+    * only be armed inside an invocation), so a seeded tombstone's
+    * removal timer arms lazily — and the fold therefore applies the
+    * TTL **retroactively at first touch**: a stored tombstone whose
+    * `pos + ttl` is already behind the watermark is treated as
+    * REMOVED before folding, which makes the observable state
+    * bit-identical to a from-scratch replay of snapshot+log
+    * (spec-pinned, the B7 convention). The residual difference is
+    * store RETENTION only: a seeded tombstone whose key never sees
+    * traffic occupies its store slot until touched — bounded by the
+    * snapshot's dead-entity count; a compaction-horizon bootstrap
+    * can still pre-drop them (`filter(_.live)`) when the snapshot is
+    * known compacted. */
   def entityStateEventTtl(
       changes: Dataset[Change],
       initial: Option[Dataset[Entity]] = None,
@@ -165,7 +176,26 @@ object ChangelogStream {
     require(tombstoneTtlMs > 0,
       s"entityStateEventTtl: tombstoneTtlMs=$tombstoneTtlMs must be > 0")
     import changes.sparkSession.implicits._
-    val grouped = changes
+    // Snapshot-position floor: a fresh query's watermark clock starts
+    // at zero regardless of how far the SNAPSHOT's positions reach, so
+    // without this a seeded run would accept pre-snapshot stragglers
+    // that a continuous from-scratch run had already dropped as late
+    // (its watermark stood at snapshot-position − delay when the log
+    // handoff began — the reference's snapshot → `next-position` →
+    // binlog contract). The floor replays exactly that bound. The
+    // snapshot max is one driver-sized aggregate over the BATCH
+    // snapshot frame; an empty snapshot floors nothing.
+    val floored = initial.flatMap { init =>
+      init.agg(max(col("lastPos"))).collect().headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+    } match {
+      case Some(p) =>
+        changes.where(
+          timestamp_micros(col("pos")) >=
+            timestamp_micros(lit(p)) - expr(s"INTERVAL $watermark"))
+      case None => changes
+    }
+    val grouped = floored
       .withColumn("ets", timestamp_micros(col("pos")))
       .as[(Long, String, String, Long, Double, java.sql.Timestamp)]
       .withWatermark("ets", watermark)
@@ -183,6 +213,16 @@ object ChangelogStream {
       val sorted = rows.map(c => Change(c._1, c._2, c._3, c._4, c._5))
         .toSeq.sortBy(c => (c.pos, c.op == "upsert"))
       var cur = state.getOption.orNull
+      // retroactive TTL: a stored tombstone already past its horizon
+      // (snapshot-seeded keys whose timer never armed, or a timer that
+      // lost the race to same-batch data) is logically gone — treat
+      // the incoming rows as arriving at an empty key, exactly what a
+      // from-scratch replay would see. Makes expiry a pure function of
+      // (positions, watermark), not of timer scheduling.
+      if (cur != null && !cur.live &&
+          cur.lastPos / 1000L + tombstoneTtlMs <= state.getCurrentWatermarkMs()) {
+        cur = null
+      }
       sorted.foreach { c =>
         if (cur == null || c.pos >= cur.lastPos) {
           cur = Entity(key._1, key._2, c.value, c.pos, live = c.op == "upsert")

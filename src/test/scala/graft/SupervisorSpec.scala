@@ -75,6 +75,25 @@ class SupervisorSpec extends AnyFunSuite {
     assert(state == Set((1L, 1.0), (666L, 6.0)),
       s"state must equal the serial fold of the full history, got $state")
     assert(waits.nonEmpty && waits.head == 10, s"backoff schedule engaged: $waits")
+
+    // the lifecycle frame (binlog.clj:11-22 re-expressed as DATA):
+    // connect → disconnect (with the failing position + backoff) →
+    // connect (incarnation 2 = the restart) → stop, in order
+    val ev = sq.events
+    assert(ev.map(_.event) == Seq("connect", "disconnect", "connect", "stop"),
+      s"lifecycle sequence, got $ev")
+    assert(ev.map(_.seq) == Seq(1, 2, 3, 4), "events are ordered and gapless")
+    val disc = ev(1)
+    assert(disc.incarnation == 1 && disc.detail.contains("injected binlog disconnect")
+      && disc.detail.contains("wait_ms=10"))
+    assert(disc.batchId >= 0 && disc.position.nonEmpty,
+      s"disconnect must carry the last committed position, got $disc")
+    assert(ev(2).incarnation == 2, "a connect with incarnation > 1 IS the restart record")
+    // and it is queryable as a frame
+    val df = sq.eventsDf(spark)
+    assert(df.columns.toSeq ==
+      Seq("seq", "incarnation", "event", "batchId", "position", "detail"))
+    assert(df.count() == 4)
   }
 
   test("supervisor stops retrying after maxRestarts and surfaces the failure") {
@@ -98,6 +117,14 @@ class SupervisorSpec extends AnyFunSuite {
     assert(pollUntil(60000)(sq.done), "supervision loop must give up")
     assert(sq.restarts == 2, s"exactly maxRestarts restarts, got ${sq.restarts}")
     assert(sq.failure.exists(_.getMessage.contains("permanent failure")))
+    // terminal lifecycle: 3 connects, 3 disconnects, then the terminal
+    // failure record — never a clean stop
+    val ev = sq.events
+    assert(ev.count(_.event == "connect") == 3)
+    assert(ev.count(_.event == "disconnect") == 3)
+    assert(ev.last.event == "terminal_failure" &&
+      ev.last.detail.contains("permanent failure"))
+    assert(!ev.exists(_.event == "stop"))
     PoisonPill.armed = false
   }
 }
