@@ -1179,11 +1179,11 @@ object DuckSql {
     * ratio per doc as ONE exact double division. `targetWhere` is the
     * SQL twin of the engine's target predicate — interpolated from
     * the same constant at the call site so they cannot drift. */
-  def dsirOracle(buckets: Int, targetWhere: String): String = {
+  private def dsirCtes(buckets: Int, targetWhere: String): String = {
     val bgHash = finalize(
       "(SELECT doc_id, " + fnvFold("bg", 3) + " AS h0 FROM bgs)",
       "doc_id", "h0", "h")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |bgs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
        |             THEN [w[i] || '_' || w[i+1] for i in range(1, len(w))]
        |             ELSE CAST([] AS VARCHAR[]) END)) AS bg
@@ -1199,15 +1199,41 @@ object DuckSql {
        |      FROM cnt CROSS JOIN tot),
        |pd AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
        |              CAST(sum(r.r_fp) AS BIGINT) AS sum_fp
-       |       FROM gb JOIN r USING (b) GROUP BY gb.doc_id)
-       |SELECT docs.doc_id,
-       |       COALESCE(pd.n_feat, 0) AS n_feat,
-       |       COALESCE(pd.sum_fp, 0) AS sum_fp,
-       |       CASE WHEN COALESCE(pd.n_feat, 0) > 0
-       |            THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_feat AS DOUBLE)
-       |       END AS dsir_w
-       |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin
+       |       FROM gb JOIN r USING (b) GROUP BY gb.doc_id),
+       |wts AS (SELECT docs.doc_id,
+       |               COALESCE(pd.n_feat, 0) AS n_feat,
+       |               COALESCE(pd.sum_fp, 0) AS sum_fp,
+       |               CASE WHEN COALESCE(pd.n_feat, 0) > 0
+       |                    THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_feat AS DOUBLE)
+       |               END AS dsir_w
+       |        FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id)""".stripMargin
   }
+
+  def dsirOracle(buckets: Int, targetWhere: String): String =
+    s"""WITH ${dsirCtes(buckets, targetWhere)}
+       |SELECT doc_id, n_feat, sum_fp, dsir_w FROM wts""".stripMargin
+
+  /** Oracle for `dsir_sample`: the [[dsirOracle]] weight chain composed
+    * with the `weighted_sample` replay (priority = 63-bit splitmix
+    * hash / weight, per-stratum rank) — the full importance-resampling
+    * pipeline in one statement. Weightless docs (no features) are
+    * outside the population, per the engine's weightedSample
+    * contract. */
+  def dsirSampleOracle(buckets: Int, targetWhere: String, n: Int,
+                       seed: Long): String =
+    s"""WITH ${dsirCtes(buckets, targetWhere)},
+       |pop AS (SELECT w.doc_id, docs.lang, w.dsir_w
+       |        FROM wts w JOIN documents docs USING (doc_id)
+       |        WHERE w.dsir_w IS NOT NULL AND w.dsir_w > 0),
+       |hh AS (SELECT * FROM ${hashLongCtes("pop", "doc_id, lang, dsir_w", "doc_id", seed, "h")} t),
+       |pr AS (SELECT doc_id, lang, dsir_w,
+       |              CAST(h % 9223372036854775808 AS DOUBLE) / dsir_w AS priority
+       |       FROM hh),
+       |rk AS (SELECT doc_id, lang, dsir_w, priority,
+       |              CAST(row_number() OVER (PARTITION BY lang
+       |                     ORDER BY priority, doc_id) AS INT) AS rk
+       |       FROM pr)
+       |SELECT doc_id, lang, dsir_w, priority, rk FROM rk WHERE rk <= $n""".stripMargin
 
   /** Oracle for `heavy_hitters_cms`: replay of the Count-Min doc-
     * frequency sketch ([[graft.operators.Sketch.heavyHittersCms]]) —

@@ -25,6 +25,10 @@ object SparkEntry {
     * Shared by the Spark predicate and the oracle's SQL twin. */
   private val DsirTargetMod = 97L
 
+  /** The `temperature_mix` doc budget — shared by the query and its
+    * oracle's quota arithmetic. */
+  private val TempMixBudget = 1000000L
+
   /** The `cdc_debezium_decode` input corpus: Debezium envelopes
     * synthesized from event rows (mixed wrapped/flat forms, all four
     * ops, PK-changing updates, corrupt lines for the DLQ side),
@@ -554,6 +558,14 @@ object SparkEntry {
       // from the same DsirTargetMod constant, can replay it)
       Corpus.dsirWeights(Tables.documents(s, d),
         col("doc_id") % DsirTargetMod === 0)),
+    "dsir_sample" -> ((s, d) =>
+      // the full importance-RESAMPLING pipeline: dsir weights →
+      // per-lang deterministic weighted sample (hash-priority /
+      // weight) — what actually tilts a crawl toward the target mix
+      Corpus.dsirResample(Tables.documents(s, d),
+        col("doc_id") % DsirTargetMod === 0, n = 30, stratum = col("lang"))
+        .select(col("doc_id"), col("lang"), col("dsir_w"),
+          col("priority"), col("rk"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "gopher_filter" -> ((s, d) => Corpus.gopherFilter(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => Corpus.repetition(Tables.documents(s, d))),
@@ -563,7 +575,7 @@ object SparkEntry {
     "lm_score" -> ((s, d) => Corpus.lmBigramScore(Tables.documents(s, d),
       trainPct = Corpus.LmTrainPct)),
     "temperature_mix" -> ((s, d) =>
-      Sampling.temperatureMix(Tables.documents(s, d), col("source"), 1000000L)),
+      Sampling.temperatureMix(Tables.documents(s, d), col("source"), TempMixBudget)),
     "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
     "substr_dup" -> ((s, d) => Corpus.substrPairs(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables.documents(s, d))),
@@ -886,7 +898,7 @@ object SparkEntry {
     * `tf·k1 + tf` instead of pre-folded `tf·(k1+1)`, fixed-point
     * contributions so the per-pair sum is an order-free integer. */
   private val bm25Ctes =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |t AS (SELECT doc_id, unnest(w) AS term FROM d),
       |tf AS (SELECT doc_id AS n_id, term, CAST(count(*) AS BIGINT) AS tf
       |       FROM t GROUP BY 1, 2),
@@ -901,8 +913,8 @@ object SparkEntry {
       |         CAST(floor(1e6 * (
       |           ((CAST(st.n_docs - dfT.df AS DOUBLE) + 0.5) /
       |            (CAST(dfT.df AS DOUBLE) + 0.5))
-      |           * (((CAST(tf.tf AS DOUBLE) * 1.2) + CAST(tf.tf AS DOUBLE)) /
-      |              (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+      |           * (((CAST(tf.tf AS DOUBLE) * ${Corpus.Bm25K1}) + CAST(tf.tf AS DOUBLE)) /
+      |              (CAST(tf.tf AS DOUBLE) + ${Corpus.Bm25K1} * ((1.0 - ${Corpus.Bm25B}) + ${Corpus.Bm25B} *
       |                 (CAST(dl.dl AS DOUBLE) /
       |                  (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
       |         )) AS BIGINT) AS contrib_fp
@@ -1765,7 +1777,7 @@ object SparkEntry {
     // Gopher gate: every predicate is an integer comparison (the
     // 10·dup > 3·n form) so the bitmask replays bit-exactly.
     "gopher_filter" ->
-      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, n_chars,
         |             CAST(len(w) AS INT) AS n_tok,
         |             CAST(len(list_distinct(w)) AS INT) AS n_uniq,
@@ -1783,8 +1795,8 @@ object SparkEntry {
         |      FROM d),
         |r AS (SELECT doc_id, n_tok,
         |        CASE WHEN n_tok IS NULL THEN 256 ELSE
-        |        (CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
-        |        + (CASE WHEN n_tok > 100000 THEN 2 ELSE 0 END)
+        |        (CASE WHEN n_tok < ${Corpus.GopherMinTok} THEN 1 ELSE 0 END)
+        |        + (CASE WHEN n_tok > ${Corpus.GopherMaxTok} THEN 2 ELSE 0 END)
         |        + (CASE WHEN n_chars - (n_tok - 1) < n_tok * 3
         |                   OR n_chars - (n_tok - 1) > n_tok * 10 THEN 4 ELSE 0 END)
         |        + (CASE WHEN n_alpha * 5 < n_tok * 4 THEN 8 ELSE 0 END)
@@ -1877,7 +1889,7 @@ object SparkEntry {
     // both engines (pow is not); fixed-point weights → integer
     // normalizer and pure-integer quota (// = Spark's div).
     "temperature_mix" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY source),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
         |s AS (SELECT source, n_docs,
@@ -1888,7 +1900,7 @@ object SparkEntry {
         |z AS (SELECT CAST(sum(w_fp) AS BIGINT) AS z_fp FROM s)
         |SELECT source, n_docs, p, w_fp,
         |       CAST(w_fp AS DOUBLE) / CAST(z_fp AS DOUBLE) AS weight,
-        |       (w_fp * 1000000) // z_fp AS quota
+        |       (w_fp * $TempMixBudget) // z_fp AS quota
         |FROM s CROSS JOIN z""".stripMargin,
     "substr_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2301,7 +2313,7 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, o_custkey
          |FROM lineitem JOIN so ON l_orderkey = o_orderkey""".stripMargin,
     "weighted_sample" ->
-      s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", 23L, "h")} t),
+      s"""WITH hh AS (SELECT * FROM ${DuckSql.hashLongCtes("documents", "doc_id, lang, n_chars", "doc_id", Sampling.WeightedSeed, "h")} t),
          |pr AS (SELECT doc_id, lang, n_chars,
          |              CAST(h % 9223372036854775808 AS DOUBLE) /
          |              CAST(n_chars AS DOUBLE) AS priority
@@ -2350,7 +2362,10 @@ object SparkEntry {
     "multimodal_features" -> DuckSql.multimodalOracle(dim = 16),
     "phash_dedup" -> DuckSql.phashOracle(dim = 16, maxHamming = 2),
     "dsir_weights" -> DuckSql.dsirOracle(buckets = 1024,
-      targetWhere = s"doc_id % $DsirTargetMod = 0")
+      targetWhere = s"doc_id % $DsirTargetMod = 0"),
+    "dsir_sample" -> DuckSql.dsirSampleOracle(buckets = 1024,
+      targetWhere = s"doc_id % $DsirTargetMod = 0", n = 30,
+      seed = Sampling.WeightedSeed)
   )
 
   /** Oracles that depend on a CORPUS-TRAINED artifact and so cannot be

@@ -19,6 +19,16 @@ object Corpus {
   val LmTrainPct = 25
   val LmTrainSeed = 37L
 
+  /** BM25's standard free parameters (Robertson et al.'s defaults) and
+    * the Gopher gate's token bounds — named so the oracle SQL strings
+    * interpolate the SAME values the Spark plans use (a changed
+    * default would otherwise silently break the hash-match with no
+    * compile-time tie). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val GopherMinTok = 10
+  val GopherMaxTok = 100000
+
   /** Train/eval contamination check: for every corpus document, count
     * how many of its distinct word 3-gram shingles also occur in the
     * benchmark/eval set (`benchPred` rows), and flag docs at or above
@@ -100,8 +110,8 @@ object Corpus {
     * (reason bit 256). Entirely map-side: one codegen'd RepStats +
     * TokenStats pass (alphabetic-word counting lives in the kernel —
     * no interpreted HOF) — no shuffle at any scale. */
-  def gopherFilter(docs: DataFrame, minTok: Int = 10,
-                   maxTok: Int = 100000): DataFrame = {
+  def gopherFilter(docs: DataFrame, minTok: Int = GopherMinTok,
+                   maxTok: Int = GopherMaxTok): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val base = docs.select(col("doc_id"), col("n_chars"),
       TextFunctions.repStats(toks).as("r"),
@@ -407,7 +417,7 @@ object Corpus {
     * query BEFORE the exchange. Corpus stats (N, Σdl) ride as a
     * broadcast 1-row frame. Nothing is driver-collected. */
   def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = termFreq(docs)                                   // (doc_id, term, tf)
     val dl = docs.select(col("doc_id").as("n_id"),

@@ -20,6 +20,10 @@ import graft.functions.Hashing
   */
 object Sampling {
 
+  /** [[weightedSample]]'s default hash seed — named so oracle SQL
+    * builders interpolate the same value the engine uses. */
+  val WeightedSeed = 23L
+
   /** Uniform bucket in [0, 100): unsigned-shift the hash so the
     * modulo is sign-free (DuckDB replay: `(h // 2) % 100`). */
   def bucket(id: Column, seed: Long): Column =
@@ -187,7 +191,7 @@ object Sampling {
     * filtered out defensively — a row with no usable weight is not in
     * the sampling population. */
   def weightedSample(df: DataFrame, id: Column, weight: Column, stratum: Column,
-                     n: Int, seed: Long = 23L): DataFrame = {
+                     n: Int, seed: Long = WeightedSeed): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     // mask to [0, 2^63) so the double conversion is of a nonnegative
     // exact integer (DuckDB replay: h % 2^63, same division)
