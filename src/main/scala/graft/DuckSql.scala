@@ -1170,6 +1170,50 @@ object DuckSql {
        |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin
   }
 
+  /** Oracle for `lm_score_bucket`: replay of
+    * [[graft.operators.Corpus.lmBucketScore]] — per-occurrence bigram
+    * hash (hash64 of `w1 w2`, seed 3 — the [[fingerprintOracle]]
+    * convention) bucketed `(h // 2) % buckets`, add-one-smoothed
+    * bucket-occupancy ratios in pure HUGEINT fixed point over the
+    * doc-hash training sample, mean ratio per doc as ONE exact double
+    * division. */
+  def lmBucketOracle(buckets: Int, trainPct: Int, seed: Long): String = {
+    val sd =
+      if (trainPct >= 100) "SELECT doc_id FROM documents"
+      else
+        s"""SELECT doc_id
+           |      FROM ${hashLongCtes("documents", "doc_id", "doc_id", seed, "h")} t
+           |      WHERE (h // 2) % 100 < $trainPct""".stripMargin
+    val bgHash = finalize(
+      "(SELECT doc_id, " + fnvFold("bg", 3) + " AS h0 FROM bgs)",
+      "doc_id", "h0", "h")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sd AS ($sd),
+       |bgs AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |             THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+       |             ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |        FROM d),
+       |bh AS (SELECT doc_id, CAST((h // 2) % $buckets AS BIGINT) AS b FROM $bgHash t),
+       |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
+       |       FROM bh JOIN sd USING (doc_id) GROUP BY b),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bh JOIN sd USING (doc_id)),
+       |rb AS (SELECT CAST(unnest(range($buckets)) AS BIGINT) AS b),
+       |rt AS (SELECT rb.b,
+       |              (1000000000::HUGEINT * (coalesce(cb.cb, 0) + 1)) //
+       |                (tot.n + $buckets) AS r_fp
+       |       FROM rb LEFT JOIN cb USING (b) CROSS JOIN tot),
+       |pd AS (SELECT bh.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(rt.r_fp) AS BIGINT) AS sum_fp
+       |       FROM bh JOIN rt USING (b) GROUP BY bh.doc_id)
+       |SELECT docs.doc_id,
+       |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(pd.sum_fp, 0) AS sum_fp,
+       |       CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+       |            THEN CAST(pd.sum_fp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+       |       END AS lm_score
+       |FROM documents docs LEFT JOIN pd ON docs.doc_id = pd.doc_id""".stripMargin
+  }
+
   /** Oracle for `dsir_weights`: replay of
     * [[graft.operators.Corpus.dsirWeights]] — per-doc distinct hashed
     * bigrams (hash64 of `w1_w2`, seed 3 — the [[cmsOracle]] feature

@@ -39,7 +39,10 @@ object ScaleBench {
     "token_count_bpe", "seq_pack_bpe", "group_quantiles",
     "distinct_kmv", "corpus_stats", "heavy_hitters_cms",
     // r11 retrieval/quality surface (posting joins + corpus LM)
-    "bm25_topk", "lm_score")
+    "bm25_topk", "lm_score",
+    // r13: the LM's bucket-hashed scale twin (broadcast model, map-pass
+    // scoring) — its ratio beside lm_score's IS the twin's argument
+    "lm_score_bucket")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -574,6 +574,12 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => Corpus.bm25TopK(Tables.documents(s, d))),
     "lm_score" -> ((s, d) => Corpus.lmBigramScore(Tables.documents(s, d),
       trainPct = Corpus.LmTrainPct)),
+    "lm_score_bucket" -> ((s, d) =>
+      // the LM's SCALE twin: bucket-hashed model broadcasts, scoring
+      // is a map pass + one doc rollup — closes the exact LM's
+      // scoring-bound 13× tail (SURVEY §18 r13 note)
+      Corpus.lmBucketScore(Tables.documents(s, d),
+        trainPct = Corpus.LmTrainPct)),
     "temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), col("source"), TempMixBudget)),
     "term_rarity" -> ((s, d) => Corpus.termRarity(Tables.documents(s, d))),
@@ -1885,6 +1891,8 @@ object SparkEntry {
     // probabilities fixed-point-quantized before the order-free
     // integer per-doc sum.
     "lm_score" -> DuckSql.lmScoreOracle(Corpus.LmTrainPct, Corpus.LmTrainSeed),
+    "lm_score_bucket" -> DuckSql.lmBucketOracle(buckets = Corpus.LmBuckets,
+      trainPct = Corpus.LmTrainPct, seed = Corpus.LmTrainSeed),
     // Temperature mix at τ=0.5: sqrt is correctly-rounded IEEE on
     // both engines (pow is not); fixed-point weights → integer
     // normalizer and pure-integer quota (// = Spark's div).

@@ -19,6 +19,10 @@ object Corpus {
   val LmTrainPct = 25
   val LmTrainSeed = 37L
 
+  /** [[lmBucketScore]]'s default bucket count — shared with its
+    * oracle builder call site. */
+  val LmBuckets = 4096
+
   /** BM25's standard free parameters (Robertson et al.'s defaults) and
     * the Gopher gate's token bounds — named so the oracle SQL strings
     * interpolate the SAME values the Spark plans use (a changed
@@ -614,6 +618,71 @@ object Corpus {
         when(col("n_bigrams") > 0,
           col("sum_fp").cast("double") / col("n_bigrams").cast("double")))
       .select(col("doc_id"), col("n_bigrams"), col("sum_fp"), col("lm_score"))
+  }
+
+  /** Hashed-BUCKET bigram LM — the SCALE twin of [[lmBigramScore]]
+    * (the exact-vs-banded convention of the dedup family applied to
+    * LM scoring): bigram identity hashes into `buckets` cells and the
+    * model is the add-one-smoothed bucket-occupancy distribution
+    * `p_b = (c_b + 1) / (N + B)` (c_b = the bucket's occurrence count
+    * in the training sample, N = total sampled occurrences). A doc's
+    * score is the mean fixed-point `p_b` over its bigram occurrences
+    * — same output shape as the exact LM.
+    *
+    * Why it exists: the exact LM's wall is SCORING — every bigram
+    * occurrence must meet its probability through bigram-type-keyed
+    * joins (13.1× at 32× data, SURVEY §18 r13 note), because the
+    * vocabulary is unbounded. Bucketing makes the model B rows, so
+    * scoring becomes a pure MAP pass: the probability table
+    * BROADCASTS, bucketing is one codegen'd hash per occurrence, the
+    * bucket-count training aggregate partial-combines to ≤ B rows per
+    * partition, and the only corpus-sized exchange left is the
+    * per-doc rollup (itself map-side combined). The documented trade:
+    * bucket collisions blur rare-bigram probabilities (size `buckets`
+    * against the vocabulary), and conditioning on w1 is dropped
+    * (joint occupancy, not conditional) — the rarity signal keeps its
+    * direction, which is what perplexity FILTERING consumes.
+    *
+    * Determinism: occurrence hash = [[Hashing.fingerprint]] (the
+    * hash64/seed-3 convention), fixed-point ratios by DECIMAL(38)
+    * integral division (100 TB counts cannot overflow), one exact
+    * double division for the mean — bit-exact DuckDB replay. */
+  def lmBucketScore(docs: DataFrame, buckets: Int = LmBuckets,
+                    trainPct: Int = 100, seed: Long = LmTrainSeed): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(trainPct > 0 && trainPct <= 100, s"trainPct in (0,100], got $trainPct")
+    val toks = TextFunctions.tokens(col("text"))
+    val bg = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, c) => concat(a, lit(" "), c))
+    ).otherwise(array().cast("array<string>"))
+    val occ = docs.select(col("doc_id"), explode(bg).as("bg"))
+      .select(col("doc_id"),
+        (shiftrightunsigned(Hashing.fingerprint(col("bg")), 1) % buckets).as("b"))
+    val train = if (trainPct >= 100) occ
+      else occ.where(Sampling.bucket(col("doc_id"), seed) < trainPct)
+    val cb = train.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val tot = train.agg(count(lit(1)).as("n"))
+    // the FULL B-row probability table (absent buckets take the
+    // add-one floor) — broadcast-sized by construction
+    val ratios = docs.sparkSession.range(buckets).toDF("b")
+      .join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("r_fp", expr(
+        s"CAST(1000000000 AS DECIMAL(38,0)) * (coalesce(cb, 0) + 1) div (n + $buckets)"))
+      .select(col("b"), col("r_fp"))
+    val perDoc = occ.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r_fp")).as("sum_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("sum_fp", coalesce(col("sum_fp"), lit(0L)))
+      .withColumn("lm_score",
+        when(col("n_bigrams") > 0,
+          col("sum_fp").cast("double") / col("n_bigrams").cast("double")))
   }
 
   /** Exact-substring duplicate pair mining: document pairs sharing at

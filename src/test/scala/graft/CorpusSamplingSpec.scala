@@ -588,6 +588,31 @@ class CorpusSamplingSpec extends AnyFunSuite {
     assert(run() == w, "fixed-point ratios: bit-identical on every run")
   }
 
+  test("lmBucketScore: common-bigram docs outscore rare-bigram docs; full coverage; deterministic") {
+    // "x y" repeats across (and within) docs → its bucket count is
+    // high; the rare doc's bigrams each occur once → low p_b
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y x y"),
+      (3L, "q r s t u v"),
+      (4L, "z")                 // < 2 tokens: no bigrams
+    ).toDF("doc_id", "text")
+    def run() = Corpus.lmBucketScore(docs)
+      .select("doc_id", "n_bigrams", "lm_score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val w = run()
+    assert(w.size == 4, "every doc is scored")
+    assert(w(4L) == ((0L, None)), "no bigrams → NULL score, row present")
+    assert(w(1L)._2.get > w(3L)._2.get,
+      "bucket-occupancy LM must rank fluent/common transitions above rare ones")
+    assert(w(1L)._1 == 5L && w(3L)._1 == 5L, "occurrence counts, not distinct")
+    assert(run() == w, "fixed-point ratios replay bit-identically")
+    // sampled-training path keeps full scoring coverage
+    val sampled = Corpus.lmBucketScore(docs, trainPct = 50)
+    assert(sampled.count() == 4)
+  }
+
   test("dsirResample: weighted sample over dsir weights returns n rows from the weighted population") {
     val docs = Tables.documents(spark, sf)
     val out = Corpus.dsirResample(docs, col("doc_id") % 97 === 0, n = 25)
