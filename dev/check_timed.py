@@ -90,10 +90,11 @@ for name in names:
         try:
             exp = q.get(timeout=min(5, max(0.1, deadline - time.time())))
             break
-        # queue.Empty ONLY: a bare except here would also swallow a
-        # result-unpickling error (a real failure) and replay it as
-        # "oracle process died"/timeout — deserialization errors must
-        # propagate as what they are
+        # queue.Empty is the poll branch; any OTHER q.get failure
+        # (EOFError/unpickling when the child dies mid-write) is a real
+        # per-query error — report it truthfully for THIS query instead
+        # of mislabeling it "process died" (old bare except) or
+        # crashing the whole campaign (a too-narrow except)
         except queue_mod.Empty:
             if not proc.is_alive() and q.empty():
                 # the child's feeder thread flushes asynchronously: the
@@ -105,6 +106,12 @@ for name in names:
                 except queue_mod.Empty:
                     err = "oracle process died"
                     break
+                except Exception as e:
+                    err = f"oracle result error: {e}"
+                    break
+        except Exception as e:
+            err = f"oracle result error: {e}"
+            break
     secs = int(time.time() - t0)
     if exp is None and err is None:
         proc.terminate()

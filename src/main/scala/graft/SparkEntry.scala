@@ -41,8 +41,13 @@ object SparkEntry {
     * never serve stale envelopes. */
   private def debeziumEnvelopes(s: SparkSession, dir: String): DataFrame = this.synchronized {
     import java.nio.file.{Files, Paths}
+    // BUMP the recipe token whenever the synthesis below changes: the
+    // cache key otherwise fingerprints only the source data, and an
+    // edited recipe would silently re-serve envelopes built by the
+    // old code from /tmp
+    val recipe = "dbz-synth-v1"
     val src = new java.io.File(s"$dir/events.parquet")
-    val stamp = s"${src.getAbsolutePath}:${src.lastModified}:${src.length}\n"
+    val stamp = s"$recipe:${src.getAbsolutePath}:${src.lastModified}:${src.length}\n"
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = md.digest(stamp.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val out = s"${sys.props("java.io.tmpdir")}/graft_dbz_$key"
@@ -2369,9 +2374,9 @@ object SparkEntry {
       trainPct = Cluster.TrainPct, seed = Cluster.TrainSeed),
     "multimodal_features" -> DuckSql.multimodalOracle(dim = 16),
     "phash_dedup" -> DuckSql.phashOracle(dim = 16, maxHamming = 2),
-    "dsir_weights" -> DuckSql.dsirOracle(buckets = 1024,
+    "dsir_weights" -> DuckSql.dsirOracle(buckets = Corpus.DsirBuckets,
       targetWhere = s"doc_id % $DsirTargetMod = 0"),
-    "dsir_sample" -> DuckSql.dsirSampleOracle(buckets = 1024,
+    "dsir_sample" -> DuckSql.dsirSampleOracle(buckets = Corpus.DsirBuckets,
       targetWhere = s"doc_id % $DsirTargetMod = 0", n = 30,
       seed = Sampling.WeightedSeed)
   )

@@ -23,6 +23,10 @@ object Corpus {
     * oracle builder call site. */
   val LmBuckets = 4096
 
+  /** [[dsirWeights]]/[[dsirResample]]'s default bucket count — shared
+    * with the oracle builder call sites. */
+  val DsirBuckets = 1024
+
   /** BM25's standard free parameters (Robertson et al.'s defaults) and
     * the Gopher gate's token bounds — named so the oracle SQL strings
     * interpolate the SAME values the Spark plans use (a changed
@@ -511,21 +515,31 @@ object Corpus {
     * doc-keyed exchange. Output: (doc_id, n_feat, sum_fp, dsir_w);
     * docs with no bigram features score NULL. */
   def dsirWeights(docs: DataFrame, targetPred: Column,
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = DsirBuckets): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // persisted: the feature stream feeds BOTH the bucket-count
+    // aggregate and the per-doc rollup — without the cache each
+    // action-side subtree re-tokenizes and re-hashes the corpus (the
+    // dedup operators' projection convention; released by the
+    // harnesses' clearCache)
     val gb = docs.select(col("doc_id"), targetPred.as("is_target"),
         explode(Hashing.hashedShinglesNCol(
           TextFunctions.tokens(col("text")), 2)).as("g"))
       .select(col("doc_id"), col("is_target"),
         (shiftrightunsigned(col("g"), 1) % buckets).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = gb.groupBy(col("b")).agg(
       count(lit(1)).as("qc"),
       sum(col("is_target").cast("long")).as("tc"))
     val tot = counts.agg(sum(col("qc")).as("q"), sum(col("tc")).as("t"))
+    // BOTH sides of the integral division run in DECIMAL(38): the
+    // denominator is a product of two counts, and long*long silently
+    // wraps past 2^63 at 100 TB feature volumes (the oracle's HUGEINT
+    // denominator never wraps — parity would break exactly at scale)
     val ratios = counts.crossJoin(broadcast(tot))
       .withColumn("r_fp", expr(
         s"CAST(1000000000 AS DECIMAL(38,0)) * (tc + 1) * (q + $buckets) div " +
-          s"((qc + 1) * (t + $buckets))"))
+          s"(CAST(qc + 1 AS DECIMAL(38,0)) * (t + $buckets))"))
       .select(col("b"), col("r_fp"))
     val perDoc = gb.join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
@@ -546,7 +560,7 @@ object Corpus {
     * null-weight docs (no features) are outside the sampling
     * population, per weightedSample's contract. */
   def dsirResample(docs: DataFrame, targetPred: Column, n: Int,
-                   stratum: Column = lit("all"), buckets: Int = 1024): DataFrame = {
+                   stratum: Column = lit("all"), buckets: Int = DsirBuckets): DataFrame = {
     val w = dsirWeights(docs, targetPred, buckets)
       .select(col("doc_id"), col("dsir_w"))
     Sampling.weightedSample(
@@ -591,7 +605,15 @@ object Corpus {
     val c1 = (if (trainPct >= 100) docs else docs.where(inSample))
       .select(explode(toks).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // V as a driver constant (one long — a model statistic, the
+    // codebook convention) off the persisted vocab frame; an EMPTY
+    // training sample must fail loudly here — downstream it would be
+    // a 1/(0+0) division that non-ANSI Spark silently casts to
+    // Long.MaxValue garbage while the oracle errors
+    val v = c1.count()
+    require(v > 0,
+      s"lmBigramScore: training sample has no tokens (trainPct=$trainPct, seed=$seed)")
     // score against the FULL corpus's bigram vocabulary: sampled
     // counts attach by left join (bigram-type-sized frames — when
     // training is full-corpus, c2 already IS that vocabulary and the
@@ -601,10 +623,9 @@ object Corpus {
         .join(c2.select(col("bgk"), col("c2")), Seq("bgk"), "left")
     val pFp = bgv
       .join(c1, col("w1") === col("term"), "left")
-      .crossJoin(broadcast(vocab))
       .withColumn("p_fp", floor(lit(1e9) *
         ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")))
         .cast("long"))
       .select(col("bgk"), col("p_fp"))
     val perDoc = docBg.join(pFp, Seq("bgk"))
@@ -658,13 +679,21 @@ object Corpus {
         slice(toks, lit(2), size(toks) - 1),
         (a, c) => concat(a, lit(" "), c))
     ).otherwise(array().cast("array<string>"))
+    // persisted: the occurrence stream feeds the training counts AND
+    // the scoring rollup — without the cache each subtree re-tokenizes
+    // and re-hashes the corpus (the projection-cache convention;
+    // released by the harnesses' clearCache)
     val occ = docs.select(col("doc_id"), explode(bg).as("bg"))
       .select(col("doc_id"),
         (shiftrightunsigned(Hashing.fingerprint(col("bg")), 1) % buckets).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = if (trainPct >= 100) occ
       else occ.where(Sampling.bucket(col("doc_id"), seed) < trainPct)
     val cb = train.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val tot = train.agg(count(lit(1)).as("n"))
+    // N derives from the bucket counts (≤ B rows) — never a second
+    // pass over the occurrence stream; empty sample sums to NULL →
+    // coalesce to 0 (every bucket then takes the pure add-one floor)
+    val tot = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("n"))
     // the FULL B-row probability table (absent buckets take the
     // add-one floor) — broadcast-sized by construction
     val ratios = docs.sparkSession.range(buckets).toDF("b")

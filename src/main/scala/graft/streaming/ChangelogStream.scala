@@ -82,7 +82,16 @@ object ChangelogStream {
     * for the entity is treated as new, the same trade every CDC
     * consumer makes when it compacts deletes. Live entities are never
     * timed out — their state IS the view.
-    */
+    *
+    * Known gap (THIS processing-time variant only): a tombstone
+    * supplied via `initial` has no timer until its key next receives
+    * traffic — Spark seeds initial state without invoking the fold,
+    * and a wall-clock TTL cannot be applied retroactively the way
+    * [[entityStateEventTtl]] applies its event-time horizon. A
+    * snapshot carrying dead entities should drop them first
+    * (`filter(_.live)`), or accept that silent bootstrap tombstones
+    * persist until first touch; the event-time twin closes this gap
+    * properly and is the recommended bootstrap path. */
   def entityState(
       changes: Dataset[Change],
       initial: Option[Dataset[Entity]] = None,

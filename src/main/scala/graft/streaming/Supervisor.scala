@@ -131,6 +131,10 @@ object Supervisor {
       val outcome = Retry.retry[Unit](
         f = () => {
           sq.starts.incrementAndGet()
+          // a factory call that THROWS must not attribute its
+          // disconnect to the previous incarnation's query position —
+          // clear the handle before building
+          sq.currentQ = null
           val q = start()
           sq.currentQ = q
           sq.record("connect", "")
