@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -354,6 +354,75 @@ object EventStreams {
   /** One LSH band-bucket hit: `doc_id` landed in a bucket owned by
     * `owner` (owner == doc_id means this doc claimed the bucket). */
   case class BandHit(doc_id: Long, band: Int, owner: Long)
+
+  /** One perceptual band hit: media row vs its band-bucket's OWNER,
+    * with the exact hamming distance between their dHashes —
+    * `hamming <= maxHamming` IS the verified near-dup verdict, so no
+    * downstream re-verify pass is needed. */
+  case class PhashHit(media_id: Long, band: Int, owner: Long, hamming: Int)
+
+  /** B18c: streaming PERCEPTUAL near-dup for media — the phash twin
+    * of [[nearDupBandHits]], closing the streaming×multimodal corner:
+    * each media row's decoded feature vector dHashes to a `dim`-bit
+    * perceptual hash (the [[graft.operators.Dedup.phashDedup]]
+    * kernel), chunk-pair pigeonhole bands key the state store, and
+    * each (band, bucket) remembers its first-seen OWNER id AND the
+    * owner's hash — so every later hit is emitted WITH its exact
+    * hamming distance to the owner (verified in-flight; the batch
+    * twin's bit_count verify, folded into the stateful op). State per
+    * bucket is 16 bytes and expires `stateTtlMs` past the bucket's
+    * newest event time, exactly the B18 retention contract.
+    *
+    * Input columns: (media_id, ts, features). Output: one
+    * [[PhashHit]] per (row, band) — `hamming ≤ maxHamming` rows are
+    * verified near-dups of the owner; a per-media rollup mirrors
+    * [[nearDupSink]]. */
+  def phashBandHits(media: DataFrame, dim: Int = 16, maxHamming: Int = 2,
+                    watermark: String = "10 minutes",
+                    stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    require(dim >= 2 && dim <= 62, s"dHash width must fit a positive long, got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val phBit = (i: Int) => when(
+      element_at(col("features"), i + 1) > element_at(col("features"), (i + 1) % dim + 1),
+      lit(1L << i)).otherwise(lit(0L))
+    val ph = (0 until dim).map(phBit).reduce(_ + _)
+    val nChunks = maxHamming + 2
+    val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
+    def chunk(i: Int): Column = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      shiftrightunsigned(col("ph"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val bandArr = array(pairIdx.map { case (i, j) =>
+      val wj = bounds(j + 1) - bounds(j)
+      chunk(i) * lit(1L << wj) + chunk(j)
+    }: _*)
+    media
+      .withWatermark("ts", watermark)
+      .select(col("media_id"), col("ts"), ph.as("ph"))
+      .select(col("media_id"), col("ts"), col("ph"),
+        posexplode(bandArr).as(Seq("band", "bh")))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[(Long, Long), PhashHit](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[(Long, java.sql.Timestamp, Long, Int, Long)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rowsArr = it.toArray
+            val first = rowsArr.minBy(_._1)
+            val (owner, ownerPh) = state.getOption.getOrElse((first._1, first._3))
+            if (!state.exists) state.update((owner, ownerPh))
+            val newest = rowsArr.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            rowsArr.iterator.map(r =>
+              PhashHit(r._1, key._1, owner, java.lang.Long.bitCount(r._3 ^ ownerPh)))
+          }
+      }.toDF()
+  }
 
   /** Streaming NEAR-duplicate detection (SURVEY §2 B18): the
     * ingest-time twin of [[graft.operators.Dedup.minhashLsh]]. Each

@@ -167,6 +167,42 @@ class StreamingSpec extends AnyFunSuite {
       "pre-snapshot stragglers drop in the seeded run exactly as late rows drop from scratch")
   }
 
+  test("B18c: streaming perceptual near-dup — band owners with in-flight hamming verify") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch phash spec's planted vectors: near twin flips exactly
+    // two adjacent dHash bits (hamming 2 = the radius); the reversed
+    // vector shares no band chunk
+    val base = Array.tabulate(16)(i => if (i % 2 == 0) 0.1f else 0.9f)
+    val near = base.clone(); near(2) = 0.95f
+    val far = Array.tabulate(16)(i => if (i % 2 == 0) 0.9f else 0.1f)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = EventStreams.phashBandHits(
+        in.toDF().toDF("media_id", "ts", "features"),
+        dim = 16, maxHamming = 2, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b18b").outputMode("update").start()
+    in.addData((1L, ts(1000), base), (4L, ts(1000), far))
+    q.processAllAvailable() // both novel: each owns its buckets
+    in.addData((2L, ts(2000), near), (3L, ts(2000), base))
+    drain(q)
+    val hits = spark.table("b18b")
+      .as[(Long, Int, Long, Int)].collect()
+    def byMedia(id: Long) = hits.filter(_._1 == id)
+    // first-seen rows own their buckets at hamming 0
+    assert(byMedia(1L).forall(h => h._3 == 1L && h._4 == 0))
+    assert(byMedia(4L).forall(h => h._3 == 4L && h._4 == 0))
+    // the near twin lands in id 1's surviving bands, VERIFIED at
+    // hamming 2 — a consumer needs no re-verify pass
+    val nearHits = byMedia(2L).filter(_._3 == 1L)
+    assert(nearHits.nonEmpty && nearHits.forall(_._4 == 2),
+      s"near twin must hit owner 1 at hamming 2, got ${byMedia(2L).toSeq}")
+    // the exact copy re-hits every band of owner 1 at hamming 0
+    val copyHits = byMedia(3L)
+    assert(copyHits.nonEmpty && copyHits.forall(h => h._3 == 1L && h._4 == 0))
+    // the far vector never pairs with 1's buckets
+    assert(byMedia(4L).forall(_._3 == 4L))
+  }
+
   test("B28: streaming GTID window tracks per-source lo/hi; gap detector fires once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
