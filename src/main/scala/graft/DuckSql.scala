@@ -1239,7 +1239,7 @@ object DuckSql {
        |tot AS (SELECT CAST(sum(qc) AS BIGINT) AS q, CAST(sum(tc) AS BIGINT) AS t FROM cnt),
        |r AS (SELECT b,
        |        (1000000000::HUGEINT * (tc + 1) * (q + $buckets)) //
-       |          ((qc + 1) * (t + $buckets)) AS r_fp
+       |          ((qc + 1)::HUGEINT * (t + $buckets)) AS r_fp
        |      FROM cnt CROSS JOIN tot),
        |pd AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
        |              CAST(sum(r.r_fp) AS BIGINT) AS sum_fp

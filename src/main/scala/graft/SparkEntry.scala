@@ -37,17 +37,27 @@ object SparkEntry {
     * adapter never pays a to_json of its own input — so timing the
     * synthesis inside the graded query overstated decode ~2× (and
     * 16.8× at 32× data). The cache key fingerprints the source events
-    * parquet (path, mtime, length) so a driver data regeneration can
-    * never serve stale envelopes. */
+    * parquet (path, NANOSECOND mtime, length) so a driver data
+    * regeneration — even within the same second — can never serve
+    * stale envelopes. Cross-JVM safety (check harness + ScaleBench on
+    * the same corpus): the synthesis writes to a process-unique temp
+    * dir and publishes with an ATOMIC directory rename, so a reader
+    * either sees the complete published dir or none; a losing racer's
+    * rename fails, it discards its temp dir and reads the winner's
+    * (identical by the stamp-keyed path). */
   private def debeziumEnvelopes(s: SparkSession, dir: String): DataFrame = this.synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     // BUMP the recipe token whenever the synthesis below changes: the
     // cache key otherwise fingerprints only the source data, and an
     // edited recipe would silently re-serve envelopes built by the
     // old code from /tmp
     val recipe = "dbz-synth-v1"
     val src = new java.io.File(s"$dir/events.parquet")
-    val stamp = s"$recipe:${src.getAbsolutePath}:${src.lastModified}:${src.length}\n"
+    val srcPath = src.toPath
+    val nanoMtime =
+      if (Files.exists(srcPath)) Files.getLastModifiedTime(srcPath).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      else 0L
+    val stamp = s"$recipe:${src.getAbsolutePath}:$nanoMtime:${src.length}\n"
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = md.digest(stamp.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val out = s"${sys.props("java.io.tmpdir")}/graft_dbz_$key"
@@ -77,8 +87,20 @@ object SparkEntry {
       val json = when(col("event_type") === "signup", lit("{corrupt"))
         .when(col("event_id") % 2 === 0, to_json(struct(env.as("payload"))))
         .otherwise(to_json(env))
-      ev(s, dir).select(json.as("value")).write.mode("overwrite").parquet(out)
-      Files.writeString(marker, stamp)
+      // build in a process-unique temp dir, then PUBLISH atomically:
+      // readers never observe a half-written cache dir
+      val tmp = s"${out}_build_${java.lang.ProcessHandle.current.pid}"
+      ev(s, dir).select(json.as("value")).write.mode("overwrite").parquet(tmp)
+      Files.writeString(Paths.get(tmp, "_GRAFT_ENVELOPES_OK"), stamp)
+      try Files.move(Paths.get(tmp), Paths.get(out), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          // a concurrent JVM published the same stamp first — its
+          // content is identical (the path is stamp-keyed); drop ours
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
     s.read.parquet(out)
   }

@@ -128,12 +128,24 @@ object Dedup {
     * exactly the quantity the broadcast decision needs. Hash-build
     * memory when pinned: corpus/shuffle-partitions per task —
     * executor-sized at any scale since partition counts grow with the
-    * cluster. */
+    * cluster.
+    *
+    * Two deliberate conservatisms: (1) the per-row estimate (8 B per
+    * array element + 96 B fixed) still UNDERCOUNTS the hash relation's
+    * true footprint (UnsafeRow padding, hash-table load factor), so
+    * the gate broadcasts only when the estimate fits HALF the
+    * session's budget — the margin absorbs the unmodeled overhead
+    * instead of letting a boundary corpus force an over-budget
+    * broadcast; (2) the budget conf is read ONCE here, at frame
+    * construction — which is also when the measuring aggregate RUNS
+    * as an eager job — so the decision is pinned to the session state
+    * at build time (a later conf change re-plans nothing, by design:
+    * the measurement it would need is already spent). */
   private def attachStrategy(proj: DataFrame, arr: Column): DataFrame => DataFrame = {
-    val row = proj.agg(sum(size(arr).cast("long") * 8L + 32L)).head()
+    val row = proj.agg(sum(size(arr).cast("long") * 8L + 96L)).head()
     val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
     val budget = proj.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (budget > 0 && bytes <= budget) (d: DataFrame) => broadcast(d)
+    if (budget > 0 && bytes <= budget / 2) (d: DataFrame) => broadcast(d)
     else (d: DataFrame) => d.hint("SHUFFLE_HASH")
   }
 
@@ -507,6 +519,12 @@ object Dedup {
     * summary) hash-replays in DuckDB. */
   def phashDedup(features: DataFrame, dim: Int = 16, maxHamming: Int = 2): DataFrame = {
     require(dim >= 2 && dim <= 62, s"dHash width must fit a positive long, got $dim")
+    // pigeonhole banding needs maxHamming+2 NON-EMPTY chunks: with
+    // fewer bits than chunks some chunks are zero-width, every row's
+    // band value collapses to one universal bucket, and the self-join
+    // silently goes quadratic — fail fast instead
+    require(maxHamming + 2 <= dim,
+      s"need maxHamming + 2 <= dim for non-empty band chunks, got maxHamming=$maxHamming dim=$dim")
     val phBit = (i: Int) => when(
       element_at(col("features"), i + 1) > element_at(col("features"), (i + 1) % dim + 1),
       lit(1L << i)).otherwise(lit(0L))

@@ -381,6 +381,10 @@ object EventStreams {
                     watermark: String = "10 minutes",
                     stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
     require(dim >= 2 && dim <= 62, s"dHash width must fit a positive long, got $dim")
+    // same guard as Dedup.phashDedup: zero-width chunks would collapse
+    // banding into one universal bucket (quadratic self-pairing)
+    require(maxHamming + 2 <= dim,
+      s"need maxHamming + 2 <= dim for non-empty band chunks, got maxHamming=$maxHamming dim=$dim")
     val spark = media.sparkSession
     import spark.implicits._
     val phBit = (i: Int) => when(
