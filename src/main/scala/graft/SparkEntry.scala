@@ -426,7 +426,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), 0.4002)),
     "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingPairsLsh(Tables.embeddings(s, d), 0.4002)),
+      // cardinality-adaptive band geometry: bits grow with log2 of the
+      // measured distinct-vector count (Dedup.lshGeometry), so the
+      // candidate self-join stays occupancy-bounded at any corpus size
+      Dedup.embeddingPairsLshAdaptive(Tables.embeddings(s, d), 0.4002)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(Tables.embeddings(s, d))),
     "hybrid_search_rrf" -> ((s, d) =>
       // keyword + vector retrieval fused by reciprocal rank fusion —
@@ -2378,8 +2381,6 @@ object SparkEntry {
         |                 ELSE floor(x / scale * 127 + 0.5) END AS INT) AS q,
         |       scale
         |FROM x""".stripMargin,
-    "dedup_embedding_lsh" -> DuckSql.embeddingLshOracle(
-      Ann.hyperplanes(8 * 6, 64), bands = 8, planesPerBand = 6, threshold = 0.4002),
     "ann_ivf" -> DuckSql.annIvfOracle(nlist = 16, nprobe = 4, nQueries = 10, k = 5),
     "ann_pareto" -> DuckSql.annParetoOracle(Ann.hyperplanes(6, 64),
       nQueries = 10, k = 5, nlist = 16, nprobes = Seq(1, 2, 4)),
@@ -2411,6 +2412,14 @@ object SparkEntry {
     * the corpus the queries trained on. Same column-alias contract as
     * [[oracleSql]]. */
   def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "dedup_embedding_lsh" -> ((s, d) => {
+      // the SAME measured count + pure geometry the engine query uses,
+      // interpolated into the replay — bit-exact at any corpus size
+      val (b, r) = Dedup.lshGeometry(
+        Dedup.distinctEmbeddingCount(Tables.embeddings(s, d)))
+      DuckSql.embeddingLshOracle(Ann.hyperplanes(b * r, 64),
+        bands = b, planesPerBand = r, threshold = 0.4002)
+    }),
     "token_count_bpe" -> ((s, d) => DuckSql.bpeCountOracle(corpusBpe(s, d))),
     "doc_chunk_bpe" -> ((s, d) =>
       DuckSql.bpeChunkOracle(corpusBpe(s, d), maxTok = 48, overlap = 8)),

@@ -311,6 +311,52 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(secs < 60.0, s"flood took $secs s — collapse not effective?")
   }
 
+  test("lshGeometry: bits grow with measured cardinality; the recall contract caps growth") {
+    // fixed points of the closed form (anchor 0.9 → p = 1 − acos/π ≈
+    // 0.8564; b = ceil(ln 0.02 / ln(1 − p^r))):
+    assert(Dedup.lshGeometry(500L) == (8, 6),
+      "small corpora must reproduce the pre-adaptive 8×6 plan exactly")
+    assert(Dedup.lshGeometry(5000L) == (17, 10))
+    // rCard = 15 at 160k, but b(15) = 39 and b(14) = 33 both exceed
+    // maxBands = 32 — the recall contract decrements to r = 13, b = 28
+    assert(Dedup.lshGeometry(160000L) == (28, 13))
+    // saturation: past ~65k distinct the geometry pins at (28, 13)
+    assert(Dedup.lshGeometry(10000000000L) == (28, 13))
+    // bit count is monotone non-decreasing in n
+    val rs = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(n => Dedup.lshGeometry(n)._2)
+    assert(rs == rs.sorted, s"bit counts must not shrink with n: $rs")
+    // the documented escape: a larger band budget buys back bits
+    assert(Dedup.lshGeometry(10000000000L, maxBands = 128)._2 > 13)
+  }
+
+  test("embeddingPairsLshAdaptive: grown geometry still finds every planted pair") {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 600 distinct vectors → lshGeometry picks (10, 7), NOT the old
+    // fixed (8, 6): this corpus exercises the adaptive path end-to-end
+    assert(Dedup.lshGeometry(600L) == (10, 7))
+    val bases = (0 until 280).map(i => i.toLong -> unit())
+    val dups = bases.take(20).map { case (id, v) =>
+      (1000 + id) -> v.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+    }
+    val tail = (0 until 300).map(i => (2000 + i).toLong -> unit())
+    val df = (bases ++ dups ++ tail).toDF("vec_id", "embedding")
+    assert(Dedup.distinctEmbeddingCount(df) == 600L)
+    val got = Dedup.embeddingPairsLshAdaptive(df, 0.9, dim = dim)
+      .as[(Long, Long)].collect().toSet
+    val want = bases.take(20).map { case (id, _) => (id, 1000 + id) }.toSet
+    assert(want.subsetOf(got), s"missed planted pairs: ${want -- got}")
+    // exact-verify precision: equals the all-pairs baseline
+    val brute = Dedup.embeddingPairs(df, 0.9).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), s"false pairs: ${got -- brute}")
+  }
+
   test("incrementalNearDup equals the uncollapsed per-doc reference on the real corpus") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sf)

@@ -35,17 +35,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("every driver query ships with a SQL oracle (no silent rows-only regressions)") {
-    // the ONLY sanctioned rows-only queries: BPE's iterative merge
-    // loop has no DuckDB-SQL formulation — BpeSpec pins those against
-    // an independent serial reference instead. Anything else landing
-    // here is a regression.
-    val sqlInexpressible = Set("token_count_bpe", "doc_chunk_bpe", "seq_pack_bpe")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sqlInexpressible
+    // every query needs an oracle in exactly one map: static SQL, or
+    // the dynamic map for oracles that interpolate a corpus-trained /
+    // corpus-measured artifact (BPE merges, adaptive LSH geometry) —
+    // Verify evaluates those per-corpus and merges them into
+    // oracle_sql.json, so the driver compare is still hash-checked.
+    val dynamic = SparkEntry.oracleSqlDynamic.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
     assert(missing.isEmpty, s"queries without oracles: $missing")
-    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val orphaned =
+      (SparkEntry.oracleSql.keySet ++ dynamic) -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
-    assert((sqlInexpressible -- SparkEntry.queries.keySet).isEmpty,
-      "stale entries in the rows-only exemption list")
+    assert((SparkEntry.oracleSql.keySet & dynamic).isEmpty,
+      "a key must not carry both a static and a dynamic oracle")
   }
 
   test("q1: shipdate predicate pushed to the scan, unused columns pruned") {
