@@ -450,31 +450,47 @@ object DuckSql {
 
   /** Oracle for `phash_dedup`: replay of
     * [[graft.operators.Dedup.phashDedup]] over the multimodal stub's
-    * features — dHash bit i = `f[i] > f[(i+1) mod dim]` (features are
-    * bit-exact per [[multimodalOracle]]'s argument, and float
-    * comparison is exact), chunk-pair pigeonhole banding at the
+    * features — dHash bit i = `f[i] > f[i+1]` over `featDim = dim+1`
+    * features in the production `wrap = false` shape (`f[(i+1) mod
+    * dim]` over `dim` features when wrapped — the narrow demo);
+    * features are bit-exact per [[multimodalOracle]]'s argument and
+    * float comparison is exact. Chunk-pair pigeonhole banding at the
     * hash's true `dim`-bit width, verify hamming ≤ maxHamming, roll
     * up to (media_id, ph, n_cand, n_dup, keep). Banding here is the
     * straightforward per-media DISTINCT-pair formulation — the
     * engine's group-collapse + first-band map-side dedup is a plan
     * optimization with the identical result. */
-  def phashOracle(dim: Int, maxHamming: Int): String = {
+  def phashOracle(dim: Int, maxHamming: Int, featDim: Int = -1,
+                  wrap: Boolean = true): String = {
+    val nFeat = if (featDim > 0) featDim else dim
+    require(nFeat >= (if (wrap) dim else dim + 1),
+      s"dHash over $dim bits needs ${if (wrap) dim else dim + 1} features, got $nFeat")
     val fold = s"list_reduce(list_prepend(xor($FnvOffset::HUGEINT, (1000 + d)::HUGEINT), " +
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
       s"c -> unicode(c)::HUGEINT)), (h, b) -> ${mulmod("xor(h, b)", FnvPrime)})"
     val src = "(SELECT media_id, d, " + fold + " AS h0 FROM " +
       s"""(SELECT doc_id AS media_id,
-         |        CAST(unnest(range($dim)) AS INT) AS d,
+         |        CAST(unnest(range($nFeat)) AS INT) AS d,
          |        text
          | FROM documents) mm)""".stripMargin
+    // bit 63 is Long.MinValue — spell it as an expression (a bare
+    // -9223372036854775808 literal parses as HUGEINT) and assemble
+    // bits with bitwise OR: they are disjoint, and DuckDB's checked
+    // BIGINT `+` would raise on the sign bit where OR cannot
+    def bitLit(i: Int): String =
+      if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
     val bits = (0 until dim).map { i =>
-      s"(CASE WHEN fs[${i + 1}] > fs[${(i + 1) % dim + 1}] THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+      val succ = if (wrap) (i + 1) % dim + 1 else i + 2
+      s"(CASE WHEN fs[${i + 1}] > fs[$succ] THEN ${bitLit(i)} ELSE 0 END)"
+    }.mkString(" | ")
     val nChunks = maxHamming + 2
     val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
+    // chunks extract from the UNSIGNED view (uph ∈ [0, 2^64) as
+    // HUGEINT): BIGINT // and % are signed and go wrong on a set
+    // bit 63 — this mirrors the engine's shiftrightunsigned
     def chunk(i: Int): String = {
       val lo = bounds(i); val w = bounds(i + 1) - lo
-      s"((ph // ${1L << lo}) % ${1L << w})"
+      s"CAST((uph // ${1L << lo}) % ${1L << w} AS BIGINT)"
     }
     val pairIdx = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
     val bandExprs = pairIdx.map { case (i, j) =>
@@ -486,7 +502,11 @@ object DuckSql {
        |         CAST(CAST((h // 2048) AS DOUBLE) / 9007199254740992.0 AS REAL) AS f
        |  FROM ${finalize(src, "media_id, d", "h0", "h")} mf),
        |fv AS (SELECT media_id, list(f ORDER BY d) AS fs FROM feat GROUP BY media_id),
-       |phv AS MATERIALIZED (SELECT media_id, CAST($bits AS BIGINT) AS ph FROM fv),
+       |phv AS MATERIALIZED (
+       |  SELECT media_id, ph,
+       |         CASE WHEN ph < 0 THEN ph::HUGEINT + 18446744073709551616
+       |              ELSE ph::HUGEINT END AS uph
+       |  FROM (SELECT media_id, CAST($bits AS BIGINT) AS ph FROM fv) phr),
        |bands AS MATERIALIZED (
        |  SELECT media_id, ph,
        |         unnest(range(${bandExprs.length})) AS ci,

@@ -570,13 +570,17 @@ object SparkEntry {
     "phash_dedup" -> ((s, d) => {
       // D12b: the multimodal pillar's DEDUP consumer — decode (stub) →
       // perceptual dHash over the feature vector → hamming-banded
-      // near-dup pairing (the simhash machinery at the hash's true
-      // 16-bit width). Re-crawled identical media collapse exactly;
-      // near-identical media pair within the hamming radius.
+      // near-dup pairing. PRODUCTION width since r14: the full 64-bit
+      // dHash over 65 decoded features (wrap = false) — a 16-bit
+      // space saturates past ~10⁶ media rows (every value holds
+      // thousands of members and the band join degenerates
+      // quadratic); 2^64 stays ahead of any corpus. Re-crawled
+      // identical media still collapse exactly; near-identical media
+      // pair within the hamming radius.
       val media = graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, d))
       Dedup.phashDedup(
-        graft.multimodal.Multimodal.decodeFeatures(media).toDF(),
-        dim = 16, maxHamming = 2)
+        graft.multimodal.Multimodal.decodeFeatures(media, dim = 65).toDF(),
+        dim = 64, maxHamming = 2, wrap = false)
     }),
     // ---- D. corpus hygiene + sampling (D13-D19) ----
     "decontaminate" -> ((s, d) =>
@@ -2396,7 +2400,8 @@ object SparkEntry {
       nlist = 8, iters = 2, nprobe = 4, nQueries = 10, k = 5, dim = 64,
       trainPct = Cluster.TrainPct, seed = Cluster.TrainSeed),
     "multimodal_features" -> DuckSql.multimodalOracle(dim = 16),
-    "phash_dedup" -> DuckSql.phashOracle(dim = 16, maxHamming = 2),
+    "phash_dedup" -> DuckSql.phashOracle(dim = 64, maxHamming = 2,
+      featDim = 65, wrap = false),
     "dsir_weights" -> DuckSql.dsirOracle(buckets = Corpus.DsirBuckets,
       targetWhere = s"doc_id % $DsirTargetMod = 0"),
     "dsir_sample" -> DuckSql.dsirSampleOracle(buckets = Corpus.DsirBuckets,

@@ -379,18 +379,18 @@ object EventStreams {
     * [[nearDupSink]]. */
   def phashBandHits(media: DataFrame, dim: Int = 16, maxHamming: Int = 2,
                     watermark: String = "10 minutes",
-                    stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
-    require(dim >= 2 && dim <= 62, s"dHash width must fit a positive long, got $dim")
+                    stateTtlMs: Long = 2L * 3600 * 1000,
+                    wrap: Boolean = true): DataFrame = {
+    require(dim >= 2 && dim <= 64, s"dHash width must fit a long, got $dim")
     // same guard as Dedup.phashDedup: zero-width chunks would collapse
     // banding into one universal bucket (quadratic self-pairing)
     require(maxHamming + 2 <= dim,
       s"need maxHamming + 2 <= dim for non-empty band chunks, got maxHamming=$maxHamming dim=$dim")
     val spark = media.sparkSession
     import spark.implicits._
-    val phBit = (i: Int) => when(
-      element_at(col("features"), i + 1) > element_at(col("features"), (i + 1) % dim + 1),
-      lit(1L << i)).otherwise(lit(0L))
-    val ph = (0 until dim).map(phBit).reduce(_ + _)
+    // the shared dHash kernel: 64-bit production shape is wrap=false
+    // over dim+1 features; bits OR-assemble (Dedup.phashCol)
+    val ph = graft.operators.Dedup.phashCol(dim, wrap)
     val nChunks = maxHamming + 2
     val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
     def chunk(i: Int): Column = {

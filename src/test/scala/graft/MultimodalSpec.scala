@@ -59,6 +59,33 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, 0L, 0L, 1))) // no shared band, no candidates
   }
 
+  test("phashDedup 64-bit production width: sign-bit hashes band and verify correctly") {
+    // the graded shape since r14: 64 bits over 65 features, no wrap.
+    // Alternating base starting LOW sets every odd bit INCLUDING bit
+    // 63 (f[63] = 0.9 > f[64] = 0.1), so ph is a NEGATIVE long — this
+    // pins the signed-bit path end-to-end: OR assembly, unsigned
+    // chunk extraction, xor/bit_count verify.
+    val base = Array.tabulate(65)(i => if (i % 2 == 0) 0.1f else 0.9f)
+    val near = base.clone(); near(2) = 0.95f // flips bits 1 and 2 → hamming 2
+    val far = Array.tabulate(65)(i => if (i % 2 == 0) 0.9f else 0.1f)
+    val feats = Seq((1L, base), (2L, near), (3L, base), (4L, far))
+      .toDF("media_id", "features")
+    val out = graft.operators.Dedup
+      .phashDedup(feats, dim = 64, maxHamming = 2, wrap = false)
+      .select("media_id", "ph", "n_cand", "n_dup", "keep")
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // rows 1-3 start LOW → odd bits incl. 63 set → negative ph; the
+    // inverted row 4 sets the even bits only → positive
+    assert(out.take(3).forall(r => r._2 < 0),
+      s"bit 63 must be set on the low-start hashes: ${out.toSeq}")
+    assert(out(3)._2 > 0, s"the inverted hash keeps bit 63 clear: ${out.toSeq}")
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, 2L, 2L, 1), // exact twin 3 + hamming-2 twin 2; smallest id keeps
+      (2L, 2L, 2L, 0),
+      (3L, 2L, 2L, 0),
+      (4L, 0L, 0L, 1))) // fully inverted: no chunk agrees, no candidates
+  }
+
   test("phashDedup: identical media bytes collapse through the real decode path") {
     // the graded-query shape: identical payloads ⇒ identical features
     // ⇒ hamming 0, regardless of the (stubbed) codec's avalanche
