@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpr}
 
 /** Vector math over `array<float>` embedding columns.
@@ -161,4 +161,103 @@ object VectorFunctions {
 
   def nearestCentroids(v: Column, cents: Array[Array[Float]], cids: Array[Long], n: Int): Column =
     toColumn(NearestCentroids(toExpr(v), cents, cids, n))
+
+  /** All `bands` sign-LSH band buckets of one embedding in a single
+    * fused pass — the kernel behind
+    * [[graft.operators.Dedup.embeddingPairsLsh]]'s signature
+    * projection. One `when(dot > 0)` HOF per plane was fine at the
+    * fixed 8×6 geometry (48 planes); the r14 cardinality-adaptive
+    * geometry runs up to 28×13 = 364 planes, and 364 separate
+    * `aggregate(zip_with(...))` evaluations per row dominated the
+    * whole operator at 32× scale (the HOF path allocates per element;
+    * this loop is flat multiply-adds). Arithmetic is BIT-IDENTICAL to
+    * the HOF form — per plane, Σ double(v[k])·plane[k] accumulated
+    * left-to-right from 0.0 — so the DuckDB oracle's per-plane CASE
+    * replay is unchanged. */
+  def hyperplaneBuckets(v: ArrayData, planes: Array[Array[Double]],
+                        bands: Int, perBand: Int): ArrayData = {
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var i = 0
+      while (i < perBand) {
+        val p = planes(b * perBand + i)
+        val n = math.min(v.numElements(), p.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += v.getFloat(k).toDouble * p(k); k += 1 }
+        if (acc > 0) bucket |= (1 << i)
+        i += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Codegen'd [[hyperplaneBuckets]]: the plane matrix (an index
+    * artifact, a few hundred KB at most) ships as a plan constant —
+    * the same posture as [[NearestCentroids]]' codebook. */
+  case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Double]],
+                                   bands: Int, perBand: Int) extends UnaryExpression {
+    require(planes.length == bands * perBand,
+      s"plane count ${planes.length} != bands $bands × perBand $perBand")
+    require(perBand >= 1 && perBand <= 31, s"perBand=$perBand must fit an int bucket")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucketsExpr =
+      copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      hyperplaneBuckets(v.asInstanceOf[ArrayData], planes, bands, perBand)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+        s"${ev.value} = graft.functions.VectorFunctions.hyperplaneBuckets(" +
+          s"$c, $planesRef, $bands, $perBand);"
+      })
+  }
+
+  def signBuckets(v: Column, planes: Array[Array[Double]], bands: Int, perBand: Int): Column =
+    toColumn(HyperplaneBucketsExpr(toExpr(v), planes, bands, perBand))
+
+  /** 0-based index of the first position where two int arrays agree;
+    * -1 when none — the map-side pair-dedup test of the banded LSH
+    * join ("keep this pair only in its FIRST matching band"). Same
+    * contract as `array_position(zip_with(a, b, (x, y) -> x = y),
+    * true) - 1`, which is what the engine ran until r14: at the
+    * adaptive geometry a near-dup CLUSTER pair collides in nearly all
+    * bands, so the join streams bands×pairs rows and the HOF form
+    * paid a per-row boolean-array allocation right where row volume
+    * is highest. */
+  def firstEqualBand(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getInt(i) == b.getInt(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  case class FirstEqualBandExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstEqualBandExpr =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Integer.valueOf(firstEqualBand(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.firstEqualBand($a, $b);")
+  }
+
+  def firstEqualBandCol(a: Column, b: Column): Column =
+    toColumn(FirstEqualBandExpr(toExpr(a), toExpr(b)))
 }

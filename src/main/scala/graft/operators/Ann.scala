@@ -188,7 +188,23 @@ object Ann {
     * supplies the Lloyd-trained centroids that [[ivfTopK]]'s sampled
     * codebook stands in for — the full train → index → probe loop.
     * Same plan shape: the codebook stays a plan constant, assignment
-    * a pure map. */
+    * a pure map.
+    *
+    * Production codebook size (measured, `IVFSCALE_r14.json`, 64k
+    * vectors ×32 replica): recall holds 1.0 through nlist = 256 with
+    * nprobe = nlist/16, and the flat
+    * [[graft.functions.VectorFunctions.NearestCentroids]] argmax —
+    * O(nlist·dim) per row — costs 0.65 / 0.94 / 2.81 s full-corpus at
+    * nlist 16 / 64 / 256 (≈ 44 µs/row at 256; training dominates the
+    * end-to-end index build long before assignment does). The flat
+    * scan's measured ceiling: per-row assignment stays subdominant to
+    * the probe scan until nlist ≈ 4–8k (extrapolating the linear
+    * slope, ~1 ms/row at nlist 8192); past that a two-level coarse
+    * quantizer (argmax over √nlist super-cells, then within the
+    * winning cell — same plan-constant posture, two chained
+    * expressions) replaces the flat argmax. At 100 TB / nlist ~ √n
+    * this boundary is real: shard the codebook by super-cell before
+    * nlist crosses it. */
   def ivfTopKTrained(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2,
                      nprobe: Int = 4, nQueries: Int = 10, k: Int = 5,
                      trainPct: Int = 100): DataFrame = {

@@ -743,14 +743,15 @@ object Dedup {
       .persist()
 
     val planes = Ann.hyperplanes(bands * planesPerBand, dim)
-    val bandBuckets = (0 until bands).map { b =>
-      (0 until planesPerBand).map { i =>
-        when(dot(col("embedding"), typedlit(planes(b * planesPerBand + i).toSeq)) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
+    // signatures come from the FUSED plan-constant kernel (one flat
+    // multiply-add loop over all bands×planes) — the per-plane
+    // when(dot > 0) HOF form is bit-identical but allocates per
+    // element, and at the adaptive geometry's 300+ planes it dominated
+    // the operator at 32× scale (78 s → the verify floor)
     val base = groups
-      .select(col("gid"), col("embedding"), array(bandBuckets: _*).as("bks"))
+      .select(col("gid"), col("embedding"),
+        graft.functions.VectorFunctions.signBuckets(
+          col("embedding"), planes, bands, planesPerBand).as("bks"))
       .persist() // scanned by the band explode and both verify attaches
     val bb = base.select(col("gid"), col("bks"),
       posexplode(col("bks")).as(Seq("band", "bk")))
@@ -758,9 +759,13 @@ object Dedup {
       .join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.gid") < col("b.gid"))
-      // first-matching-band filter: exactly one surviving copy per pair
+      // first-matching-band filter: exactly one surviving copy per
+      // pair. Native int-loop kernel — a near-dup cluster pair
+      // collides in ~every band, so this predicate runs at the join's
+      // full bands×pairs row volume and the HOF zip_with form's
+      // per-row allocation dominated the operator at 32× scale
       .where(col("a.band") ===
-        expr("array_position(zip_with(a.bks, b.bks, (x, y) -> x = y), true) - 1"))
+        graft.functions.VectorFunctions.firstEqualBandCol(col("a.bks"), col("b.bks")))
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
     val repPairs = cand
       .join(base.select(col("gid").as("a_gid"), col("embedding").as("a_emb")), Seq("a_gid"))
