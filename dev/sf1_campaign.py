@@ -42,10 +42,13 @@ ADD_OPENS = [
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar",
 ]
+# GRAFT_SF1_CP lets the campaign run from a classes SNAPSHOT so later
+# recompiles can't change code under a multi-hour run
+CLASSES = os.environ.get("GRAFT_SF1_CP", "target/scala-2.13/classes")
 JAVA = ["java"] + [x for p in ADD_OPENS for x in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
     "-Xmx48g", "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
     "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-    "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+    "-cp", f"{CLASSES}:/opt/spark/jars/*",
 ]
 
 # key list = the committed driver-gate artifact's keys (the full surface)

@@ -67,11 +67,14 @@ object IvfScale {
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     for (nlist <- nlists) {
       val nprobe = math.max(4, nlist / 16)
-      // full train → index → probe, timed end-to-end (training included:
-      // at production nlist the trainer IS part of the index cost)
+      // train once per nlist (timed separately — at production nlist
+      // the trainer dominates the index build), search under it
+      val ((cids, cents), trainSec) = timed {
+        Cluster.kmeansCentroids(emb, nlist, iters = 2, trainPct = Cluster.TrainPct)
+      }
       val (ivf, ivfSec) = timed {
-        val d = Ann.ivfTopKTrained(emb, nlist = nlist, iters = 2, nprobe = nprobe,
-          trainPct = Cluster.TrainPct)
+        val d = Ann.ivfTopKWith(emb, cids, cents, nprobe = nprobe,
+          nQueries = 10, k = 5)
         d.write.format("noop").mode("overwrite").save(); d
       }
       val ivfRec = recallOf(ivf)
@@ -81,23 +84,38 @@ object IvfScale {
         d.write.format("noop").mode("overwrite").save(); d
       }
       val pqRec = recallOf(pq)
-      // assignment-only: the flat argmax over the whole corpus against
-      // a codebook of this size (sampled centroids — the kernel cost
-      // does not care how the codebook was trained)
+      // assignment-only probes, both against the TRAINED codebook (the
+      // production artifact — two-level fidelity depends on codebook
+      // structure, and sampled-random cells would understate it):
+      // the flat O(nlist·dim)/row argmax…
       val (_, asgSec) = timed {
-        val cents = emb.filter(col("vec_id") < nlist)
-          .sort(col("vec_id")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         emb.select(element_at(graft.functions.VectorFunctions.nearestCentroids(
-            col("embedding"), cents.map(_._2), cents.map(_._1), 1), 1).as("list_id"))
+            col("embedding"), cents, cids, 1), 1).as("list_id"))
           .write.format("noop").mode("overwrite").save()
       }
+      // …and the TWO-LEVEL quantizer (√nlist supers, probe 2): the
+      // escape the flat scan's ceiling note prescribes — its crossover
+      // against asgSec is the measured basis for WHEN to switch
+      val (l1, membersArr) = Cluster.superIndex(cents)
+      def tlCol = element_at(graft.functions.VectorFunctions.nearestCentroidsTwoLevel(
+        col("embedding"), l1, membersArr, cents, cids, 2, 1), 1)
+      val (_, tlSec) = timed {
+        emb.select(tlCol.as("list_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val agree = emb.select(
+          (element_at(graft.functions.VectorFunctions.nearestCentroids(
+            col("embedding"), cents, cids, 1), 1) === tlCol)
+            .cast("double").as("eq"))
+        .agg(avg(col("eq"))).head().getDouble(0)
       System.err.println(f"[ivfscale] nlist=$nlist nprobe=$nprobe: " +
-        f"ivf=$ivfSec%.1f s rec=$ivfRec%.3f | ivfpq=$pqSec%.1f s rec=$pqRec%.3f | " +
-        f"assign=$asgSec%.1f s")
-      rows += f"""{"nlist":$nlist,"nprobe":$nprobe,"ivf_sec":$ivfSec%.2f,""" +
+        f"train=$trainSec%.1f s ivf=$ivfSec%.1f s rec=$ivfRec%.3f | " +
+        f"ivfpq=$pqSec%.1f s rec=$pqRec%.3f | " +
+        f"assign=$asgSec%.1f s 2l=$tlSec%.1f s agree=$agree%.4f")
+      rows += f"""{"nlist":$nlist,"nprobe":$nprobe,"train_sec":$trainSec%.2f,""" +
+        f""""ivf_sec":$ivfSec%.2f,""" +
         f""""ivf_recall":$ivfRec%.4f,"ivfpq_sec":$pqSec%.2f,"ivfpq_recall":$pqRec%.4f,""" +
-        f""""assign_sec":$asgSec%.2f}"""
+        f""""assign_sec":$asgSec%.2f,"assign2l_sec":$tlSec%.2f,"assign2l_agree":$agree%.4f}"""
     }
 
     val line = f"""{"metric":"ivfscale","dir":"$dir","n_vectors":$n,""" +

@@ -260,4 +260,101 @@ object VectorFunctions {
 
   def firstEqualBandCol(a: Column, b: Column): Column =
     toColumn(FirstEqualBandExpr(toExpr(a), toExpr(b)))
+
+  /** Two-level coarse quantization kernel — the documented escape past
+    * the flat argmax's nlist ceiling ([[nearestCids]] is O(nlist·dim)
+    * per row; `IVFSCALE_r14.json` locates the crossover at nlist ≈
+    * 4–8k): score the √nlist-ish SUPER-cells first, then scan only the
+    * top `probeSupers` supers' member cells — O((m + w·k/m)·dim) per
+    * row. Probing w ≥ 2 supers covers boundary cells; with
+    * `probeSupers = m` the scan degenerates to exactly the flat
+    * kernel's candidate set, and ties break to the lowest codebook
+    * index exactly as [[nearestCids]]' scan order does, so the
+    * full-probe result is bit-identical. A probe set smaller than `n`
+    * falls back to the flat scan (tiny codebooks / degenerate
+    * super-index) — correctness over speed. */
+  def nearestCidsTwoLevel(v: ArrayData, l1: Array[Array[Float]],
+                          members: Array[Array[Int]], cents: Array[Array[Float]],
+                          cids: Array[Long], probeSupers: Int, n: Int): GenericArrayData = {
+    val m = l1.length
+    val w = math.min(probeSupers, m)
+    val scos = new Array[Double](m)
+    var s = 0
+    while (s < m) { scos(s) = cosineVsConst(v, l1(s)); s += 1 }
+    val sUsed = new Array[Boolean](m)
+    val candIdx = new Array[Int](cents.length)
+    var candCount = 0
+    var r = 0
+    while (r < w) {
+      var best = -1
+      var i = 0
+      while (i < m) {
+        if (!sUsed(i) && (best < 0 || scos(i) > scos(best))) best = i
+        i += 1
+      }
+      sUsed(best) = true
+      val mem = members(best)
+      var j = 0
+      while (j < mem.length) { candIdx(candCount) = mem(j); candCount += 1; j += 1 }
+      r += 1
+    }
+    if (candCount < n) return nearestCids(v, cents, cids, n)
+    val cos = new Array[Double](candCount)
+    var c = 0
+    while (c < candCount) { cos(c) = cosineVsConst(v, cents(candIdx(c))); c += 1 }
+    val used = new Array[Boolean](candCount)
+    val picked = new Array[Long](n)
+    r = 0
+    while (r < n) {
+      var best = -1
+      var i = 0
+      while (i < candCount) {
+        // (cos desc, codebook index asc) — member lists are not index-
+        // sorted across supers, so the flat kernel's scan-order tie
+        // rule must be explicit here
+        if (!used(i) && (best < 0 || cos(i) > cos(best) ||
+            (cos(i) == cos(best) && candIdx(i) < candIdx(best)))) best = i
+        i += 1
+      }
+      used(best) = true
+      picked(r) = cids(candIdx(best))
+      r += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  /** [[nearestCidsTwoLevel]] as a plan-constant expression — same
+    * index-artifact posture as [[NearestCentroids]]; the super index
+    * comes from [[graft.operators.Cluster.superIndex]]. */
+  case class NearestCentroidsTwoLevel(child: Expression, l1: Array[Array[Float]],
+                                      members: Array[Array[Int]],
+                                      cents: Array[Array[Float]], cids: Array[Long],
+                                      probeSupers: Int, n: Int) extends UnaryExpression {
+    require(cents.length == cids.length && l1.length == members.length,
+      "two-level index mismatch")
+    require(probeSupers >= 1 && n >= 1 && n <= cents.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): NearestCentroidsTwoLevel =
+      copy(child = c)
+
+    override def nullSafeEval(v: Any): Any =
+      nearestCidsTwoLevel(v.asInstanceOf[ArrayData], l1, members, cents, cids,
+        probeSupers, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val l1Ref = ctx.addReferenceObj("l1", l1, "float[][]")
+        val memRef = ctx.addReferenceObj("members", members, "int[][]")
+        val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+        val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+        s"${ev.value} = graft.functions.VectorFunctions.nearestCidsTwoLevel(" +
+          s"$c, $l1Ref, $memRef, $centsRef, $cidsRef, $probeSupers, $n);"
+      })
+  }
+
+  def nearestCentroidsTwoLevel(v: Column, l1: Array[Array[Float]],
+                               members: Array[Array[Int]], cents: Array[Array[Float]],
+                               cids: Array[Long], probeSupers: Int, n: Int): Column =
+    toColumn(NearestCentroidsTwoLevel(toExpr(v), l1, members, cents, cids, probeSupers, n))
 }

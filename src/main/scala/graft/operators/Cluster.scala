@@ -100,6 +100,70 @@ object Cluster {
     } finally proj.unpersist(blocking = false)
   }
 
+  /** Driver-side SUPER-CELL index over a flat codebook — the
+    * two-level coarse quantizer's level 1 (the Ann scaladoc's
+    * documented escape past the flat argmax's measured nlist ceiling,
+    * `IVFSCALE_r14.json`). Groups the `k` centroids into
+    * `branch` ≈ √k super-cells with a tiny SERIAL Lloyd over the
+    * centroids themselves (k is codebook-sized — microseconds on the
+    * driver, deterministic: stride-sampled init, cosine assignment
+    * with lowest-index ties, per-super vector SUMS as the update —
+    * cosine is scale-invariant, so sums and means pick identical
+    * argmaxes). Returns (super-centroids, member cell indices per
+    * super) for [[graft.functions.VectorFunctions.nearestCentroidsTwoLevel]].
+    * Empty supers keep their previous vector and an empty member list
+    * (the kernel's flat-scan fallback covers degenerate shapes). */
+  def superIndex(cents: Array[Array[Float]], branch: Int = 0,
+                 iters: Int = 5): (Array[Array[Float]], Array[Array[Int]]) = {
+    val k = cents.length
+    require(k > 0, "superIndex: empty codebook")
+    val m = math.max(1, if (branch > 0) branch
+                        else math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dim = cents(0).length
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        xy += x * y; xx += x * x; yy += y * y
+        i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    var l1 = Array.tabulate(m)(i => cents(((i.toLong * k) / m).toInt).clone())
+    val assign = new Array[Int](k)
+    for (_ <- 0 until iters) {
+      var c = 0
+      while (c < k) {
+        var best = -1
+        var bestCos = 0.0
+        var s = 0
+        while (s < m) {
+          val cs = cosF(cents(c), l1(s))
+          if (best < 0 || cs > bestCos) { best = s; bestCos = cs }
+          s += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.fill(m)(new Array[Double](dim))
+      val counts = new Array[Int](m)
+      c = 0
+      while (c < k) {
+        val s = assign(c); val v = cents(c)
+        var d = 0
+        while (d < dim && d < v.length) { sums(s)(d) += v(d); d += 1 }
+        counts(s) += 1
+        c += 1
+      }
+      l1 = Array.tabulate(m)(s =>
+        if (counts(s) > 0) sums(s).map(_.toFloat) else l1(s))
+    }
+    val members = Array.tabulate(m)(s => (0 until k).filter(assign(_) == s).toArray)
+    (l1, members)
+  }
+
   /** Assignments under the trained codebook: (vec_id, cid). Training
     * sees `trainPct`% of the corpus; the assignment map covers all of
     * it. */

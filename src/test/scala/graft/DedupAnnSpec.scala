@@ -389,4 +389,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rr._1 > raw, s"re-rank ($rr._1) must beat the raw PQ scan ($raw)")
     assert(rr._1 * 2 >= rr._2, s"re-ranked recall@5 below half: ${rr._1}/${rr._2}")
   }
+
+  test("two-level coarse quantizer: agrees with the flat argmax on a clustered codebook; full probe is bit-identical") {
+    import spark.implicits._
+    import graft.operators.Cluster
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // a CLUSTERED codebook — the shape a trained IVF codebook has (16
+    // natural groups, 16 cells each as center + small noise); the
+    // super index must recover the grouping, making w=2 probing near-
+    // lossless. On unclustered noise the two-level trade degrades
+    // gracefully (and full probe below stays exact regardless).
+    val centers = Array.fill(16)(unit())
+    val cents = centers.flatMap(c => Array.fill(16)(
+      c.zip(unit()).map { case (x, e) => x + 0.15f * e }))
+    val cids = Array.tabulate(cents.length)(_.toLong)
+    val (l1, members) = Cluster.superIndex(cents)
+    assert(l1.length == 16 && members.map(_.length).sum == cents.length)
+    // queries near random cells — the assignment workload
+    val q = Seq.fill(2000) {
+      val c = cents(rnd.nextInt(cents.length))
+      c.zip(unit()).map { case (x, e) => x + 0.1f * e }
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val rows = q.select(
+        element_at(VectorFunctions.nearestCentroids(
+          col("embedding"), cents, cids, 1), 1).as("flat"),
+        element_at(VectorFunctions.nearestCentroidsTwoLevel(
+          col("embedding"), l1, members, cents, cids, 2, 1), 1).as("tl2"),
+        element_at(VectorFunctions.nearestCentroidsTwoLevel(
+          col("embedding"), l1, members, cents, cids, l1.length, 1), 1).as("tlAll"))
+      .collect()
+    val agree = rows.count(r => r.getLong(0) == r.getLong(1)).toDouble / rows.length
+    assert(agree >= 0.99, f"w=2 agreement $agree%.4f on a clustered codebook")
+    assert(rows.forall(r => r.getLong(0) == r.getLong(2)),
+      "probing every super must reproduce the flat argmax bit-identically")
+  }
 }
