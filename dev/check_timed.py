@@ -38,6 +38,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def run_oracle(sql, q):
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # heavy replays (dedup_pareto at sf1): raise the memory budget and
+    # move spill off the repo dir — SURVEY §18's solo-run recipe
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        os.makedirs(os.environ["GRAFT_DUCK_TMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-8]
         src = f"{f}/*.parquet" if os.path.isdir(f) else f
