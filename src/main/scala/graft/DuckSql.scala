@@ -537,13 +537,20 @@ object DuckSql {
 
   /** Left-to-right double dot product of the embedding column with a
     * literal plane — same fold order as
-    * [[graft.functions.VectorFunctions.dot]]. */
-  private def dotLit(plane: Array[Double]): String = {
-    val lits = plane.map(dlit).mkString("[", ", ", "]")
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"[CAST(embedding[k] AS DOUBLE) * ($lits)[k] for k in range(1, ${plane.length + 1})]), " +
-      s"(acc, v) -> acc + v)"
-  }
+    * [[graft.functions.VectorFunctions.dot]], expressed as a flat
+    * left-associated `+` chain (SQL `+` parses left-assoc, so the
+    * accumulation order matches the engine's scalar loop). The chain
+    * form replaces a per-plane `list_reduce` lambda that DuckDB
+    * evaluated ~400× slower — at the adaptive geometry's ~300 planes
+    * that interpreted fold alone blew the sf1 oracle budget (r14
+    * campaign: `dedup_embedding_lsh` oracle_timeout at 1800 s). The
+    * two forms agree to the ULP on every x10 row measured, and the
+    * only consumer is the `CASE WHEN dot > 0` sign, which ULP noise
+    * cannot flip at these magnitudes. */
+  private def dotLit(plane: Array[Double]): String =
+    plane.zipWithIndex
+      .map { case (c, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${dlit(c)}" }
+      .mkString("(0.0::DOUBLE + ", " + ", ")")
 
   /** Left-to-right double fold of `Σ f(a[i], b[i])` over `dim`
     * elements — one independent accumulator of
@@ -871,6 +878,39 @@ object DuckSql {
        |                                CAST(c.embedding AS DOUBLE[])) AS cos
        |  FROM e q JOIN e c ON q.bucket = c.bucket
        |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT q_id, n_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM p)
+       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Oracle for `ann_lsh` (adaptive-geometry form): replay of
+    * [[graft.operators.Ann.lshTopKBanded]] — per-band sign buckets
+    * from the same literal hyperplanes, asymmetric band-bucket join
+    * (query side restricted to the first `nQueries` ids; DISTINCT ≡
+    * the engine's map-side first-matching-band dedup), exact-cosine
+    * rank, top k. */
+  def annLshBandedOracle(planes: Array[Array[Double]], bands: Int, planesPerBand: Int,
+                         nQueries: Int, k: Int): String = {
+    val bandExprs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        s"(CASE WHEN ${dotLit(planes(b * planesPerBand + i))} > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    s"""WITH e AS (SELECT vec_id, [${bandExprs.mkString(",\n  ")}] AS bks FROM embeddings),
+       |bb AS MATERIALIZED (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM e),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM bb q JOIN bb c ON q.band = c.band AND q.bk = c.bk
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |p AS (
+       |  SELECT q_id, n_id,
+       |         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                                CAST(y.embedding AS DOUBLE[])) AS cos
+       |  FROM cand
+       |  JOIN embeddings x ON x.vec_id = q_id
+       |  JOIN embeddings y ON y.vec_id = n_id),
        |r AS (
        |  SELECT q_id, n_id,
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk

@@ -449,8 +449,9 @@ object SparkEntry {
           .select(col("doc_id").as("n_id")))),
     "ann_recall" -> ((s, d) => {
       // index quality gate: LSH recall counts vs brute ground truth
+      // (gates the ADAPTIVE geometry — the graded search path)
       val emb = Tables.embeddings(s, d)
-      Ann.recall(Ann.lshTopK(emb), Ann.bruteTopK(emb))
+      Ann.recall(Ann.lshTopKAdaptive(emb), Ann.bruteTopK(emb))
     }),
     "ann_pareto" -> ((s, d) =>
       // the recall/cost front as ONE diffable frame: per (method,
@@ -466,7 +467,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Ann.recall(Ann.bruteTopKQ8(emb), Ann.bruteTopK(emb))
     }),
-    "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) =>
+      // cardinality-adaptive banded search (r15): geometry grows with
+      // the measured corpus so per-query candidates stay
+      // occupancy-bounded instead of a fixed 1/64 corpus fraction
+      Ann.lshTopKAdaptive(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_trained" -> ((s, d) => Ann.ivfTopKTrained(Tables.embeddings(s, d),
       trainPct = Cluster.TrainPct)),
@@ -999,8 +1004,15 @@ object SparkEntry {
       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
       |      FROM p)
       |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5""".stripMargin
-  private lazy val annLshSql =
-    DuckSql.annLshOracle(Ann.hyperplanes(6, 64), nQueries = 10, k = 5)
+  /** Adaptive-geometry `ann_lsh` oracle (Verify-generated): the SAME
+    * measured count + pure geometry the engine query uses,
+    * interpolated into the replay — exact at any corpus size. */
+  private def annLshBandedSql(s: SparkSession, d: String): String = {
+    val (b, r) = Dedup.lshGeometry(
+      Dedup.distinctEmbeddingCount(Tables.embeddings(s, d)))
+    DuckSql.annLshBandedOracle(Ann.hyperplanes(b * r, 64),
+      bands = b, planesPerBand = r, nQueries = 10, k = 5)
+  }
   /** PQ shortlist (k=100) + exact-cosine re-rank to top 5 — the
     * deployed PQ pattern (`ann_pq_rerank`). */
   private lazy val annPqRerankSql =
@@ -1711,19 +1723,6 @@ object SparkEntry {
          |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
          |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
-    "ann_recall" ->
-      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
-         |lsh AS (SELECT * FROM ($annLshSql) tl),
-         |h AS (SELECT l.q_id, count(*) AS c FROM lsh l
-         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
-         |na AS (SELECT q_id, count(*) AS c FROM lsh GROUP BY 1),
-         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
-         |SELECT ne.q_id,
-         |       CAST(ne.c AS INT) AS n_exact,
-         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
-         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
-         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
-         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin,
     "lang_id" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, lang, len(w) AS n,
@@ -2371,7 +2370,6 @@ object SparkEntry {
     "dup_cluster_stats" -> DuckSql.minhashCcSizeHistOracle(
       numHashes = 128, bands = 16, threshold = 0.5),
     "dedup_cc_keep_lsh" -> DuckSql.minhashCcKeepOracle(numHashes = 128, bands = 16, threshold = 0.5),
-    "ann_lsh" -> annLshSql,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |s AS (SELECT vec_id, emb,
@@ -2417,6 +2415,20 @@ object SparkEntry {
     * the corpus the queries trained on. Same column-alias contract as
     * [[oracleSql]]. */
   def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "ann_lsh" -> ((s, d) => annLshBandedSql(s, d)),
+    "ann_recall" -> ((s, d) =>
+      s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),
+         |lsh AS (SELECT * FROM (${annLshBandedSql(s, d)}) tl),
+         |h AS (SELECT l.q_id, count(*) AS c FROM lsh l
+         |      JOIN brute b ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+         |na AS (SELECT q_id, count(*) AS c FROM lsh GROUP BY 1),
+         |ne AS (SELECT q_id, count(*) AS c FROM brute GROUP BY 1)
+         |SELECT ne.q_id,
+         |       CAST(ne.c AS INT) AS n_exact,
+         |       CAST(coalesce(na.c, 0) AS INT) AS n_approx,
+         |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
+         |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+         |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin),
     "dedup_embedding_lsh" -> ((s, d) => {
       // the SAME measured count + pure geometry the engine query uses,
       // interpolated into the replay — bit-exact at any corpus size

@@ -150,6 +150,54 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopKBanded matches the distinct-candidate reference (map-side band dedup exact)") {
+    val emb = Tables.embeddings(spark, sf)
+    val (bands, r) = (4, 4)
+    val planes = Ann.hyperplanes(bands * r, 64)
+    // reference: exploded band join + DISTINCT candidates + exact
+    // cosine top-k — the formulation the DuckDB oracle replays
+    val e = emb.select(col("vec_id"),
+      VectorFunctions.signBuckets(col("embedding"), planes, bands, r).as("bks"))
+    val bb = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bk")))
+    val cand = bb.as("q").join(bb.as("c"),
+        col("q.band") === col("c.band") && col("q.bk") === col("c.bk") &&
+          col("q.vec_id") < lit(10) && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("n_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("n_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val expect = scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().sorted.toSeq
+    val got = Ann.lshTopKBanded(emb, bands = bands, planesPerBand = r)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("lshTopKAdaptive: geometry grows with cardinality, recall holds at the contract") {
+    // the occupancy + recall schedule from Dedup.lshGeometry's scaladoc
+    assert(Dedup.lshGeometry(500) == (8, 6))
+    assert(Dedup.lshGeometry(20000) == (24, 12))
+    val g1 = Dedup.lshGeometry(500); val g2 = Dedup.lshGeometry(20000)
+    assert(g2._1 > g1._1 && g2._2 > g1._2, "both axes grow with the corpus")
+    val emb = Tables.embeddings(spark, sf) // 500 distinct vectors
+    val adaptive = Ann.lshTopKAdaptive(emb).as[(Long, Long, Int)].collect().sorted.toSeq
+    val pinned = Ann.lshTopKBanded(emb, bands = 8, planesPerBand = 6)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(adaptive == pinned, "adaptive = banded at the measured-count geometry")
+    // recall vs brute ground truth: the banded contract (anchor 0.9,
+    // target 0.98) must beat the old fixed single-6-bit table, whose
+    // closed-form anchor recall is p^6 ≈ 0.39
+    val brute = Ann.bruteTopK(emb)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      Ann.recall(df, brute).agg(sum("n_hit")).as[Long].head()
+    assert(hits(Ann.lshTopKAdaptive(emb)) >= hits(Ann.lshTopK(emb)),
+      "adaptive banding must not lose recall vs the fixed table")
+  }
+
   test("ivfTopKTrained: the trained codebook drives the same plan, deterministic ranks") {
     val emb = Tables.embeddings(spark, sf)
     val a = Ann.ivfTopKTrained(emb, nlist = 8, iters = 2)

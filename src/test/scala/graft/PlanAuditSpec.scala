@@ -347,6 +347,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), "pivot-on-agg must not Expand the scan")
   }
 
+  test("ann_lsh: corpus never shuffles — band probe and verify attach are broadcast joins") {
+    val p = formatted("ann_lsh")
+    // the ONLY shuffle is the per-query top-k window over the scored
+    // candidates (occupancy-bounded rows); the exploded corpus stream
+    // and both embedding attaches ride broadcast joins
+    assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
+      s"banded search must shuffle only the tiny scored-candidate window input:\n$p")
+    assert(raw"BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"query probe + candidate attach + query-embedding attach all broadcast:\n$p")
+  }
+
   test("cdc_scd2: the whole version history costs ONE key exchange") {
     val p = formatted("cdc_scd2")
     // exchange 1: the control-sided rolled-back-tx distinct (tiny);
