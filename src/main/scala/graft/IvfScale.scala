@@ -97,25 +97,38 @@ object IvfScale {
       // escape the flat scan's ceiling note prescribes — its crossover
       // against asgSec is the measured basis for WHEN to switch
       val (l1, membersArr) = Cluster.superIndex(cents)
-      def tlCol = element_at(graft.functions.VectorFunctions.nearestCentroidsTwoLevel(
-        col("embedding"), l1, membersArr, cents, cids, 2, 1), 1)
+      def tlColAt(w: Int) =
+        element_at(graft.functions.VectorFunctions.nearestCentroidsTwoLevel(
+          col("embedding"), l1, membersArr, cents, cids, w, 1), 1)
+      def tlCol = tlColAt(2)
       val (_, tlSec) = timed {
         emb.select(tlCol.as("list_id"))
           .write.format("noop").mode("overwrite").save()
       }
-      val agree = emb.select(
+      def agreeAt(c: org.apache.spark.sql.Column): Double = emb.select(
           (element_at(graft.functions.VectorFunctions.nearestCentroids(
-            col("embedding"), cents, cids, 1), 1) === tlCol)
+            col("embedding"), cents, cids, 1), 1) === c)
             .cast("double").as("eq"))
         .agg(avg(col("eq"))).head().getDouble(0)
+      val agree = agreeAt(tlCol)
+      // …and at the SHIPPING operating point: the graded path past
+      // Ann.TwoLevelNlist assigns with w = TwoLevelProbeSupers, so
+      // the two-level row for that regime IS the graded kernel — the
+      // ivf_recall above is its end-to-end gate, this is its
+      // agreement line
+      val gradedTwoLevel = nlist >= Ann.TwoLevelNlist
+      val agreeShip = agreeAt(tlColAt(Ann.TwoLevelProbeSupers))
       System.err.println(f"[ivfscale] nlist=$nlist nprobe=$nprobe: " +
         f"train=$trainSec%.1f s ivf=$ivfSec%.1f s rec=$ivfRec%.3f | " +
         f"ivfpq=$pqSec%.1f s rec=$pqRec%.3f | " +
-        f"assign=$asgSec%.1f s 2l=$tlSec%.1f s agree=$agree%.4f")
+        f"assign=$asgSec%.1f s 2l=$tlSec%.1f s agree=$agree%.4f " +
+        f"agree_w${Ann.TwoLevelProbeSupers}=$agreeShip%.4f graded2l=$gradedTwoLevel")
       rows += f"""{"nlist":$nlist,"nprobe":$nprobe,"train_sec":$trainSec%.2f,""" +
         f""""ivf_sec":$ivfSec%.2f,""" +
         f""""ivf_recall":$ivfRec%.4f,"ivfpq_sec":$pqSec%.2f,"ivfpq_recall":$pqRec%.4f,""" +
-        f""""assign_sec":$asgSec%.2f,"assign2l_sec":$tlSec%.2f,"assign2l_agree":$agree%.4f}"""
+        f""""assign_sec":$asgSec%.2f,"assign2l_sec":$tlSec%.2f,"assign2l_agree":$agree%.4f,""" +
+        f""""graded_assign_two_level":$gradedTwoLevel,""" +
+        f""""assign2l_agree_ship":$agreeShip%.4f}"""
     }
 
     val line = f"""{"metric":"ivfscale","dir":"$dir","n_vectors":$n,""" +

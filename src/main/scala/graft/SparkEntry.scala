@@ -94,15 +94,31 @@ object SparkEntry {
       Files.writeString(Paths.get(tmp, "_GRAFT_ENVELOPES_OK"), stamp)
       try Files.move(Paths.get(tmp), Paths.get(out), StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.FileSystemException =>
-          // a concurrent JVM published the same stamp first — its
-          // content is identical (the path is stamp-keyed); drop ours
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        case e: java.nio.file.FileSystemException =>
+          // FileSystemException also covers genuine move failures
+          // (AccessDenied, AtomicMoveNotSupported, …) — only treat it
+          // as "a concurrent JVM won" if the winner's publish is
+          // actually there with OUR stamp; otherwise surface the real
+          // cause instead of a later misleading path-not-found
+          if (Files.exists(marker) && Files.readString(marker) == stamp)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          else throw e
       }
     }
     s.read.parquet(out)
+  }
+
+  /** Materialize the per-corpus INPUT artifacts outside any timed
+    * window — today just the Debezium envelope corpus. The envelopes
+    * are the decode's input DATA (in production they arrive from
+    * Kafka); synthesizing them is harness work, and a single-sample
+    * harness (ScaleBench) that lets the first graded access pay the
+    * synthesis reports input generation as decode cost — the r14
+    * sweep's 13× `cdc_debezium_decode` line was mostly this. (The
+    * BPE merge table is NOT warmed here: training is part of that
+    * operator's honest cost.) */
+  def warmInputs(s: SparkSession, dir: String): Unit = {
+    debeziumEnvelopes(s, dir).write.format("noop").mode("overwrite").save()
   }
 
   /** Train-once BPE merge table for the corpus at `dir` (memoized /
@@ -260,7 +276,11 @@ object SparkEntry {
       // verdict measured the old in-plan to_json synthesis at ~2× the
       // decode cost (and 16.8× at 32× data — the sweep's worst line,
       // a measurement artifact, not a plan defect)
-      val (good, _) = graft.sources.Debezium.decodeWithDlq(debeziumEnvelopes(s, d))
+      // schema-pruned parse (r14 verdict task #5a): the consumer is
+      // toImagedChanges, so only its 7 leaf fields are materialized
+      val (good, _) = graft.sources.Debezium.decodeWithDlq(
+        debeziumEnvelopes(s, d),
+        columns = graft.sources.Debezium.ImagedChangeColumns)
       graft.sources.Debezium.toImagedChanges(good)
         .select(col("pos"), col("op"), col("tbl"),
           col("oldId").as("old_id"), col("id"), col("value"))

@@ -299,6 +299,13 @@ object VectorFunctions {
       r += 1
     }
     if (candCount < n) return nearestCids(v, cents, cids, n)
+    // scan candidates in ascending codebook-index order: member lists
+    // are per-super, so concatenation order is arbitrary — sorting
+    // restores the flat kernel's scan order, which is what breaks
+    // ties AND what orders NaN-scored candidates (zero-norm vectors
+    // make every cosine NaN, so both the > and == clauses below are
+    // false and selection follows scan order alone)
+    java.util.Arrays.sort(candIdx, 0, candCount)
     val cos = new Array[Double](candCount)
     var c = 0
     while (c < candCount) { cos(c) = cosineVsConst(v, cents(candIdx(c))); c += 1 }

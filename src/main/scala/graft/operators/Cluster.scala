@@ -133,7 +133,7 @@ object Cluster {
     }
     var l1 = Array.tabulate(m)(i => cents(((i.toLong * k) / m).toInt).clone())
     val assign = new Array[Int](k)
-    for (_ <- 0 until iters) {
+    def assignAll(): Unit = {
       var c = 0
       while (c < k) {
         var best = -1
@@ -147,9 +147,12 @@ object Cluster {
         assign(c) = best
         c += 1
       }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
       val sums = Array.fill(m)(new Array[Double](dim))
       val counts = new Array[Int](m)
-      c = 0
+      var c = 0
       while (c < k) {
         val s = assign(c); val v = cents(c)
         var d = 0
@@ -160,6 +163,10 @@ object Cluster {
       l1 = Array.tabulate(m)(s =>
         if (counts(s) > 0) sums(s).map(_.toFloat) else l1(s))
     }
+    // member lists must reflect the FINAL l1, not the half-step that
+    // updated it — otherwise a cell can sit in a super whose updated
+    // vector is no longer its nearest, degrading probe agreement
+    assignAll()
     val members = Array.tabulate(m)(s => (0 until k).filter(assign(_) == s).toArray)
     (l1, members)
   }

@@ -113,11 +113,55 @@ object Debezium {
     * parses against the exact single-form schema (rows of the other
     * form then land in the DLQ, which is the correct reading of a
     * misconfigured feed). */
+  /** Output column → the `source` field backing it. */
+  private val outToSource = Seq(
+    "src_name" -> "name", "db" -> "db", "tbl_name" -> "table",
+    "file" -> "file", "pos" -> "pos", "gtid" -> "gtid")
+
+  /** `columns` (optional): SCHEMA-PRUNED decode — parse only the
+    * envelope fields the listed output columns need. Entries are
+    * output-column names (`op`, `tbl_name`, `ts_ms`, `tx_id`, …);
+    * `before`/`after` may be narrowed to single row fields as
+    * `before.id` / `after.value` (a bare `before` keeps the whole
+    * row). `op` is always decoded — it is the DLQ routing key. The
+    * win is Catalyst-invisible by construction ([[autoEnv]] keeps
+    * the whole payload struct alive, so the built-in
+    * OptimizeJsonExprs pruning can never fire here): Jackson still
+    * tokenizes the full line, but skipped fields are never converted
+    * or materialized — at CDC-firehose scale the decode is
+    * tokenize + materialize, and this deletes the second term for
+    * every column the consumer doesn't read. Empty = decode
+    * everything (the default, and the oracle surface). */
   def decode(raw: DataFrame, rowSchema: StructType = canonicalRow,
-             jsonCol: String = "value", format: String = "auto"): DataFrame = {
+             jsonCol: String = "value", format: String = "auto",
+             columns: Seq[String] = Nil): DataFrame = {
     require(Set("auto", "wrapped", "flat")(format),
       s"Debezium.decode: format must be auto|wrapped|flat, got $format")
-    val env = envelopeSchema(rowSchema)
+    // requested top-level outputs → (nested row fields or whole-struct)
+    val want: Option[Map[String, Set[String]]] =
+      if (columns.isEmpty) None
+      else Some(columns.map { c => val p = c.split("\\.", 2); (p(0), p.lift(1)) }
+        .groupBy(_._1).map { case (k, vs) =>
+          k -> (if (vs.exists(_._2.isEmpty)) Set.empty[String]
+                else vs.flatMap(_._2).toSet)
+        })
+    def keep(out: String): Boolean = out == "op" || want.forall(_.contains(out))
+    def rowFor(top: String): StructType = want.flatMap(_.get(top)) match {
+      case Some(s) if s.nonEmpty => StructType(rowSchema.fields.filter(f => s(f.name)))
+      case _ => rowSchema
+    }
+    val srcFields = sourceSchema.fields.filter(f =>
+      outToSource.exists { case (o, s) => s == f.name && keep(o) })
+    val env = StructType(
+      (if (keep("before")) Seq(StructField("before", rowFor("before"))) else Nil) ++
+      (if (keep("after")) Seq(StructField("after", rowFor("after"))) else Nil) ++
+      (if (srcFields.nonEmpty)
+        Seq(StructField("source", StructType(srcFields))) else Nil) ++
+      Seq(StructField("op", StringType)) ++
+      (if (keep("ts_ms")) Seq(StructField("ts_ms", LongType)) else Nil) ++
+      (if (keep("tx_id")) Seq(StructField("transaction", StructType(Seq(
+        StructField("id", StringType),
+        StructField("total_order", LongType))))) else Nil))
     val wrapped = StructType(Seq(StructField("payload", env)))
     val passThrough = raw.columns.filterNot(_ == jsonCol).map(col)
     val envCol = format match {
@@ -125,22 +169,17 @@ object Debezium {
       case "flat" => from_json(col(jsonCol), env)
       case _ => autoEnv(from_json(col(jsonCol), autoSchema(env)), env)
     }
+    val outCols = Seq(
+      "before" -> col("__env.before").as("before"),
+      "after" -> col("__env.after").as("after"),
+      "op" -> col("__env.op").as("op")) ++
+      outToSource.map { case (o, s) => o -> col(s"__env.source.$s").as(o) } ++ Seq(
+      "ts_ms" -> col("__env.ts_ms").as("ts_ms"),
+      "tx_id" -> col("__env.transaction.id").as("tx_id"))
     raw
       .withColumn("__env", envCol)
       .select(passThrough :+ col("__env"): _*)
-      .select(
-        passThrough ++ Seq(
-          col("__env.before").as("before"),
-          col("__env.after").as("after"),
-          col("__env.op").as("op"),
-          col("__env.source.name").as("src_name"),
-          col("__env.source.db").as("db"),
-          col("__env.source.table").as("tbl_name"),
-          col("__env.source.file").as("file"),
-          col("__env.source.pos").as("pos"),
-          col("__env.source.gtid").as("gtid"),
-          col("__env.ts_ms").as("ts_ms"),
-          col("__env.transaction.id").as("tx_id")): _*)
+      .select(passThrough ++ outCols.collect { case (o, c) if keep(o) => c }: _*)
   }
 
   /** Single-parse ROUTED decode: [[decode]]'s typed columns plus the
@@ -152,12 +191,14 @@ object Debezium {
     * what makes the parse run once per batch, not once per sink);
     * [[decodeWithDlq]] is the unpersisted convenience split. */
   def decodeRouted(raw: DataFrame, rowSchema: StructType = canonicalRow,
-                   jsonCol: String = "value", rawCol: String = "raw"): DataFrame = {
+                   jsonCol: String = "value", rawCol: String = "raw",
+                   columns: Seq[String] = Nil): DataFrame = {
     require(!raw.columns.contains(rawCol) || jsonCol == rawCol,
       s"Debezium.decodeRouted: input already has a '$rawCol' column; " +
         "pass rawCol= a name the input doesn't use")
     val internal = freshName(raw.columns, "__graft_raw")
-    decode(raw.withColumn(internal, col(jsonCol)), rowSchema, jsonCol)
+    decode(raw.withColumn(internal, col(jsonCol)), rowSchema, jsonCol,
+      columns = columns)
       .withColumnRenamed(internal, rawCol)
   }
 
@@ -175,13 +216,14 @@ object Debezium {
     * in either plan); a batch caller materializing both sides should
     * use [[decodeRouted]] + persist so the shared parse runs once. */
   def decodeWithDlq(raw: DataFrame, rowSchema: StructType = canonicalRow,
-                    jsonCol: String = "value"): (DataFrame, DataFrame) = {
+                    jsonCol: String = "value",
+                    columns: Seq[String] = Nil): (DataFrame, DataFrame) = {
     // a passthrough column literally named 'raw' (≠ jsonCol) is
     // tolerated: route under a fresh name, keep the caller's column in
     // the good frame, and alias back to 'raw' in the one-column DLQ
     // projection (whose schema is the replay contract)
     val rc = freshName(raw.columns.filterNot(_ == jsonCol), "raw")
-    val routed = decodeRouted(raw, rowSchema, jsonCol, rc)
+    val routed = decodeRouted(raw, rowSchema, jsonCol, rc, columns)
     (routed.filter(col("op").isNotNull).drop(rc),
       routed.filter(col("op").isNull).select(col(rc).as("raw")))
   }
@@ -196,6 +238,12 @@ object Debezium {
     * `toImagedChanges(decode(raw)) |> expandUpdates |> entityState`
     * (or `UpsertSink.materialize`) — the full reference pipeline from
     * a public wire format, no broker required. */
+  /** The `columns` pruning set for a [[decode]] whose only consumer
+    * is [[toImagedChanges]] — the canonical-pipeline case: 7 leaf
+    * fields out of the 13 the full envelope materializes. */
+  val ImagedChangeColumns: Seq[String] =
+    Seq("op", "tbl_name", "file", "pos", "before.id", "after.id", "after.value")
+
   def toImagedChanges(decoded: DataFrame): Dataset[ImagedChange] = {
     import decoded.sparkSession.implicits._
     decoded.select(

@@ -45,6 +45,35 @@ class DebeziumSpec extends AnyFunSuite {
       Set("""{"oops": true}""", "not json at all"))
   }
 
+  test("schema-pruned decode: identical values on its columns, narrowed structs, DLQ intact") {
+    val raw = Seq(
+      env("c", None, Some((1L, 10.0)), "mysql-bin.000001", 100),
+      env("u", Some((1L, 10.0)), Some((2L, 12.5)), "mysql-bin.000001", 200, wrapped = true),
+      env("d", Some((3L, 7.0)), None, "mysql-bin.000002", 50),
+      """{"oops": true}""",
+      "not json at all").toDF("value")
+    val cols = Debezium.ImagedChangeColumns
+    val (goodP, dlqP) = Debezium.decodeWithDlq(raw, columns = cols)
+    val (goodF, dlqF) = Debezium.decodeWithDlq(raw)
+    // the pruned frame carries exactly the requested top-level columns
+    assert(goodP.columns.toSeq == Seq("before", "after", "op", "tbl_name", "file", "pos"))
+    // …with the row structs narrowed to the requested leaves
+    assert(goodP.schema("before").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("id"))
+    assert(goodP.schema("after").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("id", "value"))
+    // value parity with the full decode on the shared leaves, and the
+    // downstream canonical mapping is unchanged by the pruning
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("op"), col("tbl_name"), col("file"), col("pos"),
+        col("before.id"), col("after.id"), col("after.value"))
+        .collect().map(_.toSeq).toSet
+    assert(canon(goodP) == canon(goodF))
+    assert(Debezium.toImagedChanges(goodP).collect().toSet ==
+      Debezium.toImagedChanges(goodF).collect().toSet)
+    assert(dlqP.as[String].collect().toSet == dlqF.as[String].collect().toSet)
+  }
+
   test("decodeWithDlq: both frames come off ONE single-parse projection (plan audit)") {
     import org.apache.spark.sql.catalyst.expressions.JsonToStructs
     // a parquet-backed input — a local Seq would be constant-folded

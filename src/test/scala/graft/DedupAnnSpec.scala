@@ -477,4 +477,52 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) == r.getLong(2)),
       "probing every super must reproduce the flat argmax bit-identically")
   }
+
+  test("graded IVF assignment switches to the two-level kernel past TwoLevelNlist, recall-gated") {
+    import spark.implicits._
+    import graft.operators.Cluster
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // clustered codebook at PRODUCTION size (256 ≥ TwoLevelNlist) —
+    // the shape Lloyd training produces, where the switch engages
+    val centers = Array.fill(16)(unit())
+    val cents = centers.flatMap(c => Array.fill(16)(
+      c.zip(unit()).map { case (x, e) => x + 0.15f * e }))
+    val cids = Array.tabulate(cents.length)(_.toLong)
+    assert(cents.length >= Ann.TwoLevelNlist)
+    val corpus = Seq.fill(3000) {
+      val c = cents(rnd.nextInt(cents.length))
+      c.zip(unit()).map { case (x, e) => x + 0.1f * e }
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    // 1) below the threshold the graded column IS the flat kernel
+    val small = corpus.select(
+        Ann.assignListId(col("embedding"), cents.take(8), cids.take(8)).as("a"),
+        element_at(VectorFunctions.nearestCentroids(
+          col("embedding"), cents.take(8), cids.take(8), 1), 1).as("b"))
+      .collect()
+    assert(small.forall(r => r.getLong(0) == r.getLong(1)),
+      "sub-threshold assignment must be the flat argmax, bit-identical")
+    // 2) past it, the two-level kernel at the shipping probeSupers
+    //    agrees with flat on the clustered codebook…
+    val big = corpus.select(
+        Ann.assignListId(col("embedding"), cents, cids).as("a"),
+        element_at(VectorFunctions.nearestCentroids(
+          col("embedding"), cents, cids, 1), 1).as("b"))
+      .collect()
+    val agree = big.count(r => r.getLong(0) == r.getLong(1)).toDouble / big.length
+    assert(agree >= 0.99,
+      f"shipping-probeSupers agreement $agree%.4f at nlist=${cents.length}")
+    // …and the END-TO-END gate (the shipping criterion, r14 verdict
+    // task #4): graded ivfTopKWith at nlist 256 — assignment now via
+    // the two-level kernel — holds FULL recall vs brute ground truth
+    val ivf = Ann.ivfTopKWith(corpus, cids, cents, nprobe = 16, nQueries = 5, k = 5)
+    val (hit, exact) = Ann.recall(ivf, Ann.bruteTopK(corpus, nQueries = 5, k = 5))
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).as[(Long, Long)].head()
+    assert(hit == exact, s"two-level graded IVF recall $hit/$exact at nlist=${cents.length}")
+  }
 }
