@@ -485,6 +485,14 @@ object DuckSql {
     }.mkString(" | ")
     val nChunks = maxHamming + 2
     val bounds = (0 to nChunks).map(i => (dim * i) / nChunks)
+    // every chunk divisor below is a `1L << lo` BIGINT literal — at
+    // lo = 63 (reachable: dim = 64, maxHamming = 62 passes the engine
+    // require) the literal goes NEGATIVE and the unsigned-view chunk
+    // extraction diverges from the engine's shiftrightunsigned; fail
+    // fast instead of replaying a wrong oracle
+    require(bounds(nChunks - 1) <= 62,
+      s"phashOracle: chunk shift ${bounds(nChunks - 1)} exceeds 62 — " +
+        s"lower maxHamming (= $maxHamming) so all 1L << lo literals stay positive")
     // chunks extract from the UNSIGNED view (uph ∈ [0, 2^64) as
     // HUGEINT): BIGINT // and % are signed and go wrong on a set
     // bit 63 — this mirrors the engine's shiftrightunsigned

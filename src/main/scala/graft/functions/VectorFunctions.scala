@@ -364,4 +364,94 @@ object VectorFunctions {
                                members: Array[Array[Int]], cents: Array[Array[Float]],
                                cids: Array[Long], probeSupers: Int, n: Int): Column =
     toColumn(NearestCentroidsTwoLevel(toExpr(v), l1, members, cents, cids, probeSupers, n))
+
+  /** Element-wise vector sum in scale-7 FIXED POINT, emitted as
+    * `array<float>` — the Lloyd-update kernel. Bit-identical to the
+    * formulation it replaces:
+    * {{{
+    *   posexplode(v) → groupBy(d) → sum(x.cast("decimal(25,7)"))
+    *   → collect → transform(CAST(s AS FLOAT))
+    * }}}
+    * but ONE aggregate row per vector instead of `dim` exploded rows
+    * through the hash aggregate — the trainers' measured cost is this
+    * fan-out (`IVFSCALE_r14.json`: Lloyd dominates the IVF build).
+    * Parity argument, leg by leg: Spark's float→decimal(25,7) cast is
+    * `Decimal(f.toDouble)` rounded HALF_UP to scale 7, i.e. the
+    * `BigDecimal.valueOf(double).setScale(7, HALF_UP)` unscaled long
+    * this kernel accumulates; a decimal sum is exact (order-free), so
+    * summing unscaled longs is the same number; the final
+    * decimal→float cast is `BigDecimal.floatValue`, applied here to
+    * the identical (unscaled, 7) pair. Accumulation uses `addExact` —
+    * a per-centroid |Σx| beyond 9.2e11 (unreachable for unit-norm
+    * embeddings by ~11 orders) fails fast instead of wrapping; NaN /
+    * ±Inf elements are skipped exactly as their decimal cast
+    * null-out. Rows must carry exactly `dim` elements (fail fast —
+    * the silent-short-array lesson from the phash guard). */
+  case class VecSumFixed(child: Expression, dim: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+    require(dim > 0, "VecSumFixed: dim must be positive")
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.FloatType,
+      containsNull = false)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VecSumFixed =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): VecSumFixed =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): VecSumFixed =
+      copy(inputAggBufferOffset = o)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+    private def toFixed(x: Float): Long = {
+      val d = x.toDouble
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return 0L
+      java.math.BigDecimal.valueOf(d)
+        .setScale(7, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+
+    override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val a = v.asInstanceOf[ArrayData]
+        require(a.numElements() == dim,
+          s"VecSumFixed: expected $dim elements, got ${a.numElements()}")
+        var i = 0
+        while (i < dim) {
+          buf(i) = Math.addExact(buf(i), toFixed(a.getFloat(i)))
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < dim) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf.map(s =>
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 7).floatValue()))
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(dim * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](dim)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      out
+    }
+  }
+
+  /** [[VecSumFixed]] as an aggregate Column. */
+  def vecSumFixed(v: Column, dim: Int): Column =
+    toColumn(VecSumFixed(toExpr(v), dim)
+      .toAggregateExpression(isDistinct = false))
 }

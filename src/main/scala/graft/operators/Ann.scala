@@ -559,20 +559,20 @@ object Ann {
         init.map(_.getSeq[Seq[Float]](1).apply(s).toArray)
       }
       for (_ <- 0 until iters) {
+        // subspace explode stays (m rows per vector — the per-sub
+        // codebook pick needs it); the inner per-DIMENSION explode is
+        // folded into VecSumFixed (bit-identical fixed-point sums,
+        // sub× fewer rows through the aggregate)
         val assigned = proj
           .select(posexplode(col("subs")).as(Seq("s", "v")))
           .select(col("s"),
             coalesce((0 until m).map(s =>
               when(col("s") === s,
                 element_at(nearestCentroids(col("v"), cents(s), cids, 1), 1))): _*).as("cid"),
-            posexplode(col("v")).as(Seq("d", "x")))
+            col("v"))
         val updated = assigned
-          .groupBy(col("s"), col("cid"), col("d"))
-          .agg(sum(col("x").cast("decimal(25,7)")).as("sm"))
           .groupBy(col("s"), col("cid"))
-          .agg(sort_array(collect_list(struct(col("d"), col("sm")))).as("ds"))
-          .select(col("s"), col("cid"),
-            expr("transform(ds, p -> CAST(p.sm AS FLOAT))").as("c"))
+          .agg(graft.functions.VectorFunctions.vecSumFixed(col("v"), sub).as("c"))
           .collect()
           .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toArray).toMap
         cents = Array.tabulate(m) { s =>

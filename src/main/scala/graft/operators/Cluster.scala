@@ -82,16 +82,18 @@ object Cluster {
       val cids = init.map(_.getLong(0))
       val cidIdx = cids.zipWithIndex.toMap
       var cents = init.map(_.getSeq[Float](1).toArray)
+      // one VecSumFixed row per vector (bit-identical to the old
+      // posexplode → per-(cid,d) decimal sum, minus the dim× row
+      // fan-out through the hash aggregate — the pass that made Lloyd
+      // dominate the IVF build in IVFSCALE_r14)
+      val dim = cents(0).length
       for (_ <- 0 until iters) {
         val updated = proj
           .select(
             element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
-            posexplode(col("embedding")).as(Seq("d", "x")))
-          .groupBy(col("cid"), col("d"))
-          .agg(sum(col("x").cast("decimal(25,7)")).as("s"))
+            col("embedding"))
           .groupBy(col("cid"))
-          .agg(sort_array(collect_list(struct(col("d"), col("s")))).as("ds"))
-          .select(col("cid"), expr("transform(ds, p -> CAST(p.s AS FLOAT))").as("c"))
+          .agg(graft.functions.VectorFunctions.vecSumFixed(col("embedding"), dim).as("c"))
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
         cents = cids.map(c => updated.getOrElse(c, cents(cidIdx(c))))

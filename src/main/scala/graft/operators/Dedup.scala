@@ -502,12 +502,22 @@ object Dedup {
     * are disjoint, and OR keeps the bit-63 case overflow-free in
     * every replaying engine. Shared by [[phashDedup]] and the
     * streaming twin [[graft.streaming.EventStreams.phashBandHits]]. */
-  def phashCol(dim: Int, wrap: Boolean): Column =
-    (0 until dim).map { i =>
+  def phashCol(dim: Int, wrap: Boolean): Column = {
+    // fail short rows fast: the non-wrap form reads feature dim + 1,
+    // and non-ANSI element_at past the end returns null — the top
+    // bits would silently evaluate to 0 (corrupted hashes), which no
+    // downstream check can see
+    val needed = if (wrap) dim else dim + 1
+    val guard = when(size(col("features")) < needed,
+      raise_error(concat(lit(s"phashCol: needs >= $needed features, got "),
+        size(col("features")).cast("string"))).cast("long"))
+      .otherwise(lit(0L))
+    ((0 until dim).map { i =>
       val succ = if (wrap) (i + 1) % dim + 1 else i + 2
       when(element_at(col("features"), i + 1) > element_at(col("features"), succ),
         lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    } :+ guard).reduce(_.bitwiseOR(_))
+  }
 
   /** Perceptual near-dup summary per MEDIA row (the multimodal
     * pillar's dedup consumer, SURVEY §2 D12b): a dHash-style

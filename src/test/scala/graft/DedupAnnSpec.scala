@@ -478,6 +478,49 @@ class DedupAnnSpec extends AnyFunSuite {
       "probing every super must reproduce the flat argmax bit-identically")
   }
 
+  test("VecSumFixed is bit-identical to the posexplode decimal-sum it replaces") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    // adversarial floats: tiny magnitudes, exact .5-ulp-ish decimal
+    // boundaries, negatives, and plain unit-norm-ish values
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextInt(5) match {
+      case 0 => (rnd.nextInt(2000001) - 1000000) / 2e7f   // scale-7 .5 cases
+      case 1 => rnd.nextFloat() * 1e-6f - 5e-7f
+      case 2 => -rnd.nextFloat()
+      case _ => rnd.nextFloat() * 2f - 1f
+    })
+    val df = Seq.tabulate(5000)(i => (i.toLong % 7, vec()))
+      .toDF("cid", "embedding").repartition(8).persist()
+    val fast = df.groupBy(col("cid"))
+      .agg(VectorFunctions.vecSumFixed(col("embedding"), dim).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val ref = df
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x").cast("decimal(25,7)")).as("s"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("d"), col("s")))).as("ds"))
+      .select(col("cid"), expr("transform(ds, p -> CAST(p.s AS FLOAT))").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    df.unpersist()
+    assert(fast.keySet == ref.keySet)
+    for (k <- ref.keys) {
+      val (f, r) = (fast(k), ref(k))
+      assert(f.size == dim && r.size == dim)
+      // bit-identity, not ≈: the oracle replays the decimal path
+      assert(f.map(java.lang.Float.floatToIntBits).toSeq ==
+             r.map(java.lang.Float.floatToIntBits).toSeq, s"cid $k diverged")
+    }
+    // short rows fail fast instead of silently truncating the sum
+    val bad = Seq((0L, Array.fill(dim - 1)(1.0f))).toDF("cid", "embedding")
+    val e = intercept[Exception] {
+      bad.groupBy(col("cid"))
+        .agg(VectorFunctions.vecSumFixed(col("embedding"), dim).as("c")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("graded IVF assignment switches to the two-level kernel past TwoLevelNlist, recall-gated") {
     import spark.implicits._
     import graft.operators.Cluster
