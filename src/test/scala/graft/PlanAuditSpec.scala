@@ -225,6 +225,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 0, s"synthesize→decode→project must not shuffle, found $n exchange(s)")
   }
 
+  test("cdc_debezium_decode: the parse runs against the PRUNED envelope schema") {
+    // the graded decode passes Debezium.ImagedChangeColumns, so the
+    // from_json schema must carry only the 7 leaf fields the consumer
+    // reads (+op) — a full-envelope parse here means the pruning
+    // silently stopped reaching the parser
+    spark.catalog.clearCache()
+    val analyzed = SparkEntry.queries("cdc_debezium_decode")(spark, sf)
+      .queryExecution.analyzed
+    val schemas = analyzed.collect {
+      case n => n.expressions.flatMap(_.collect {
+        case j: org.apache.spark.sql.catalyst.expressions.JsonToStructs => j.schema
+      })
+    }.flatten
+    assert(schemas.nonEmpty, "no from_json found in the graded decode plan")
+    def leaves(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case s: org.apache.spark.sql.types.StructType => s.fields.map(f => leaves(f.dataType)).sum
+      case _ => 1
+    }
+    // auto-mode schema = payload(env) + flat(env): 2 × the pruned
+    // envelope's 7 leaves (before.id, after.id, after.value,
+    // source.{table,file,pos}, op — name/db/gtid/ts_ms/tx pruned away;
+    // the full envelope has 15, so an unpruned auto parse shows 30)
+    val got = schemas.map(leaves).max
+    assert(got == 14, s"expected 14 parsed leaves (2 × 7 pruned), got $got — " +
+      "an unpruned auto-mode parse would show 30")
+  }
+
   test("cdc_update_images: single-scan generate expansion; fold + control exchanges only") {
     val p = formatted("cdc_update_images")
     // one log scan exploding rows into images (Generate), ONE fold
