@@ -45,6 +45,14 @@ def run_oracle(sql, q):
     if os.environ.get("GRAFT_DUCK_TMP"):
         os.makedirs(os.environ["GRAFT_DUCK_TMP"], exist_ok=True)
         con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads TO {os.environ['GRAFT_DUCK_THREADS']}")
+    if os.environ.get("GRAFT_DUCK_NO_ORDER"):
+        # result order is irrelevant (compare sorts rows); dropping
+        # insertion-order preservation is DuckDB's documented lever for
+        # keeping big DISTINCT/join pipelines in budget instead of
+        # spilling (the sf1 dedup_pareto replay outgrew this box's disk)
+        con.execute("SET preserve_insertion_order=false")
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-8]
         src = f"{f}/*.parquet" if os.path.isdir(f) else f

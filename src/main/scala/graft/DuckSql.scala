@@ -286,16 +286,20 @@ object DuckSql {
   /** The per-doc MinHash replay prefix (`d`/`shl`/`hh`/`sig`/`bh` —
     * shingles, signature, band values), shared by [[minhashCtes]] and
     * [[minhashIncrementalOracle]]. */
+  /** The shingle→(g, h1, h2) hash-family subquery (reads `shl`) —
+    * shared by [[minhashBase]] and the pareto oracle's hoisted CTEs. */
+  private def minhashShingleHashes: String = finalize(
+    finalize(
+      finalize(
+        "(SELECT doc_id, " + fnvFold("s", 3) + " AS g0 FROM " +
+          "(SELECT doc_id, unnest(sh) AS s FROM shl))",
+        "doc_id", "g0", "g"),
+      "doc_id, g", "g", "h1"),
+    "doc_id, h1", "xor(g, 1::HUGEINT)", "h2")
+
   private def minhashBase(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
-    val shingleHashes = finalize(
-      finalize(
-        finalize(
-          "(SELECT doc_id, " + fnvFold("s", 3) + " AS g0 FROM " +
-            "(SELECT doc_id, unnest(sh) AS s FROM shl))",
-          "doc_id", "g0", "g"),
-        "doc_id, g", "g", "h1"),
-      "doc_id, h1", "xor(g, 1::HUGEINT)", "h2")
+    val shingleHashes = minhashShingleHashes
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |shl AS MATERIALIZED (
        |  SELECT doc_id,
@@ -344,18 +348,63 @@ object DuckSql {
     * the blocked-exact baseline's pair + candidate counts (from the
     * caller-supplied `near_dup_jaccard` CTE chain, whose `p` rows ARE
     * the blocked candidates), and per band count the minhash replay's
-    * candidate/verified-pair counts (`ver` rows / `dup` sum). Each
-    * configuration runs as its own nested-WITH subquery so the fixed
-    * CTE names never collide; formulations are verbatim the graded
-    * per-query oracles', so this row hashes iff those do. */
+    * candidate/verified-pair counts (`ver` rows / `dup` sum).
+    *
+    * r15 restructure (the e60ddd2 materialized-CTE medicine, applied
+    * after the sf1 solo replay outgrew this box's disk): the arms
+    * differ ONLY in the band split, so everything band-independent —
+    * shingles, signatures, posting-list intersections (`pint`, the
+    * dominant cost) — is declared ONCE as shared top-level
+    * MATERIALIZED CTEs and each arm adds just its `bh/cand/ver`
+    * (suffixed names, no collisions). Counts per arm are unchanged —
+    * identical formulations over identical inputs — so the row
+    * hashes exactly as the nested-WITH form did, at one `pint`
+    * materialization instead of |bands|. */
   def dedupParetoOracle(jaccardCtes: String, threshold: Double,
                         numHashes: Int, bandsList: Seq[Int]): String = {
+    val rowsOf = (b: Int) => numHashes / b
+    val shared =
+      s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shl AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 3
+         |              THEN list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+         |                                  for i in range(1, len(w) - 1)])
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM d),
+         |hh AS (SELECT * FROM ${minhashShingleHashes} hf),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, j, min(${signed("(h1 + j*h2) % " + M)}) AS sv
+         |  FROM hh CROSS JOIN (SELECT unnest(range($numHashes)) AS j) js
+         |  GROUP BY doc_id, j),
+         |sln AS (SELECT doc_id, len(sh) AS ln FROM shl),
+         |sx AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+         |pint AS MATERIALIZED (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
     val perB = bandsList.map { b =>
-      s"""m$b AS (
+      s"""bh$b AS MATERIALIZED (
+         |  SELECT doc_id, j // ${rowsOf(b)} AS band,
+         |         list_reduce(list_prepend(17::HUGEINT, list(${unsigned("sv")} ORDER BY j)),
+         |                     (a, x) -> (a*31 + x) % $M) AS bv
+         |  FROM sig GROUP BY doc_id, j // ${rowsOf(b)}),
+         |cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bh$b a JOIN bh$b b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |ver$b AS MATERIALIZED (
+         |  SELECT c.a_id, c.b_id,
+         |         CASE WHEN CAST(coalesce(i.inter, 0) AS DOUBLE) /
+         |                   (la.ln + lb.ln - coalesce(i.inter, 0)) >= $threshold
+         |              THEN 1 ELSE 0 END AS dup
+         |  FROM cand$b c
+         |  JOIN sln la ON la.doc_id = c.a_id
+         |  JOIN sln lb ON lb.doc_id = c.b_id
+         |  LEFT JOIN pint i ON i.a_id = c.a_id AND i.b_id = c.b_id),
+         |m$b AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
          |         CAST(coalesce(sum(dup), 0) AS BIGINT) AS n_found
-         |  FROM (WITH ${minhashCtes(numHashes, b, threshold)}
-         |        SELECT dup FROM ver) v$b)""".stripMargin
+         |  FROM ver$b)""".stripMargin
     }.mkString(",\n")
     val bRows = bandsList.map { b =>
       s"""SELECT 'minhash_lsh' AS method, CAST($b AS INT) AS bands,
@@ -377,6 +426,7 @@ object DuckSql {
        |              coalesce((SELECT sum(a.n * b.n) FROM bhx a
        |                        JOIN bhx b ON b.bucket = a.bucket + 1), 0)
        |         AS BIGINT) AS n_cand),
+       |$shared,
        |$perB
        |SELECT 'exact' AS method, CAST(0 AS INT) AS bands,
        |       (SELECT n_exact FROM jx) AS n_exact,
