@@ -80,7 +80,12 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val keySizes = Seq(10000, 100000)
+    // resident-key columns; override for deep-state probes (e.g.
+    // "10000,100000,1000000" with a row `scale` ≥ keys/100k so the
+    // biggest column actually touches every key a few times)
+    val keySizes = sys.env.get("SPARK_GRAFT_STREAMBENCH_KEYS")
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(10000, 100000))
     val baseTs = 1700000000000L // fixed epoch-ms base: deterministic event time
     def ts(i: Long) = new java.sql.Timestamp(baseTs + i)
     def rowsOf(n: Int): Long = (n * scale).toLong
