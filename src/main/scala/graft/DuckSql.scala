@@ -1007,12 +1007,24 @@ object DuckSql {
     * total exact count, hit count vs ground truth, and candidate
     * (scored) count, all exact integers. Formulations are verbatim
     * the per-index oracles' (`ann_topk`/`ann_lsh`/`ann_ivf`), so this
-    * row hashes iff those do. */
+    * row hashes iff those do. The `lsh_adaptive` row replays the
+    * graded [[graft.operators.Ann.lshTopKAdaptive]] geometry
+    * (`bandedPlanes`/`bands`/`planesPerBand` — measured-cardinality
+    * derived, so this oracle is Verify-generated, not static SQL);
+    * its `n_scored` is the banded candidate-pair count, the cost
+    * axis of the recall contract. */
   def annParetoOracle(planes: Array[Array[Double]], nQueries: Int, k: Int,
-                      nlist: Int, nprobes: Seq[Int]): String = {
+                      nlist: Int, nprobes: Seq[Int],
+                      bandedPlanes: Array[Array[Double]], bands: Int,
+                      planesPerBand: Int): String = {
     val bucketExpr = planes.zipWithIndex
       .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} > 0 THEN ${1 << i} ELSE 0 END)" }
       .mkString(" + ")
+    val bandExprs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        s"(CASE WHEN ${dotLit(bandedPlanes(b * planesPerBand + i))} > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
     val maxNp = nprobes.max
     val perNp = nprobes.map { np =>
       s"""ic$np AS (
@@ -1063,6 +1075,25 @@ object DuckSql {
        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |    FROM lc) t
        |  WHERE rnk <= $k),
+       |be AS (SELECT vec_id, [${bandExprs.mkString(",\n  ")}] AS bks FROM embeddings),
+       |bbb AS MATERIALIZED (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM be),
+       |bcand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM bbb q JOIN bbb c ON q.band = c.band AND q.bk = c.bk
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |blc AS (
+       |  SELECT q_id, n_id,
+       |         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                                CAST(y.embedding AS DOUBLE[])) AS cos
+       |  FROM bcand
+       |  JOIN embeddings x ON x.vec_id = q_id
+       |  JOIN embeddings y ON y.vec_id = n_id),
+       |blt AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM blc) t
+       |  WHERE rnk <= $k),
        |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $nlist),
        |assigned AS (
        |  SELECT vec_id, cid AS list_id FROM (
@@ -1090,6 +1121,11 @@ object DuckSql {
        |       (SELECT n_exact FROM nex) AS n_exact,
        |       CAST((SELECT count(*) FROM lt t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
        |       CAST((SELECT count(*) FROM lc) AS BIGINT) AS n_scored
+       |UNION ALL
+       |SELECT 'lsh_adaptive' AS method, CAST($bands AS INT) AS knob,
+       |       (SELECT n_exact FROM nex) AS n_exact,
+       |       CAST((SELECT count(*) FROM blt t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
+       |       CAST((SELECT count(*) FROM blc) AS BIGINT) AS n_scored
        |UNION ALL
        |$npRows""".stripMargin
   }

@@ -42,7 +42,18 @@ object ScaleBench {
     "bm25_topk", "lm_score",
     // r13: the LM's bucket-hashed scale twin (broadcast model, map-pass
     // scoring) — its ratio beside lm_score's IS the twin's argument
-    "lm_score_bucket")
+    "lm_score_bucket",
+    // r16: the bench top-10 tail joins the sweep (r15 verdict task 3 —
+    // the two multi-arm pareto graders, the chunk-pair banded dedups,
+    // suffix-array substring dup, the iterative graph op, and the
+    // manifest-pruning scan path; their scale SHAPES were argued in
+    // code, this makes the artifact prove them)
+    "dedup_pareto", "ann_pareto", "dedup_simhash", "dedup_semantic_keep",
+    "dedup_containment", "phash_dedup", "substr_dup", "page_rank",
+    "zonemap_prune",
+    // r16: dedup_semantic beside dedup_embedding_lsh = the measured
+    // SemDeDup-vs-banded-LSH crossover (r15 verdict task 6)
+    "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

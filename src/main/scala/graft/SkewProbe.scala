@@ -28,14 +28,31 @@ import graft.cdc.Changelog
   * if a future refactor replaces the rn=1 filter with something the
   * rewrite cannot see, this artifact catches the regression.
   *
-  * `runMain graft.SkewProbe [rows] [keys] [hotShare]` → one JSON line
-  * + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
+  * Second probe (r15 verdict stretch #8, landed r16): the NEAR-DUP
+  * FLOOD over [[graft.operators.Dedup.minhashLshPairs]]. The
+  * exact-dup collapse bounds byte-identical floods, but a template
+  * cluster of near-identical-yet-DISTINCT docs (one mutated token
+  * each — every spam/SEO farm) survives collapse with one group per
+  * doc and collides in the same band buckets, so the candidate stage
+  * goes quadratic in the flood size — which is ALSO the size of the
+  * true answer (every flood pair IS a verified dup), so quadratic
+  * output is correct, not a defect. What must hold is the plan shape
+  * under that skew: candidates stay id-only (no text/shingle arrays
+  * on the quadratic stream), the verify attach takes the measured
+  * stats-gated strategy, and throughput per EMITTED pair stays flat —
+  * the probe records seconds, emitted-pair count, and pairs/s so the
+  * bound is a measured number, diffable round-over-round.
+  *
+  * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]`
+  * → one JSON line + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
 object SkewProbe {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.length >= 1) args(0).toLong else 8000000L
     val keys = if (args.length >= 2) args(1).toLong else 100000L
     val hotShare = if (args.length >= 3) args(2).toDouble else 0.4
+    val floodDocs = if (args.length >= 4) args(3).toLong else 200000L
+    val floodSize = if (args.length >= 5) args(4).toLong else 4000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Sessions.fromEnv(
@@ -82,9 +99,48 @@ object SkewProbe {
     System.err.println(f"[skewprobe] uniform=$uniSec%.2f s zipf=$zipfSec%.2f s " +
       f"ratio=$ratio%.2f groupLimit=$hasGroupLimit")
 
+    // ---- near-dup flood probe (minhashLshPairs) ----
+    // corpus: `floodDocs` 30-token docs. Uniform: every token hashed
+    // from (doc_id, pos) — distinct shingle sets, no band collisions.
+    // Flooded: the first `floodSize` docs share a 30-token template
+    // with ONE position mutated per doc (position doc_id%30, token
+    // unique to the doc) — pairwise Jaccard ≥ ~0.65 over 3-shingles,
+    // so every flood pair is a TRUE near-dup: distinct groups (the
+    // collapse can't absorb them), same band buckets (the candidate
+    // join takes the full quadratic hit), quadratic verified output.
+    def corpus(flooded: Boolean): DataFrame = {
+      val uniformTok = "transform(sequence(0, 29), p -> " +
+        "concat('u', cast(xxhash64(concat(cast(id AS string), '_', " +
+        "cast(p AS string))) AS string)))"
+      val floodTok = "transform(sequence(0, 29), p -> " +
+        "IF(p = pmod(id, 30), concat('m', cast(id AS string)), " +
+        "concat('s', cast(p AS string))))"
+      val tokens =
+        if (flooded) s"IF(id < ${floodSize}L, $floodTok, $uniformTok)"
+        else uniformTok
+      spark.range(floodDocs).selectExpr("id AS doc_id",
+        s"array_join($tokens, ' ') AS text")
+    }
+    def timePairs(flooded: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.minhashLshPairs(corpus(flooded)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (floodBaseSec, floodBasePairs) = timePairs(flooded = false)
+    val (floodSec, floodPairs) = timePairs(flooded = true)
+    val expectPairs = floodSize * (floodSize - 1) / 2
+    val pairsPerSec = if (floodSec > 0) floodPairs / floodSec else 0.0
+    System.err.println(f"[skewprobe] flood: uniform=$floodBaseSec%.2f s " +
+      f"($floodBasePairs pairs) flood=$floodSec%.2f s ($floodPairs pairs, " +
+      f"expect ≥ $expectPairs) ${pairsPerSec / 1e6}%.2f M pairs/s")
+
     val line = f"""{"metric":"skewprobe","rows":$rows,"keys":$keys,""" +
       f""""hot_share":$hotShare,"uniform_sec":$uniSec%.3f,"zipf_sec":$zipfSec%.3f,""" +
-      f""""ratio":$ratio%.3f,"window_group_limit":$hasGroupLimit}"""
+      f""""ratio":$ratio%.3f,"window_group_limit":$hasGroupLimit,""" +
+      f""""flood":{"docs":$floodDocs,"flood_size":$floodSize,""" +
+      f""""uniform_sec":$floodBaseSec%.3f,"uniform_pairs":$floodBasePairs,""" +
+      f""""flood_sec":$floodSec%.3f,"flood_pairs":$floodPairs,""" +
+      f""""expected_min_pairs":$expectPairs,"pairs_per_sec":$pairsPerSec%.0f}}"""
     println(line)
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_LAST.json"))
     Files.writeString(outPath, line + "\n")

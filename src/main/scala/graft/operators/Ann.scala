@@ -321,7 +321,21 @@ object Ann {
     * schedule) instead of decaying s-curve-style as a single fixed
     * band would. The engine and the DuckDB oracle both derive the
     * geometry from the SAME measured count, so the replay stays
-    * exact at any corpus size (the D5b playbook). */
+    * exact at any corpus size (the D5b playbook).
+    *
+    * COST of the recall contract (the r15 sweep's 1.86 → 4.65 s 32×
+    * line, priced here on purpose): the corpus side posexplodes to
+    * `bands ×` rows before the broadcast band probe — the map-side
+    * volume is bands× the fixed-plane table's, capped at 32× by
+    * [[graft.operators.Dedup.lshGeometry]]'s band budget. That buys
+    * recall ≥ 0.98 where the fixed 6-plane table held 0.10
+    * (5/50 at sf0.01); both points sit on the [[paretoSweep]]
+    * ledger — `lsh` (knob 0) vs `lsh_adaptive` (knob = bands) — so
+    * the trade is a graded recall/cost point, not a hidden constant.
+    * Per-query SCORED work stays occupancy-bounded (the candidate
+    * count, `n_scored`, is in the same frame); the explode itself is
+    * narrow (id + one int per band, never the embedding), fuses into
+    * the scan, and never shuffles. */
   def lshTopKAdaptive(embeddings: DataFrame, dim: Int = 64,
                       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val (b, r) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(embeddings))
@@ -350,6 +364,23 @@ object Ann {
     * anywhere in the plan. */
   def lshTopKBanded(embeddings: DataFrame, bands: Int, planesPerBand: Int,
                     dim: Int = 64, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val scored = lshBandedCandidates(embeddings, bands, planesPerBand, dim, nQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** The scored banded-LSH candidate set (q_id, n_id, cos) BEFORE the
+    * top-k window — the cost-axis frame [[paretoSweep]] counts (its
+    * row count IS "candidates scored") and the body of
+    * [[lshTopKBanded]]. Same execution shape as the graded search:
+    * corpus never shuffles, embeddings attach late to the
+    * candidate-count-sized frame. */
+  private[graft] def lshBandedCandidates(embeddings: DataFrame, bands: Int,
+                                         planesPerBand: Int, dim: Int,
+                                         nQueries: Int): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, dim)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       signBuckets(col("embedding"), planes, bands, planesPerBand).as("bks"))
@@ -364,17 +395,13 @@ object Ann {
       // map-side dedup that replaces a (q_id, n_id) distinct exchange
       .where(col("band") === firstEqualBandCol(col("q_bks"), col("n_bks")))
       .select(col("q_id"), col("n_id"))
-    val scored = broadcast(cand)
+    broadcast(cand)
       .join(embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         Seq("n_id"))
       .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"))
+      .select(col("q_id"), col("n_id"), col("cos"))
   }
 
   /** Multi-probe variant of [[lshTopK]]: each query ALSO probes the
@@ -803,7 +830,12 @@ object Ann {
     * row it improves.
     *
     * Methods swept: brute (the recall-1.0 / full-scan anchor), LSH
-    * (sign buckets, probes=0) and IVF at nprobe ∈ {1, 2, 4} — the
+    * (fixed sign buckets, probes=0 — the retired r14 geometry, kept
+    * as the cheap/low-recall anchor), `lsh_adaptive` (the GRADED
+    * `ann_lsh` geometry since r15: [[lshTopKAdaptive]]'s
+    * cardinality-derived bands, knob = bands — so the geometry that
+    * ships is the geometry the front grades, its bands×-explode cost
+    * visible as `n_scored`) and IVF at nprobe ∈ {1, 2, 4} — all
     * components with bit-exact SQL replays; each reuses the SAME
     * brute ground-truth frame (persisted once by [[recall]]).
     * Eager like [[recall]] (builds counts); every per-method frame is
@@ -840,9 +872,14 @@ object Ann {
       .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
+    // the graded ann_lsh geometry, derived from the same measured
+    // count the search itself uses — knob records the band count
+    val (aBands, aPlanes) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(embeddings))
     val rows =
       row("brute", 0, exact, (nCorpus - 1) * nQueries) +:
       approxRow("lsh", 0, lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)) +:
+      approxRow("lsh_adaptive", aBands,
+        lshBandedCandidates(embeddings, aBands, aPlanes, dim, nQueries)) +:
       Seq(1, 2, 4).map { np =>
         approxRow("ivf", np, ivfCandidatesWith(embeddings, cids, cents, np, nQueries))
       }

@@ -138,9 +138,23 @@ object Debezium {
     require(Set("auto", "wrapped", "flat")(format),
       s"Debezium.decode: format must be auto|wrapped|flat, got $format")
     // requested top-level outputs → (nested row fields or whole-struct)
+    val knownOut = Set("before", "after", "op") ++ outToSource.map(_._1) ++
+      Set("ts_ms", "tx_id")
     val want: Option[Map[String, Set[String]]] =
       if (columns.isEmpty) None
-      else Some(columns.map { c => val p = c.split("\\.", 2); (p(0), p.lift(1)) }
+      else Some(columns.map { c =>
+        val p = c.split("\\.", 2)
+        require(knownOut(p(0)), s"Debezium.decode: unknown column '$c' " +
+          s"(known: ${knownOut.toSeq.sorted.mkString(", ")})")
+        p.lift(1).foreach { leaf =>
+          require(Set("before", "after")(p(0)),
+            s"Debezium.decode: only before/after take '.leaf' paths, got '$c'")
+          require(rowSchema.fieldNames.contains(leaf),
+            s"Debezium.decode: '$c' names no field of the row schema " +
+              s"(${rowSchema.fieldNames.mkString(", ")})")
+        }
+        (p(0), p.lift(1))
+      }
         .groupBy(_._1).map { case (k, vs) =>
           k -> (if (vs.exists(_._2.isEmpty)) Set.empty[String]
                 else vs.flatMap(_._2).toSet)
@@ -150,18 +164,27 @@ object Debezium {
       case Some(s) if s.nonEmpty => StructType(rowSchema.fields.filter(f => s(f.name)))
       case _ => rowSchema
     }
-    val srcFields = sourceSchema.fields.filter(f =>
-      outToSource.exists { case (o, s) => s == f.name && keep(o) })
-    val env = StructType(
-      (if (keep("before")) Seq(StructField("before", rowFor("before"))) else Nil) ++
-      (if (keep("after")) Seq(StructField("after", rowFor("after"))) else Nil) ++
-      (if (srcFields.nonEmpty)
-        Seq(StructField("source", StructType(srcFields))) else Nil) ++
-      Seq(StructField("op", StringType)) ++
-      (if (keep("ts_ms")) Seq(StructField("ts_ms", LongType)) else Nil) ++
-      (if (keep("tx_id")) Seq(StructField("transaction", StructType(Seq(
-        StructField("id", StringType),
-        StructField("total_order", LongType))))) else Nil))
+    // Default (columns = Nil) parses the FULL envelope — including
+    // source.ts_ms, which no output column reads but whose malformed
+    // values must still fail PERMISSIVE parsing into the DLQ exactly
+    // as an unpruned decode would. Only an explicit `columns` list
+    // narrows the source struct to the mapped fields it needs.
+    val env = want match {
+      case None => envelopeSchema(rowSchema)
+      case Some(_) =>
+        val srcFields = sourceSchema.fields.filter(f =>
+          outToSource.exists { case (o, s) => s == f.name && keep(o) })
+        StructType(
+          (if (keep("before")) Seq(StructField("before", rowFor("before"))) else Nil) ++
+          (if (keep("after")) Seq(StructField("after", rowFor("after"))) else Nil) ++
+          (if (srcFields.nonEmpty)
+            Seq(StructField("source", StructType(srcFields))) else Nil) ++
+          Seq(StructField("op", StringType)) ++
+          (if (keep("ts_ms")) Seq(StructField("ts_ms", LongType)) else Nil) ++
+          (if (keep("tx_id")) Seq(StructField("transaction", StructType(Seq(
+            StructField("id", StringType),
+            StructField("total_order", LongType))))) else Nil))
+    }
     val wrapped = StructType(Seq(StructField("payload", env)))
     val passThrough = raw.columns.filterNot(_ == jsonCol).map(col)
     val envCol = format match {

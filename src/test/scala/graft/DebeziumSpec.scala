@@ -74,6 +74,51 @@ class DebeziumSpec extends AnyFunSuite {
     assert(dlqP.as[String].collect().toSet == dlqF.as[String].collect().toSet)
   }
 
+  test("default decode parses the FULL envelope schema — source.ts_ms included (15 leaves / 30 auto)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.{DataType, StructType}
+    // columns=Nil is documented as 'decode everything': the parse
+    // schema must be the full envelopeSchema, not a silently-narrowed
+    // variant that drops source.ts_ms (the one source field backing no
+    // output column). The schema is the contract — under
+    // spark.sql.json.enablePartialResults a type-malformed leaf only
+    // nulls itself, but WHICH leaves exist governs what gets
+    // materialized and how strict-mode parsers would behave.
+    val raw = Seq(env("c", None, Some((1L, 10.0)), "f", 1)).toDF("value")
+    val d = Debezium.decode(raw)
+    val schemas = d.queryExecution.analyzed.flatMap(p =>
+      p.expressions.flatMap(_.collect { case j: JsonToStructs => j.schema }))
+    def leaves(dt: DataType): Int = dt match {
+      case s: StructType => s.fields.map(f => leaves(f.dataType)).sum
+      case _ => 1
+    }
+    // auto-mode schema = payload(env) + flat(env) = 2 × the 15-leaf
+    // full envelope (before 2 + after 2 + source 7 + op + ts_ms + tx 2)
+    assert(schemas.map(leaves).max == 30,
+      s"default auto parse must carry the full 30-leaf schema, got ${schemas.map(leaves).max}")
+    def flatten(prefix: String, s: StructType): Seq[String] = s.fields.flatMap(f =>
+      f.dataType match {
+        case n: StructType => flatten(s"$prefix${f.name}.", n)
+        case _ => Seq(s"$prefix${f.name}")
+      })
+    val allLeaves = schemas.collect { case s: StructType => flatten("", s) }.flatten.toSet
+    assert(allLeaves.contains("source.ts_ms"),
+      s"source.ts_ms must be in the default parse schema, got: $allLeaves")
+  }
+
+  test("decode rejects unknown `columns` entries up front") {
+    val raw = Seq(env("c", None, Some((1L, 10.0)), "f", 1)).toDF("value")
+    val badTop = intercept[IllegalArgumentException](
+      Debezium.decode(raw, columns = Seq("table_name")))
+    assert(badTop.getMessage.contains("unknown column 'table_name'"))
+    val badLeaf = intercept[IllegalArgumentException](
+      Debezium.decode(raw, columns = Seq("after.val")))
+    assert(badLeaf.getMessage.contains("names no field"))
+    val badPath = intercept[IllegalArgumentException](
+      Debezium.decode(raw, columns = Seq("op.x")))
+    assert(badPath.getMessage.contains("only before/after"))
+  }
+
   test("decodeWithDlq: both frames come off ONE single-parse projection (plan audit)") {
     import org.apache.spark.sql.catalyst.expressions.JsonToStructs
     // a parquet-backed input — a local Seq would be constant-folded

@@ -37,7 +37,7 @@ class DedupAnnSpec extends AnyFunSuite {
     val n = emb.count()
     val rows = Ann.paretoSweep(emb)
       .as[(String, Int, Long, Long, Long)].collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     val byKey = rows.map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
     val (bx, bh, bs) = byKey(("brute", 0))
     assert(bh == bx, "brute is its own ground truth: recall 1.0")
@@ -46,6 +46,24 @@ class DedupAnnSpec extends AnyFunSuite {
     rows.foreach { case (_, _, ex, hit, sc) =>
       assert(hit <= ex && sc <= bs)
     }
+    // the GRADED ann_lsh geometry is on the ledger (r15 verdict task 1):
+    // one lsh_adaptive row, knob = the measured band count, recall
+    // within the ann_recall contract (≫ the retired fixed-plane arm's),
+    // its candidate cost in the same frame
+    val (aBands, _) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(emb))
+    val adaptive = rows.filter(_._1 == "lsh_adaptive")
+    assert(adaptive.length == 1 && adaptive.head._2 == aBands,
+      s"lsh_adaptive knob must record the measured band count $aBands: ${adaptive.toSeq}")
+    val (ax, ah, as_) = byKey(("lsh_adaptive", aBands))
+    val (_, fh, _) = byKey(("lsh", 0))
+    // the ≥0.98 recall CONTRACT is at the cos-0.9 near-dup anchor
+    // (ann_recall + the lshTopKAdaptive spec pin it); raw top-k
+    // recall over arbitrary-cosine neighbors is necessarily lower on
+    // a tiny random corpus — what this ledger row must show is the
+    // adaptive geometry CLEARLY dominating the retired fixed arm
+    assert(ah >= 2 * fh && ah > 0,
+      s"adaptive recall ($ah/$ax) must clearly dominate the fixed arm ($fh/$ax)")
+    assert(as_ <= bs, "adaptive candidates stay below the full scan")
     // ivf: more probes may only add candidate lists ⇒ recall and cost
     // are both non-decreasing in nprobe
     val ivf = rows.filter(_._1 == "ivf").sortBy(_._2)
