@@ -44,11 +44,18 @@ object ScaleBench {
     // scoring) — its ratio beside lm_score's IS the twin's argument
     "lm_score_bucket",
     // r16: the bench top-10 tail joins the sweep (r15 verdict task 3 —
-    // the two multi-arm pareto graders, the chunk-pair banded dedups,
+    // the multi-arm pareto grader, the chunk-pair banded dedups,
     // suffix-array substring dup, the iterative graph op, and the
     // manifest-pruning scan path; their scale SHAPES were argued in
-    // code, this makes the artifact prove them)
-    "dedup_pareto", "ann_pareto", "dedup_simhash", "dedup_semantic_keep",
+    // code, this makes the artifact prove them).
+    // dedup_pareto is deliberately ABSENT: its exact-baseline arm is
+    // quadratic BY CONSTRUCTION (the recall ground truth), and the
+    // r16 32× attempt measured the bound — at 160k docs the verify
+    // attach stream exceeded this host's disk (>75 GB spill, job
+    // aborted). The grader is an oracle-scale instrument; its SCALE
+    // path is the banded arms, which the sweep times as
+    // dedup_minhash_lsh / dedup_cc_lsh.
+    "ann_pareto", "dedup_simhash", "dedup_semantic_keep",
     "dedup_containment", "phash_dedup", "substr_dup", "page_rank",
     "zonemap_prune",
     // r16: dedup_semantic beside dedup_embedding_lsh = the measured

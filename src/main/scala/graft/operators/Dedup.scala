@@ -416,7 +416,19 @@ object Dedup {
     * recall vs the baseline is `n_found / n_exact` (banding does not
     * respect the baseline's length-bucket blocking, so in principle a
     * banded path can even exceed the blocked baseline). Eager —
-    * counts are computed at build; each pipeline runs once. */
+    * counts are computed at build; each pipeline runs once.
+    *
+    * Scale bound (measured, r16 32×-sweep): the baseline arm is
+    * QUADRATIC BY CONSTRUCTION — it exists to grade recall exactly,
+    * so it blocks only by length (±1 bucket) and verifies every
+    * surviving pair. At 160k replicated docs the verify attach
+    * stream exceeded a 78 GB disk and the job aborted (~67M
+    * candidate pairs × KB-sized shingle arrays through the pinned
+    * SHUFFLE_HASH attach). This operator is an ORACLE-SCALE
+    * instrument: run it where ground truth is computable (the sf1
+    * replay needs ~105 GB of DuckDB temp — §18's recipe); the scale
+    * path whose cost it grades is the banded family, which the 32×
+    * sweep times directly (`dedup_minhash_lsh`, `dedup_cc_lsh`). */
   def dedupPareto(docs: DataFrame, threshold: Double = 0.5, numHashes: Int = 128,
                   bandsList: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     val spark = docs.sparkSession
@@ -424,12 +436,14 @@ object Dedup {
     val (t, cand0) = jaccardBlocked(docs)
     // persist the candidate frame across its two consumers (the cost
     // count and the verify) — same shape as Ann.paretoSweep.approxRow;
-    // pair-id rows are 16 B, so the cache is pair-count-sized
+    // pair-id rows are 16 B, so the cache is pair-count-sized.
+    // unpersist in a finally: a failed count (the r16 32×-sweep disk
+    // exhaustion) must not pin pair-count-sized blocks for the rest
+    // of the process — the leak cost a later sweep 36 GB of disk
     val cand = cand0.persist()
-    val nCandExact = cand.count()
-    val nExact = verifyJaccard(t, cand, threshold).count()
-    cand.unpersist()
-    t.unpersist()
+    val (nCandExact, nExact) =
+      try (cand.count(), verifyJaccard(t, cand, threshold).count())
+      finally { cand.unpersist(); t.unpersist() }
     val rows = ("exact", 0, nExact, nExact, nCandExact) +: bandsList.map { b =>
       val agg = minhashLsh(docs, numHashes, b, threshold)
         .agg((sum(col("n_cand")) / 2).cast("long").as("c"),
