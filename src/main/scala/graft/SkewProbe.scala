@@ -128,11 +128,20 @@ object SkewProbe {
     }
     val (floodBaseSec, floodBasePairs) = timePairs(flooded = false)
     val (floodSec, floodPairs) = timePairs(flooded = true)
-    val expectPairs = floodSize * (floodSize - 1) / 2
+    // every flood pair IS a true near-dup (J ≥ ~0.65 by construction),
+    // so true pairs = C(floodSize, 2); FOUND pairs are true × the
+    // banding S-curve's collision recall at that Jaccard (the default
+    // 16×8 geometry gives ~0.39 at J=0.647 / ~0.96 at J=0.806 —
+    // candidate recall, not a verify miss). The probe's skew verdict
+    // is the COST line: completes, and pairs/s stays linear; recall
+    // at the pinned geometry is recorded so a banding change diffs.
+    val truePairs = floodSize * (floodSize - 1) / 2
+    val floodRecall = floodPairs.toDouble / truePairs
     val pairsPerSec = if (floodSec > 0) floodPairs / floodSec else 0.0
     System.err.println(f"[skewprobe] flood: uniform=$floodBaseSec%.2f s " +
-      f"($floodBasePairs pairs) flood=$floodSec%.2f s ($floodPairs pairs, " +
-      f"expect ≥ $expectPairs) ${pairsPerSec / 1e6}%.2f M pairs/s")
+      f"($floodBasePairs pairs) flood=$floodSec%.2f s ($floodPairs of " +
+      f"$truePairs true pairs, recall=$floodRecall%.3f) " +
+      f"${pairsPerSec / 1e6}%.2f M pairs/s")
 
     val line = f"""{"metric":"skewprobe","rows":$rows,"keys":$keys,""" +
       f""""hot_share":$hotShare,"uniform_sec":$uniSec%.3f,"zipf_sec":$zipfSec%.3f,""" +
@@ -140,7 +149,8 @@ object SkewProbe {
       f""""flood":{"docs":$floodDocs,"flood_size":$floodSize,""" +
       f""""uniform_sec":$floodBaseSec%.3f,"uniform_pairs":$floodBasePairs,""" +
       f""""flood_sec":$floodSec%.3f,"flood_pairs":$floodPairs,""" +
-      f""""expected_min_pairs":$expectPairs,"pairs_per_sec":$pairsPerSec%.0f}}"""
+      f""""true_pairs":$truePairs,"band_recall":$floodRecall%.4f,""" +
+      f""""pairs_per_sec":$pairsPerSec%.0f}}"""
     println(line)
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_LAST.json"))
     Files.writeString(outPath, line + "\n")
