@@ -671,7 +671,21 @@ object Dedup {
     * Pure and deterministic — the engine and the DuckDB oracle
     * generator call THIS function with the SAME measured count, so
     * the replay stays bit-exact (the r13 trainer-sampling playbook).
-    */
+    *
+    * Saturation crossover, MEASURED (r16 32× sweep, 160k distinct
+    * vectors = 2.5× past the r=13 saturation point): the saturated
+    * banded geometry mines `dedup_embedding_lsh` in 10.1 s while the
+    * named escape — k-means blocking ([[semanticDedup]], graded
+    * `dedup_semantic`) — takes 33.4 s on the same corpus at its
+    * oracle-pinned k=8. The crossover has NOT arrived at 32×:
+    * post-saturation occupancy grows linearly and each extra
+    * candidate costs one fused dot product, while FIXED-k blocking
+    * is quadratic within clusters (~n²/k pairs). SemDeDup overtakes
+    * only when k grows ∝ n (constant cluster size) — a geometry
+    * change that re-derives the trained codebook, exactly what its
+    * dynamic-oracle machinery supports if a corpus ever outruns the
+    * band budget in practice. Until then the banded path stays the
+    * deployed default well past saturation. */
   def lshGeometry(nDistinct: Long, targetOccupancy: Long = 8L,
                   anchorCos: Double = 0.9, targetRecall: Double = 0.98,
                   minPlanes: Int = 6, maxBands: Int = 32): (Int, Int) = {
