@@ -884,6 +884,35 @@ object DuckSql {
        |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
        |                             CAST(y.embedding AS DOUBLE[])) >= ${dlit(threshold)}""".stripMargin
 
+  /** Oracle for `dedup_semantic_scaled`: replay of
+    * [[graft.operators.Dedup.semanticPairsScaled]]. Training runs
+    * over the COLLAPSED representatives (`GROUP BY embedding`,
+    * min-id rep — value-exact where the engine uses two independent
+    * 64-bit hashes, same negligible-collision argument as every
+    * group key here), with `k` already derived by the caller from
+    * the same measured distinct count. The final assignment runs
+    * over the FULL corpus against the trained codebook: a member
+    * assigns exactly as its representative (identical embedding ⇒
+    * identical bit-exact [[cosCols]] ranking), so the full-table
+    * same-cluster self-join + cosine verify IS the engine's
+    * reconstituted member pair set — intra pairs included (identical
+    * vectors share a cluster; cos(v,v) ≥ t under NaN-is-greatest in
+    * both engines). */
+  def semanticScaledOracle(k: Int, iters: Int, dim: Int, threshold: Double,
+                           trainPct: Int = 100, seed: Long = 0L): String =
+    s"""WITH ${kmeansCtesSub("_g",
+           "SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding",
+           k, iters, dim, trainPct, seed)},
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |${kmAssignCte("afin", s"c${iters}_g", dim)}
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |FROM afin a
+       |JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |JOIN embeddings x ON x.vec_id = a.vec_id
+       |JOIN embeddings y ON y.vec_id = b.vec_id
+       |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                             CAST(y.embedding AS DOUBLE[])) >= ${dlit(threshold)}""".stripMargin
+
   /** Oracle for `ann_ivf_trained`: IVF search over the k-means-TRAINED
     * codebook — the full loop (train → index → probe) replayed in SQL.
     * Every cosine uses the bit-exact [[cosCols]] replay: assignment

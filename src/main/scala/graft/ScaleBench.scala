@@ -59,8 +59,11 @@ object ScaleBench {
     "dedup_containment", "phash_dedup", "substr_dup", "page_rank",
     "zonemap_prune",
     // r16: dedup_semantic beside dedup_embedding_lsh = the measured
-    // SemDeDup-vs-banded-LSH crossover (r15 verdict task 6)
-    "dedup_semantic")
+    // SemDeDup-vs-banded-LSH crossover (r15 verdict task 6); the
+    // _scaled twin (collapse + cardinality-derived k) is the fix the
+    // crossover motivated — its line beside the fixed-k one IS the
+    // argument
+    "dedup_semantic", "dedup_semantic_scaled")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

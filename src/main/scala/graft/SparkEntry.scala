@@ -547,6 +547,15 @@ object SparkEntry {
       // generation (vs embeddingPairsLsh's random hyperplane buckets)
       Dedup.semanticPairs(Tables.embeddings(s, d), k = 8, iters = 2,
         threshold = 0.4002, trainPct = Cluster.TrainPct)),
+    "dedup_semantic_scaled" -> ((s, d) =>
+      // SemDeDup at scale posture (r16): exact-dup collapse before
+      // the trained blocking + codebook size from the measured
+      // distinct count (Cluster.semanticK) — within-cluster verify
+      // volume linear in distinct vectors where the fixed-k graded
+      // twin is quadratic (the 74.6x sweep line this replaces at
+      // scale; dedup_semantic stays the oracle-pinned k=8 anchor)
+      Dedup.semanticPairsScaled(Tables.embeddings(s, d),
+        threshold = 0.4002, iters = 2, trainPct = Cluster.TrainPct)),
     "dedup_semantic_keep" -> ((s, d) => {
       // the SemDeDup pipeline through to KEEPERS: semantic pairs →
       // duplicate components → one representative per group (min id —
@@ -2463,6 +2472,16 @@ object SparkEntry {
          |       CAST(coalesce(h.c, 0) AS INT) AS n_hit
          |FROM ne LEFT JOIN na ON ne.q_id = na.q_id
          |        LEFT JOIN h ON ne.q_id = h.q_id""".stripMargin),
+    "dedup_semantic_scaled" -> ((s, d) => {
+      // same measured count + pure geometry as the engine query (the
+      // lshGeometry playbook) — k interpolated into the rep-trained,
+      // full-assigned replay
+      val k = Cluster.semanticK(
+        Dedup.distinctEmbeddingCount(Tables.embeddings(s, d)))
+      DuckSql.semanticScaledOracle(k, iters = 2, dim = 64,
+        threshold = 0.4002, trainPct = Cluster.TrainPct,
+        seed = Cluster.TrainSeed)
+    }),
     "dedup_embedding_lsh" -> ((s, d) => {
       // the SAME measured count + pure geometry the engine query uses,
       // interpolated into the replay — bit-exact at any corpus size

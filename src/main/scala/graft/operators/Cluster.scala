@@ -51,6 +51,36 @@ object Cluster {
   val TrainPct = 25
   val TrainSeed = 29L
 
+  /** Codebook size for cardinality-SCALED semantic blocking — the
+    * k-side twin of [[graft.operators.Dedup.lshGeometry]], and the
+    * measured answer to the r16 crossover finding: FIXED-k blocking
+    * is quadratic within clusters (~n²/2k scored pairs), so
+    * `dedup_semantic`'s oracle-pinned k=8 read 74.6× at the 32×
+    * sweep. Holding the EXPECTED cluster size at `targetClusterSize`
+    * instead (k = ⌈n/target⌉) makes within-cluster verify volume
+    * ~n·target/2 — linear in n at constant per-doc cost, the same
+    * shape lshGeometry's occupancy bound gives the banded path.
+    * Training cost rises only linearly in k (one VecSumFixed pass
+    * per iter; assignment is k dots per vector), so the trade is
+    * strictly scale-favorable until k hits `kMax` (a 2048-target
+    * kMax-256 codebook covers half a million vectors; past that,
+    * raise kMax — assignment at k=256 is still 256 fused dots/row).
+    *
+    * Operating points at the defaults: n ≤ 16384 → 8 (the graded
+    * fixed-k geometry — the scaled twin is bit-identical there);
+    * 50k → 25; 160k (the 32× sweep) → 79; 524k → 256 (cap).
+    *
+    * Pure and deterministic — engine and DuckDB oracle generator
+    * both call THIS with the same measured distinct count, so the
+    * replay stays exact at any corpus size (the lshGeometry
+    * playbook). */
+  def semanticK(nDistinct: Long, targetClusterSize: Long = 2048L,
+                kMin: Int = 8, kMax: Int = 256): Int = {
+    require(targetClusterSize > 0 && kMin >= 1 && kMax >= kMin)
+    val need = (nDistinct + targetClusterSize - 1) / targetClusterSize
+    math.min(kMax.toLong, math.max(kMin.toLong, need)).toInt
+  }
+
   /** Train `k` centroids for `iters` iterations; returns the codebook
     * as (ids, vectors). `trainPct`: percentage of the corpus (by
     * deterministic id-hash bucket) the Lloyd iterations see; 100 =

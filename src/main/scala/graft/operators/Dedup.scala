@@ -1018,6 +1018,72 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** [[semanticPairs]] hardened for scale on BOTH axes the r16 32×
+    * sweep measured (fixed-k `dedup_semantic` read 74.6× there) —
+    * the graded `dedup_semantic_scaled` shape:
+    *
+    *  1. EXACT-DUP COLLAPSE first (the [[embeddingPairsLsh]] move,
+    *     which is exactly why the banded path held 10 s where fixed-k
+    *     blocking took 33 s on the same corpus): identical embeddings
+    *     train, assign and verify ONCE as a group representative; the
+    *     member pair set is reconstituted arithmetically (identical
+    *     embeddings ⇒ identical assignment and cosines), so a
+    *     boilerplate flood costs one row, not a quadratic cluster.
+    *  2. CARDINALITY-SCALED k — [[graft.operators.Cluster.semanticK]]
+    *     of the measured distinct count holds the expected cluster
+    *     size constant, so within-cluster verify volume stays LINEAR
+    *     in distinct vectors (fixed k is ~n²/2k). At ≤ 16k distinct
+    *     the codebook collapses to the graded fixed geometry (k=8)
+    *     and, on a dup-free corpus, the result is bit-identical to
+    *     [[semanticPairs]] (same seeds, same training sample, same
+    *     assignment).
+    *
+    * The DuckDB oracle replays the SAME construction from the SAME
+    * measured count (train on collapsed reps, assign the full corpus
+    * against the trained codebook — member-level pairs fall out of
+    * the full-table self-join directly, the lshGeometry replay
+    * playbook), so the row hash-matches at any corpus size. */
+  def semanticPairsScaled(embeddings: DataFrame, threshold: Double,
+                          iters: Int = 2, trainPct: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val keyed = embeddings
+      .withColumn("gk", xxhash64(col("embedding")))
+      .withColumn("gk2", xxhash64(lit(1L), col("embedding")))
+      .persist()
+    val groups = keyed
+      .groupBy(col("gk"), col("gk2"))
+      .agg(min(col("vec_id")).as("gid"),
+        min_by(col("embedding"), col("vec_id")).as("embedding"))
+      .persist()
+    val members = keyed.select(col("vec_id"), col("gk"), col("gk2"))
+      .join(groups.select(col("gk"), col("gk2"), col("gid")), Seq("gk", "gk2"))
+      .select(col("vec_id"), col("gid"))
+      .persist()
+    // the collapse count IS the geometry input (one job; the same
+    // two-hash distinct a separate distinctEmbeddingCount would run)
+    val k = Cluster.semanticK(groups.count())
+    val reps = groups.select(col("gid").as("vec_id"), col("embedding"))
+    val repPairs = semanticPairs(reps, k, iters, threshold, trainPct)
+      .select(col("a_id").as("a_gid"), col("b_id").as("b_gid"))
+    // reconstitution contract shared with embeddingPairsLsh: intra
+    // pairs evaluate THE SAME cos(v,v) ≥ t predicate the all-pairs
+    // baseline would (NaN-is-greatest keeps zero-norm groups in, in
+    // both engines); inter pairs inherit the representatives' cosine
+    val intraOk = groups
+      .where(cosine(col("embedding"), col("embedding")) >= threshold)
+      .select(col("gid"))
+    val okMembers = members.join(intraOk, Seq("gid"), "left_semi")
+    val intra = okMembers.as("x")
+      .join(okMembers.as("y"),
+        col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    val inter = repPairs
+      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x")), Seq("a_gid"))
+      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y")), Seq("b_gid"))
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+    intra.unionAll(inter)
+  }
+
   /** Keeper selection per duplicate component: given `comps` from
     * [[connectedComponents]] (node, comp) and a per-doc `score`
     * column, keep the BEST-scoring member of each component ("keep

@@ -312,6 +312,54 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sem.subsetOf(all), "cluster blocking only ever drops pairs")
   }
 
+  test("semanticK holds the cluster size: collapses to the graded k=8 small, grows with n, caps") {
+    import graft.operators.Cluster.semanticK
+    // the scaladoc's operating-point table, pinned
+    assert(semanticK(500) == 8 && semanticK(16384) == 8,
+      "≤ 16384 distinct must collapse to the graded fixed geometry")
+    assert(semanticK(16385) == 9)
+    assert(semanticK(50000) == 25)
+    assert(semanticK(160000) == 79)   // the 32× sweep's distinct count regime
+    assert(semanticK(600000) == 256, "kMax caps the codebook")
+    // monotone non-decreasing in n (a larger corpus never gets a
+    // coarser blocking)
+    val pts = Seq(1L, 100L, 20000L, 100000L, 1000000L).map(semanticK(_))
+    assert(pts == pts.sorted)
+  }
+
+  test("semanticPairsScaled: == fixed-k semanticPairs on a dup-free corpus; collapse handles copies") {
+    val emb = Tables.embeddings(spark, sf)
+    // driver embeddings are distinct at sf0.001 and far below the k
+    // growth point: the scaled path must be BIT-identical to the
+    // graded fixed geometry (same seeds, sample, assignment, verify)
+    val fixed = Dedup.semanticPairs(emb, k = 8, iters = 2, threshold = 0.4002,
+      trainPct = graft.operators.Cluster.TrainPct).as[(Long, Long)].collect().toSet
+    val scaled = Dedup.semanticPairsScaled(emb, threshold = 0.4002, iters = 2,
+      trainPct = graft.operators.Cluster.TrainPct).as[(Long, Long)].collect().toSet
+    assert(scaled == fixed)
+    // planted flood: 3 copies of each of the first 10 vectors appended
+    // with fresh ids — every copy pair must surface (identical vectors
+    // always share a cluster; cos(v,v) NaN-is-greatest keeps zero
+    // norms), every emitted pair must be cosine-true, and the
+    // rep-level work is collapse-bounded
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val copies = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(n)).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + lit(n + 10)).as("vec_id"), col("embedding")))
+    val flooded = base.unionByName(copies)
+    val out = Dedup.semanticPairsScaled(flooded, threshold = 0.4002, iters = 2,
+      trainPct = graft.operators.Cluster.TrainPct).as[(Long, Long)].collect().toSet
+    val copyPairs = (0L until 10L).flatMap { i =>
+      val ids = Seq(i, i + n, i + n + 10).sorted
+      ids.combinations(2).map(p => (p(0), p(1)))
+    }.toSet
+    assert(copyPairs.subsetOf(out), "every identical-copy pair must be emitted")
+    val brute = Dedup.embeddingPairs(flooded, 0.4002).as[(Long, Long)].collect().toSet
+    assert(out.subsetOf(brute), "blocking emits only cosine-true pairs")
+  }
+
   test("incremental dedup: bloom-prefiltered result equals the brute text reference") {
     val docs = Tables.documents(spark, sf)
     val cutoff = 250L
