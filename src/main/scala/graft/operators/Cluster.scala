@@ -61,14 +61,27 @@ object Cluster {
     * ~n·target/2 — linear in n at constant per-doc cost, the same
     * shape lshGeometry's occupancy bound gives the banded path.
     * Training cost rises only linearly in k (one VecSumFixed pass
-    * per iter; assignment is k dots per vector), so the trade is
-    * strictly scale-favorable until k hits `kMax` (a 2048-target
-    * kMax-256 codebook covers half a million vectors; past that,
-    * raise kMax — assignment at k=256 is still 256 fused dots/row).
+    * per iter; assignment is k dots per vector), so growing k is
+    * cheap up to `kMax` (a 2048-target kMax-256 codebook covers half
+    * a million vectors; past that, raise kMax — assignment at k=256
+    * is still 256 fused dots/row).
+    *
+    * Honest bound (measured, r16 32× sweep): the n²/2k model assumes
+    * clusters can be BALANCED. On a corpus with tight natural modes
+    * a 2-iteration Lloyd cannot split a mode, so cluster sizes floor
+    * at the mode sizes and candidate volume floors at Σ(mode size²)
+    * regardless of k — the 64k-vector/10-mode sweep corpus improved
+    * only 40.1 → ~31 s (k 8 → 32) where balanced clusters would have
+    * given ~4×. The scaled k is still never worse than fixed k, and
+    * on mode-free or many-mode corpora it delivers the full linear
+    * bound; when near-dup mining (not the within-mode semantic
+    * contract) is the goal on moded data, the banded-LSH path is the
+    * structurally right tool (see lshGeometry's crossover note).
     *
     * Operating points at the defaults: n ≤ 16384 → 8 (the graded
     * fixed-k geometry — the scaled twin is bit-identical there);
-    * 50k → 25; 160k (the 32× sweep) → 79; 524k → 256 (cap).
+    * 20k (the ×10 replica) → 10; 64k (the 32× sweep) → 32;
+    * 50k → 25; 160k → 79; 524k → 256 (cap).
     *
     * Pure and deterministic — engine and DuckDB oracle generator
     * both call THIS with the same measured distinct count, so the

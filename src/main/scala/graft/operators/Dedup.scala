@@ -141,13 +141,21 @@ object Dedup {
     * as an eager job — so the decision is pinned to the session state
     * at build time (a later conf change re-plans nothing, by design:
     * the measurement it would need is already spent). */
-  private def attachStrategy(proj: DataFrame, arr: Column): DataFrame => DataFrame = {
+  /** Measured build-side bytes of an array-carrying projection (one
+    * narrow aggregate) vs the session broadcast budget — the
+    * measure-then-plan input shared by [[attachStrategy]] and the
+    * [[semanticPairs]] shape gate. Returns true iff the projection
+    * fits half the budget (a disabled budget, ≤ 0, never fits). */
+  private def fitsBroadcast(proj: DataFrame, arr: Column): Boolean = {
     val row = proj.agg(sum(size(arr).cast("long") * 8L + 96L)).head()
     val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
     val budget = proj.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (budget > 0 && bytes <= budget / 2) (d: DataFrame) => broadcast(d)
-    else (d: DataFrame) => d.hint("SHUFFLE_HASH")
+    budget > 0 && bytes <= budget / 2
   }
+
+  private def attachStrategy(proj: DataFrame, arr: Column): DataFrame => DataFrame =
+    if (fitsBroadcast(proj, arr)) (d: DataFrame) => broadcast(d)
+    else (d: DataFrame) => d.hint("SHUFFLE_HASH")
 
   /** Attach shingle arrays to candidate pairs and keep pairs with
     * Jaccard ≥ threshold. Both attach joins take the measured
@@ -672,20 +680,23 @@ object Dedup {
     * generator call THIS function with the SAME measured count, so
     * the replay stays bit-exact (the r13 trainer-sampling playbook).
     *
-    * Saturation crossover, MEASURED (r16 32× sweep, 160k distinct
-    * vectors = 2.5× past the r=13 saturation point): the saturated
-    * banded geometry mines `dedup_embedding_lsh` in 10.1 s while the
-    * named escape — k-means blocking ([[semanticDedup]], graded
-    * `dedup_semantic`) — takes 33.4 s on the same corpus at its
-    * oracle-pinned k=8. The crossover has NOT arrived at 32×:
-    * post-saturation occupancy grows linearly and each extra
-    * candidate costs one fused dot product, while FIXED-k blocking
-    * is quadratic within clusters (~n²/k pairs). SemDeDup overtakes
-    * only when k grows ∝ n (constant cluster size) — a geometry
-    * change that re-derives the trained codebook, exactly what its
-    * dynamic-oracle machinery supports if a corpus ever outruns the
-    * band budget in practice. Until then the banded path stays the
-    * deployed default well past saturation. */
+    * Crossover vs the k-means escape, MEASURED (r16 32× sweep — 64k
+    * distinct vectors, the ScaleData nudge makes every replica
+    * distinct, right at this function's r=13 upper edge): the banded
+    * geometry mines `dedup_embedding_lsh` in ~10-11 s while k-means
+    * blocking takes 40.1 s at the oracle-pinned k=8
+    * (`dedup_semantic`) and still ~31 s at the cardinality-scaled
+    * k=32 (`dedup_semantic_scaled`). The second number is the deeper
+    * finding: this corpus has 10 tight natural modes (the planted
+    * label structure), and a 2-iteration Lloyd cannot split a tight
+    * mode — clusters stay ~mode-sized whatever k asks for, so
+    * semantic blocking's candidate volume is Σ(mode size²): a DATA
+    * property, not a knob. Random hyperplanes cut WITHIN modes
+    * (bucket occupancy is geometry-driven), which is exactly why the
+    * banded path holds. SemDeDup remains the right tool when the
+    * semantic contract itself is wanted (verify everything inside a
+    * mode); for near-dup pair mining the banded path stays the
+    * deployed default. */
   def lshGeometry(nDistinct: Long, targetOccupancy: Long = 8L,
                   anchorCos: Double = 0.9, targetRecall: Double = 0.98,
                   minPlanes: Int = 6, maxBands: Int = 32): (Int, Int) = {
@@ -992,30 +1003,81 @@ object Dedup {
     *
     * Execution shape: assignment is a pure map (the codebook rides as
     * a plan constant inside the codegen'd `NearestCentroids`
-    * expression — no exchange carries an embedding); the candidate
-    * self-join shuffles (cid, vec_id) rows ONLY, and embeddings
-    * re-attach to surviving candidates by id equi-join for the verify
-    * — the same attach-late shape as [[embeddingPairsLsh]]. At 100 TB
-    * the control knob is `k`: per-cluster pair work is quadratic in
-    * cluster size, so k grows with the corpus (the paper runs ~100k
-    * clusters at web scale) and each cluster block stays
-    * AQE-splittable; training cost is `iters` linear passes. */
+    * expression); the verify shape is MEASURE-THEN-PLANNED (r16 —
+    * see the gate comment in the body): small projections verify
+    * through broadcast attaches on an id-only candidate stream, big
+    * ones carry the embedding through one corpus-sized (cid)
+    * exchange and verify inside the join stage so the quadratic pair
+    * stream never hits the wire. At 100 TB the control knob is `k`:
+    * per-cluster pair work is quadratic in cluster size, so k grows
+    * with the corpus (the paper runs ~100k clusters at web scale;
+    * [[semanticPairsScaled]] derives it from measured cardinality);
+    * training cost is `iters` linear passes. Honest floor: clusters
+    * bottom out at the corpus's natural MODE sizes (Lloyd cannot
+    * split a tight mode in 2 iterations), so candidate volume floors
+    * at Σ(mode size²) whatever k asks — the within-mode verify is
+    * then the semantic contract itself, not overhead. */
   def semanticPairs(embeddings: DataFrame, k: Int, iters: Int,
                     threshold: Double, trainPct: Int = 100): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, nearestCentroids}
     val (cids, cents) = Cluster.kmeansCentroids(embeddings, k, iters, trainPct)
-    val assigned = embeddings.select(
-      element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
-      col("vec_id"))
-    val cand = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    cand
-      .join(embeddings.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
-      .join(embeddings.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
-      .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+    val proj = embeddings.select(col("vec_id"), col("embedding"))
+    // Shape gate (measure-then-plan, the attachStrategy discipline —
+    // added r16 after the 32× sweep caught Catalyst flip-flopping the
+    // attach strategy on the quadratic stream, 31 ↔ 55 s run-to-run):
+    //  - projection fits the broadcast budget → attach-LATE: the
+    //    candidate self-join ships (cid, vec_id) only and embeddings
+    //    reach the verify through two BROADCAST probes — no exchange
+    //    ever carries an embedding OR the quadratic stream;
+    //  - past the budget → attach-EARLY: embeddings ride the ONE
+    //    corpus-sized (cid) exchange into the self-join and the
+    //    cosine verify runs INSIDE the join stage, so the quadratic
+    //    pair stream never leaves the operator (the alternative —
+    //    id-only candidates then non-broadcast attaches — would
+    //    re-exchange the pair stream carrying arrays: quadratic
+    //    bytes on the wire, exactly what the sweep measured).
+    if (fitsBroadcast(proj, col("embedding"))) {
+      val assigned = embeddings.select(
+        element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
+        col("vec_id"))
+      val cand = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      cand
+        .join(broadcast(proj.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))),
+          Seq("a_id"))
+        .join(broadcast(proj.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))),
+          Seq("b_id"))
+        .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
+        .select(col("a_id"), col("b_id"))
+    } else {
+      val assigned = embeddings.select(
+        element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
+        col("vec_id"), col("embedding"))
+      // SALTED self-join: k join keys alone under-parallelize a
+      // many-core stage (measured: k=8 on 32 cores left 3/4 of the
+      // machine idle and doubled the wall). Split each cluster into
+      // s = ⌈parallelism / k⌉ salt blocks — the b-leg keeps its own
+      // salt, the a-leg fans out to ALL salts (embedding-carrying
+      // exchange grows s×, but s shrinks as k grows: s×k ≈ core
+      // count, and at production k ≫ cores, s = 1). Each (a, b)
+      // pair matches exactly once (at b's salt), so the result set
+      // is unchanged — spec-pinned by the flipped-budget branch
+      // equality.
+      val par = embeddings.sparkSession.sparkContext.defaultParallelism
+      val s = math.max(1L, math.ceil(par.toDouble / k).toLong)
+      val bLeg = assigned.withColumn("salt", pmod(xxhash64(col("vec_id")), lit(s)))
+      val aLeg =
+        if (s == 1L) assigned.withColumn("salt", lit(0L))
+        else assigned.withColumn("salt", explode(sequence(lit(0L), lit(s - 1L))))
+      aLeg.as("a")
+        .join(bLeg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.salt") === col("b.salt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    }
   }
 
   /** [[semanticPairs]] hardened for scale on BOTH axes the r16 32×

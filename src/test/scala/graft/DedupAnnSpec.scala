@@ -360,6 +360,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out.subsetOf(brute), "blocking emits only cosine-true pairs")
   }
 
+  test("semanticPairs shape gate takes both branches under a flipped broadcast budget — same pairs") {
+    // broadcast attach-late (the graded-scale plan) vs attach-early
+    // single-(cid)-exchange (the past-budget plan): flipping
+    // autoBroadcastJoinThreshold to -1 forces the scale branch; the
+    // pair set must be identical (only the join shape may change)
+    val emb = Tables.embeddings(spark, sf)
+    val broadcastBranch = Dedup.semanticPairs(emb, k = 8, iters = 2,
+      threshold = 0.4002, trainPct = graft.operators.Cluster.TrainPct)
+      .as[(Long, Long)].collect().toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val scaleBranch = Dedup.semanticPairs(emb, k = 8, iters = 2,
+        threshold = 0.4002, trainPct = graft.operators.Cluster.TrainPct)
+        .as[(Long, Long)].collect().toSet
+      assert(scaleBranch == broadcastBranch)
+      assert(scaleBranch.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("incremental dedup: bloom-prefiltered result equals the brute text reference") {
     val docs = Tables.documents(spark, sf)
     val cutoff = 250L
