@@ -66,17 +66,18 @@ object Cluster {
     * a million vectors; past that, raise kMax — assignment at k=256
     * is still 256 fused dots/row).
     *
-    * Honest bound (measured, r16 32× sweep): the n²/2k model assumes
-    * clusters can be BALANCED. On a corpus with tight natural modes
-    * a 2-iteration Lloyd cannot split a mode, so cluster sizes floor
-    * at the mode sizes and candidate volume floors at Σ(mode size²)
-    * regardless of k — the 64k-vector/10-mode sweep corpus improved
-    * only 40.1 → ~31 s (k 8 → 32) where balanced clusters would have
-    * given ~4×. The scaled k is still never worse than fixed k, and
-    * on mode-free or many-mode corpora it delivers the full linear
-    * bound; when near-dup mining (not the within-mode semantic
-    * contract) is the goal on moded data, the banded-LSH path is the
-    * structurally right tool (see lshGeometry's crossover note).
+    * Measured (r16, 64k-vector 32× corpus): the n²/2k model HOLDS
+    * once the verify shape parallelizes — Lloyd-2 balanced both
+    * codebooks (k=8: clusters 7.3-8.4k, 256M pairs; k=32: 1.6-2.5k,
+    * 64.7M pairs), and with [[graft.operators.Dedup.semanticPairs]]'
+    * salted attach-early shape the scaled twin runs the sweep line
+    * in ~4 s where fixed k=8 pays the 4× pair volume. Caveat kept
+    * honest: on a corpus whose tight natural modes Lloyd CANNOT
+    * split, cluster sizes floor at the mode sizes and candidate
+    * volume at Σ(mode size²) regardless of k — that regime did not
+    * occur here, but when it does, the within-mode verify is the
+    * semantic contract itself and the banded-LSH path is the
+    * structurally cheaper near-dup miner.
     *
     * Operating points at the defaults: n ≤ 16384 → 8 (the graded
     * fixed-k geometry — the scaled twin is bit-identical there);

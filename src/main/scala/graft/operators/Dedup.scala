@@ -1056,23 +1056,34 @@ object Dedup {
         element_at(nearestCentroids(col("embedding"), cents, cids, 1), 1).as("cid"),
         col("vec_id"), col("embedding"))
       // SALTED self-join: k join keys alone under-parallelize a
-      // many-core stage (measured: k=8 on 32 cores left 3/4 of the
-      // machine idle and doubled the wall). Split each cluster into
-      // s = ⌈parallelism / k⌉ salt blocks — the b-leg keeps its own
-      // salt, the a-leg fans out to ALL salts (embedding-carrying
-      // exchange grows s×, but s shrinks as k grows: s×k ≈ core
-      // count, and at production k ≫ cores, s = 1). Each (a, b)
-      // pair matches exactly once (at b's salt), so the result set
-      // is unchanged — spec-pinned by the flipped-budget branch
-      // equality.
+      // many-core stage (measured at 32×/k=8: s=1 → 69 s on 8 of 32
+      // cores; s=4 → 27 s; s=32 → 9.3 s). Split each cluster into s
+      // salt blocks — the b-leg keeps its own salt, the a-leg fans
+      // out to ALL salts (embedding-carrying exchange grows s×). s
+      // targets ~8 keys per partition so the hash-binning of k·s
+      // keys into shuffle partitions balances (exactly par keys
+      // collide birthday-style — the measured s=4 point), capped at
+      // par (no cluster needs finer splitting than the core count);
+      // at production k ≥ 8·par, s = 1 and the salt vanishes. Each
+      // (a, b) pair matches exactly once (at b's salt), so the
+      // result set is unchanged — spec-pinned by the flipped-budget
+      // branch equality.
       val par = embeddings.sparkSession.sparkContext.defaultParallelism
-      val s = math.max(1L, math.ceil(par.toDouble / k).toLong)
+      val s = math.min(par.toLong,
+        math.max(1L, math.ceil(8.0 * par / k).toLong))
       val bLeg = assigned.withColumn("salt", pmod(xxhash64(col("vec_id")), lit(s)))
       val aLeg =
         if (s == 1L) assigned.withColumn("salt", lit(0L))
         else assigned.withColumn("salt", explode(sequence(lit(0L), lit(s - 1L))))
+      // SHUFFLE_HASH pinned: left to itself Catalyst BROADCASTS a
+      // leg (its estimate predates the explode) and the whole
+      // quadratic verify then runs at the probe scan's partition
+      // count — measured 173 s in 1-2 tasks vs 9 s exchanged (the
+      // same estimate-blindness-to-blowup that motivated
+      // attachStrategy; the exchange this pin buys is the
+      // corpus-sized one this branch budgeted for)
       aLeg.as("a")
-        .join(bLeg.as("b"),
+        .join(bLeg.hint("SHUFFLE_HASH").as("b"),
           col("a.cid") === col("b.cid") && col("a.salt") === col("b.salt") &&
             col("a.vec_id") < col("b.vec_id"))
         .where(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
