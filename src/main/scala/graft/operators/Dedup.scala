@@ -682,21 +682,23 @@ object Dedup {
     *
     * Crossover vs the k-means escape, MEASURED (r16 32× sweep — 64k
     * distinct vectors, the ScaleData nudge makes every replica
-    * distinct, right at this function's r=13 upper edge): the banded
-    * geometry mines `dedup_embedding_lsh` in ~10-11 s while k-means
-    * blocking takes 40.1 s at the oracle-pinned k=8
-    * (`dedup_semantic`) and still ~31 s at the cardinality-scaled
-    * k=32 (`dedup_semantic_scaled`). The second number is the deeper
-    * finding: this corpus has 10 tight natural modes (the planted
-    * label structure), and a 2-iteration Lloyd cannot split a tight
-    * mode — clusters stay ~mode-sized whatever k asks for, so
-    * semantic blocking's candidate volume is Σ(mode size²): a DATA
-    * property, not a knob. Random hyperplanes cut WITHIN modes
-    * (bucket occupancy is geometry-driven), which is exactly why the
-    * banded path holds. SemDeDup remains the right tool when the
-    * semantic contract itself is wanted (verify everything inside a
-    * mode); for near-dup pair mining the banded path stays the
-    * deployed default. */
+    * distinct, right at this function's r=13 upper edge; final
+    * numbers after the r16 semantic shape work): the banded geometry
+    * mines `dedup_embedding_lsh` in 10.7 s; k-means blocking —
+    * once its verify got the measured shape gate + salted
+    * SHUFFLE_HASH self-join — runs 7.1 s at the oracle-pinned k=8
+    * (256M scored pairs, `dedup_semantic`) and 4.7 s at the
+    * cardinality-scaled k=32 (64.7M pairs,
+    * `dedup_semantic_scaled`). Earlier r16 readings of 33-173 s for
+    * the same queries were SHAPE defects (Catalyst flip-flopping
+    * the attach strategy, then broadcasting an exploded leg into a
+    * 1-task verify), not blocking economics — the lesson is that at
+    * this scale the plan shape dominates the candidate count. With
+    * both paths shaped right the trained blocking edges out the
+    * banded geometry on this corpus (its candidates carry no
+    * banding false positives), while the banded path keeps the
+    * CLOSED-FORM recall contract no trained partition offers — both
+    * stay graded, and the sweep prices them side by side. */
   def lshGeometry(nDistinct: Long, targetOccupancy: Long = 8L,
                   anchorCos: Double = 0.9, targetRecall: Double = 0.98,
                   minPlanes: Int = 6, maxBands: Int = 32): (Int, Int) = {
