@@ -27,11 +27,21 @@ def latest(pattern):
     return (fs[-1], json.load(open(fs[-1]))) if fs else (None, None)
 
 
+# the quadratic exact-oracle instruments, reported on their own line
+# so the operator total is a stable round-over-round signal (r16
+# verdict task 4); Bench.scala emits the split since r17 — the
+# fallback recomputes it for older artifacts
+INSTRUMENTS = {"near_dup_jaccard", "dedup_pareto"}
+
 out = []
 bench_f = os.path.join(root, "BENCH_LAST.json")
 if os.path.exists(bench_f):
     b = json.load(open(bench_f))
     qs = b.get("queries", {})
+    inst = set(b.get("instruments", INSTRUMENTS))
+    inst_total = b.get("instruments_total",
+                       sum(v for k, v in qs.items() if k in inst))
+    ops_total = b.get("operators_total", b["value"] - inst_total)
     samples = b.get("samples", {})
     mins = {k: min(v) for k, v in samples.items() if v} or qs
     top = sorted(mins.items(), key=lambda kv: -kv[1])[:5]
@@ -39,7 +49,9 @@ if os.path.exists(bench_f):
     out.append(
         f"- **Bench, sf0.1 local[32]** (`BENCH_LAST.json`): **TOTAL "
         f"{b['value']:.1f} s across all {len(qs)} queries, "
-        f"{b.get('failed', '?')} failed**; load {'/'.join(b.get('load', []))} s; "
+        f"{b.get('failed', '?')} failed** — operators "
+        f"{ops_total:.1f} s / instruments {inst_total:.1f} s "
+        f"({', '.join(sorted(inst))}); load {'/'.join(b.get('load', []))} s; "
         f"slowest by min-sample: {top_s}.")
 
 cf, c = latest("CORRECTNESS_r[0-9]*.json")

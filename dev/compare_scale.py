@@ -16,8 +16,9 @@ Sub-second rows are exempted via an absolute floor (old AND new
 jitter up to ~1.6x on a shared host).
 
 Queries present only in NEW are reported, never fail (rosters widen);
-a query that VANISHED from the roster fails — scale evidence must not
-silently narrow.
+a query that VANISHED from the roster fails, and so does a (query,
+factor) sample present in OLD but missing from NEW — scale evidence
+must not silently narrow at either granularity.
 """
 import sys, json
 
@@ -34,7 +35,8 @@ for q, facs in sorted(old["queries"].items()):
     for fac, old_s in sorted(facs.items(), key=lambda kv: int(kv[0])):
         new_s = new["queries"][q].get(fac)
         if new_s is None:
-            print(f"  {q}@{fac}x: no new sample (old {old_s:.2f} s)")
+            fails.append(f"{q}@{fac}x: sample present in {old_p} but MISSING "
+                         f"from {new_p} (old {old_s:.2f} s)")
             continue
         ratio = new_s / old_s if old_s else float("inf")
         noise = old_s < FLOOR_SEC and new_s < FLOOR_SEC

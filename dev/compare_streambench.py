@@ -9,9 +9,11 @@ Default threshold 2.0 (a >2× rate drop at the same resident-key count
 is a structural regression, not host noise — the committed artifacts
 show <1.3× round-to-round variance).
 
-Ops present in only one artifact are reported but never fail the gate
-(new instruments appear; none may silently vanish — a MISSING op that
-existed in OLD does fail).
+Ops present only in NEW are reported but never fail the gate (new
+instruments appear); none may silently vanish — a MISSING op that
+existed in OLD fails, and so does a (op, size) cell present in OLD
+but absent from NEW (r16 advisor: evidence must not silently narrow
+at either granularity).
 """
 import sys, json
 
@@ -27,7 +29,8 @@ for op, sizes in sorted(old["ops"].items()):
     for size, old_rate in sorted(sizes.items(), key=lambda kv: int(kv[0])):
         new_rate = new["ops"][op].get(size)
         if new_rate is None:
-            print(f"  {op}@{size}: no new sample (old {old_rate:.0f} rows/s)")
+            fails.append(f"{op}@{size}: cell present in {old_p} but MISSING "
+                         f"from {new_p} (old {old_rate:.0f} rows/s)")
             continue
         ratio = old_rate / new_rate if new_rate else float("inf")
         flag = "FAIL" if ratio > threshold else "ok"

@@ -13,7 +13,7 @@ with sbt first.
 
 Usage:
   python3 dev/sf1_campaign.py <x10dir> <workdir> <out.json> \
-      [--budget 1800] [--chunk 10] [--skip k1,k2] [--only k1,k2]
+      [--budget 1800] [--chunk 10] [--skip k1,k2] [--only k1,k2] [--all]
 
 dedup_pareto is EXCLUDED by default (its sf1 oracle replay needs a
 ~105 GB DuckDB memory_limit and a dedicated temp dir — run it solo,
@@ -31,6 +31,9 @@ while args:
     elif a == "--chunk": chunk_sz = int(args.pop(0))
     elif a == "--skip": skip |= set(args.pop(0).split(","))
     elif a == "--only": only = set(args.pop(0).split(","))
+    # sf0.1 campaigns: the dedup_pareto replay is light there — clear
+    # the default sf1 skip and run the genuinely full surface
+    elif a == "--all": skip = set()
     else: raise SystemExit(f"unknown arg {a}")
 
 ADD_OPENS = [

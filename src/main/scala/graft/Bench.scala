@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Exact-oracle INSTRUMENTS — quadratic-by-construction baselines
+    * kept graded because their DuckDB replays anchor the banded/
+    * blocked twins' correctness, not because their wall time is an
+    * operator signal (r16: two same-round sf1 runs moved
+    * near_dup_jaccard 169 → 243 s with zero code change). The
+    * artifact reports them on their own total so the OPERATOR total
+    * stays a stable round-over-round regression signal. */
+  val Instruments: Set[String] = Set("near_dup_jaccard", "dedup_pareto")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -113,8 +122,13 @@ object Bench {
       "\"" + n + "\":[" + jnum(cy) + "," + jnum(cy2) + "]"
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val instTotal = ok.filter(kv => Instruments(kv._1)).map(_._2).sum
+    val opsTotal = total - instTotal
+    val instList = Instruments.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val nFailed = results.count(_._3.isDefined)
     val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""operators_total":${jnum(opsTotal)},"instruments_total":${jnum(instTotal)},""" +
+      s""""instruments":$instList,""" +
       s""""samples":$samples,"status":$status,"canary":$canaries,""" +
       s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)

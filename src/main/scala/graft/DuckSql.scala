@@ -1036,24 +1036,26 @@ object DuckSql {
     * total exact count, hit count vs ground truth, and candidate
     * (scored) count, all exact integers. Formulations are verbatim
     * the per-index oracles' (`ann_topk`/`ann_lsh`/`ann_ivf`), so this
-    * row hashes iff those do. The `lsh_adaptive` row replays the
-    * graded [[graft.operators.Ann.lshTopKAdaptive]] geometry
-    * (`bandedPlanes`/`bands`/`planesPerBand` — measured-cardinality
-    * derived, so this oracle is Verify-generated, not static SQL);
-    * its `n_scored` is the banded candidate-pair count, the cost
-    * axis of the recall contract. */
+    * row hashes iff those do. The `lsh_adaptive` rows replay the
+    * graded [[graft.operators.Ann.lshTopKAdaptive]] geometry swept
+    * across [[graft.operators.Ann.adaptiveBandSweep]]'s band-count
+    * knobs (`bandVariants` — measured-cardinality derived, so this
+    * oracle is Verify-generated, not static SQL); each variant's
+    * `n_scored` is its banded candidate-pair count, the cost axis of
+    * the recall contract. */
   def annParetoOracle(planes: Array[Array[Double]], nQueries: Int, k: Int,
                       nlist: Int, nprobes: Seq[Int],
-                      bandedPlanes: Array[Array[Double]], bands: Int,
+                      bandVariants: Seq[(Int, Array[Array[Double]])],
                       planesPerBand: Int): String = {
     val bucketExpr = planes.zipWithIndex
       .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} > 0 THEN ${1 << i} ELSE 0 END)" }
       .mkString(" + ")
-    val bandExprs = (0 until bands).map { b =>
-      (0 until planesPerBand).map { i =>
-        s"(CASE WHEN ${dotLit(bandedPlanes(b * planesPerBand + i))} > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-    }
+    def bandExprsFor(bands: Int, bandedPlanes: Array[Array[Double]]): Seq[String] =
+      (0 until bands).map { b =>
+        (0 until planesPerBand).map { i =>
+          s"(CASE WHEN ${dotLit(bandedPlanes(b * planesPerBand + i))} > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }
     val maxNp = nprobes.max
     val perNp = nprobes.map { np =>
       s"""ic$np AS (
@@ -1104,25 +1106,27 @@ object DuckSql {
        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |    FROM lc) t
        |  WHERE rnk <= $k),
-       |be AS (SELECT vec_id, [${bandExprs.mkString(",\n  ")}] AS bks FROM embeddings),
-       |bbb AS MATERIALIZED (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM be),
-       |bcand AS (
-       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
-       |  FROM bbb q JOIN bbb c ON q.band = c.band AND q.bk = c.bk
-       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
-       |blc AS (
-       |  SELECT q_id, n_id,
-       |         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-       |                                CAST(y.embedding AS DOUBLE[])) AS cos
-       |  FROM bcand
-       |  JOIN embeddings x ON x.vec_id = q_id
-       |  JOIN embeddings y ON y.vec_id = n_id),
-       |blt AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT q_id, n_id,
-       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-       |    FROM blc) t
-       |  WHERE rnk <= $k),
+       |${bandVariants.map { case (bands, bandedPlanes) =>
+           s"""be$bands AS (SELECT vec_id, [${bandExprsFor(bands, bandedPlanes).mkString(",\n  ")}] AS bks FROM embeddings),
+              |bbb$bands AS MATERIALIZED (SELECT vec_id, unnest(range($bands)) AS band, unnest(bks) AS bk FROM be$bands),
+              |bcand$bands AS (
+              |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+              |  FROM bbb$bands q JOIN bbb$bands c ON q.band = c.band AND q.bk = c.bk
+              |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+              |blc$bands AS (
+              |  SELECT q_id, n_id,
+              |         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+              |                                CAST(y.embedding AS DOUBLE[])) AS cos
+              |  FROM bcand$bands
+              |  JOIN embeddings x ON x.vec_id = q_id
+              |  JOIN embeddings y ON y.vec_id = n_id),
+              |blt$bands AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id,
+              |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              |    FROM blc$bands) t
+              |  WHERE rnk <= $k)""".stripMargin
+         }.mkString(",\n")},
        |cent AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $nlist),
        |assigned AS (
        |  SELECT vec_id, cid AS list_id FROM (
@@ -1151,10 +1155,12 @@ object DuckSql {
        |       CAST((SELECT count(*) FROM lt t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
        |       CAST((SELECT count(*) FROM lc) AS BIGINT) AS n_scored
        |UNION ALL
-       |SELECT 'lsh_adaptive' AS method, CAST($bands AS INT) AS knob,
-       |       (SELECT n_exact FROM nex) AS n_exact,
-       |       CAST((SELECT count(*) FROM blt t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
-       |       CAST((SELECT count(*) FROM blc) AS BIGINT) AS n_scored
+       |${bandVariants.map { case (bands, _) =>
+           s"""SELECT 'lsh_adaptive' AS method, CAST($bands AS INT) AS knob,
+              |       (SELECT n_exact FROM nex) AS n_exact,
+              |       CAST((SELECT count(*) FROM blt$bands t JOIN ex USING (q_id, n_id)) AS BIGINT) AS n_hit,
+              |       CAST((SELECT count(*) FROM blc$bands) AS BIGINT) AS n_scored""".stripMargin
+         }.mkString("\nUNION ALL\n")}
        |UNION ALL
        |$npRows""".stripMargin
   }

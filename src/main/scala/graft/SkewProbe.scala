@@ -43,7 +43,22 @@ import graft.cdc.Changelog
   * the probe records seconds, emitted-pair count, and pairs/s so the
   * bound is a measured number, diffable round-over-round.
   *
-  * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]`
+  * Third probe (r16 verdict task 5, landed r17): the SEMANTIC flood
+  * over [[graft.operators.Dedup.semanticPairsScaled]]. The semantic
+  * family's documented failure mode is an unsplittable embedding
+  * MODE — near-identical-but-DISTINCT vectors (re-encodes of one
+  * boilerplate page) that the exact-dup collapse cannot absorb and
+  * Lloyd cannot split, forcing the within-cluster verify to its
+  * Σ(mode size²) floor. This probe PLANTS that mode (`semFlood`
+  * base+ε-nudge vectors inside a `semDocs` uniform corpus) and
+  * measures what was previously a scaladoc argument: the flood lands
+  * in ONE trained cluster (size recorded), every flood pair is found
+  * (semantic recall on the mode is 1.0 — no banding S-curve), and
+  * the quadratic verify cost is linear per emitted pair (pairs/s
+  * recorded, diffable round-over-round).
+  *
+  * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]
+  *   [semDocs] [semFlood]`
   * → one JSON line + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
 object SkewProbe {
 
@@ -53,6 +68,16 @@ object SkewProbe {
     val hotShare = if (args.length >= 3) args(2).toDouble else 0.4
     val floodDocs = if (args.length >= 4) args(3).toLong else 200000L
     val floodSize = if (args.length >= 5) args(4).toLong else 4000L
+    // the flood corpus is the first `floodSize` rows of a
+    // `floodDocs`-row range: a flood larger than the corpus would
+    // silently cap at floodDocs rows while true_pairs still computed
+    // C(floodSize, 2), corrupting band_recall and the verdict
+    require(floodSize >= 2 && floodSize <= floodDocs,
+      s"floodSize must be in [2, floodDocs=$floodDocs], got $floodSize")
+    val semDocs = if (args.length >= 6) args(5).toLong else 100000L
+    val semFlood = if (args.length >= 7) args(6).toLong else 4000L
+    require(semFlood >= 2 && semFlood <= semDocs,
+      s"semFlood must be in [2, semDocs=$semDocs], got $semFlood")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Sessions.fromEnv(
@@ -143,6 +168,60 @@ object SkewProbe {
       f"$truePairs true pairs, recall=$floodRecall%.3f) " +
       f"${pairsPerSec / 1e6}%.2f M pairs/s")
 
+    // ---- semantic flood probe (semanticPairsScaled) ----
+    // corpus: `semDocs` dim-64 vectors, components hash-uniform in
+    // [-1, 1] — pairwise |cos| concentrates at ~1/√64, far below the
+    // 0.9 threshold, so the uniform control mines ~0 pairs. Flooded:
+    // the first `semFlood` ids become ONE mode — a fixed base vector
+    // plus a 0.02-scaled per-doc nudge (pairwise cos ≈ 0.9996, all
+    // DISTINCT): the exact-dup collapse keeps one group per doc, the
+    // trained codebook assigns the whole mode to one cell, and the
+    // within-cluster verify takes the full C(semFlood, 2) hit — which
+    // is also the true answer, so quadratic output is correct; the
+    // probe pins cost-per-pair and mode recall.
+    val dim = 64
+    def h(expr: String) = s"cast(xxhash64($expr) AS double) / 9.223372036854776e18"
+    def semCorpus(flooded: Boolean): DataFrame = {
+      val uniformVec = s"transform(sequence(0, ${dim - 1}), j -> " +
+        s"cast(${h("concat('u', cast(id AS string), '_', cast(j AS string))")} AS float))"
+      val floodVec = s"transform(sequence(0, ${dim - 1}), j -> " +
+        s"cast(${h("concat('b', cast(j AS string))")} + " +
+        s"0.02 * ${h("concat('p', cast(id AS string), '_', cast(j AS string))")} AS float))"
+      val vec = if (flooded) s"IF(id < ${semFlood}L, $floodVec, $uniformVec)" else uniformVec
+      spark.range(semDocs).selectExpr("id AS vec_id", s"$vec AS embedding")
+    }
+    def timeSem(flooded: Boolean): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.semanticPairsScaled(
+        semCorpus(flooded), threshold = 0.9, iters = 2,
+        trainPct = graft.operators.Cluster.TrainPct)
+      val total = out.count()
+      val modePairs = out
+        .filter(col("a_id") < semFlood && col("b_id") < semFlood).count()
+      graft.operators.Dedup.release(out)
+      ((System.nanoTime() - t0) / 1e9, total, modePairs)
+    }
+    val (semBaseSec, semBasePairs, _) = timeSem(flooded = false)
+    val (semSec, semPairs, semModePairs) = timeSem(flooded = true)
+    val semTrue = semFlood * (semFlood - 1) / 2
+    val semRecall = semModePairs.toDouble / semTrue
+    val semRate = if (semSec > 0) semPairs / semSec else 0.0
+    // cluster-size histogram of the SAME construction the operator
+    // runs (all vectors distinct ⇒ reps == corpus): the mode must
+    // land in one cell, and the verify floor is Σ(size²)
+    val semK = graft.operators.Cluster.semanticK(semDocs)
+    val assignedRows = graft.operators.Cluster.kmeansAssign(
+      semCorpus(flooded = true), semK, 2, graft.operators.Cluster.TrainPct)
+    val hist = assignedRows.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val maxCluster = hist.agg(max(col("n"))).head().getLong(0)
+    val verifyFloor = hist.agg(sum(col("n") * col("n"))).head().getLong(0)
+    val floodCells = assignedRows.filter(col("vec_id") < semFlood)
+      .select(col("cid")).distinct().count()
+    System.err.println(f"[skewprobe] semantic: uniform=$semBaseSec%.2f s " +
+      f"($semBasePairs pairs) flood=$semSec%.2f s ($semModePairs of $semTrue " +
+      f"mode pairs, recall=$semRecall%.4f) ${semRate / 1e6}%.2f M pairs/s " +
+      f"k=$semK floodCells=$floodCells maxCluster=$maxCluster sumSq=$verifyFloor")
+
     val line = f"""{"metric":"skewprobe","rows":$rows,"keys":$keys,""" +
       f""""hot_share":$hotShare,"uniform_sec":$uniSec%.3f,"zipf_sec":$zipfSec%.3f,""" +
       f""""ratio":$ratio%.3f,"window_group_limit":$hasGroupLimit,""" +
@@ -150,7 +229,14 @@ object SkewProbe {
       f""""uniform_sec":$floodBaseSec%.3f,"uniform_pairs":$floodBasePairs,""" +
       f""""flood_sec":$floodSec%.3f,"flood_pairs":$floodPairs,""" +
       f""""true_pairs":$truePairs,"band_recall":$floodRecall%.4f,""" +
-      f""""pairs_per_sec":$pairsPerSec%.0f}}"""
+      f""""pairs_per_sec":$pairsPerSec%.0f},""" +
+      f""""semantic_flood":{"docs":$semDocs,"flood_size":$semFlood,"k":$semK,""" +
+      f""""uniform_sec":$semBaseSec%.3f,"uniform_pairs":$semBasePairs,""" +
+      f""""flood_sec":$semSec%.3f,"flood_pairs":$semPairs,""" +
+      f""""mode_pairs":$semModePairs,"true_pairs":$semTrue,""" +
+      f""""mode_recall":$semRecall%.4f,"pairs_per_sec":$semRate%.0f,""" +
+      f""""flood_cells":$floodCells,"max_cluster":$maxCluster,""" +
+      f""""sum_sq_floor":$verifyFloor}}"""
     println(line)
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_LAST.json"))
     Files.writeString(outPath, line + "\n")

@@ -2457,7 +2457,9 @@ object SparkEntry {
         Dedup.distinctEmbeddingCount(Tables.embeddings(s, d)))
       DuckSql.annParetoOracle(Ann.hyperplanes(6, 64),
         nQueries = 10, k = 5, nlist = 16, nprobes = Seq(1, 2, 4),
-        bandedPlanes = Ann.hyperplanes(b * r, 64), bands = b, planesPerBand = r)
+        bandVariants = Ann.adaptiveBandSweep(b)
+          .map(bv => (bv, Ann.hyperplanes(bv * r, 64))),
+        planesPerBand = r)
     }),
     "ann_recall" -> ((s, d) =>
       s"""WITH brute AS (SELECT * FROM ($annTopkSql) tb),

@@ -141,6 +141,36 @@ object StreamBench {
       }
     }
 
+    // RocksDB provider column (r16 verdict stretch): the two CDC fold
+    // ops re-run on RocksDBStateStoreProvider at the LARGEST key size
+    // — B27 pins the provider CONTRACT functionally; this prices it,
+    // so a provider-specific rate regression shows up in the same
+    // artifact the default-provider rates live in.
+    locally {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val keys = keySizes.max
+        locally {
+          val in = MemoryStream[Change]
+          runs += run("entityState_rocksdb", keys, rowsOf(400000), 50000, "update", in,
+            ChangelogStream.entityState(in.toDS()).toDF(),
+            i => Change(i, if (i % 11 == 0) "delete" else "upsert", "t", i % keys, i * 0.5))
+        }
+        locally {
+          val in = MemoryStream[Change]
+          runs += run("scd2Versions_rocksdb", keys, rowsOf(400000), 50000, "append", in,
+            ChangelogStream.scd2Versions(in.toDS()).toDF(),
+            i => Change(i, if (i % 11 == 0) "delete" else "upsert", "t", i % keys, (i % 7) * 1.0))
+        }
+      } finally prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+
     def jnum(d: Double): String = f"$d%.1f"
     val byOp = runs.groupBy(_.name).toSeq.sortBy(_._1).map { case (op, rs) =>
       val cells = rs.sortBy(_.keys)

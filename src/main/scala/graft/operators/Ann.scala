@@ -873,16 +873,30 @@ object Ann {
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
     // the graded ann_lsh geometry, derived from the same measured
-    // count the search itself uses — knob records the band count
+    // count the search itself uses — knob records the band count.
+    // Swept as a CURVE (r16 verdict stretch): derived ± 4 bands at the
+    // derived planes-per-band. hyperplanes(n) is prefix-stable, so a
+    // smaller variant's bands are literally the first b of a larger
+    // one's — candidates/hits are monotone non-decreasing in the knob
+    // by construction, and a geometry-formula change diffs as a curve
+    // SHIFT on the front, not an unexplained point move.
     val (aBands, aPlanes) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(embeddings))
     val rows =
       row("brute", 0, exact, (nCorpus - 1) * nQueries) +:
       approxRow("lsh", 0, lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)) +:
-      approxRow("lsh_adaptive", aBands,
-        lshBandedCandidates(embeddings, aBands, aPlanes, dim, nQueries)) +:
+      (adaptiveBandSweep(aBands).map { b =>
+        approxRow("lsh_adaptive", b, lshBandedCandidates(embeddings, b, aPlanes, dim, nQueries))
+      } ++
       Seq(1, 2, 4).map { np =>
         approxRow("ivf", np, ivfCandidatesWith(embeddings, cids, cents, np, nQueries))
-      }
+      })
     rows.reduce(_.unionByName(_))
   }
+
+  /** The band-count knobs [[paretoSweep]] grades for `lsh_adaptive`:
+    * the derived geometry bracketed by ±4 bands (clamped to ≥ 1,
+    * deduped, ascending). ONE definition shared by the sweep and the
+    * Verify-generated DuckDB replay so the two can never drift. */
+  def adaptiveBandSweep(bands: Int): Seq[Int] =
+    Seq(math.max(1, bands - 4), bands, bands + 4).distinct.sorted
 }

@@ -1117,9 +1117,30 @@ object Dedup {
     * measured count (train on collapsed reps, assign the full corpus
     * against the trained codebook — member-level pairs fall out of
     * the full-table self-join directly, the lshGeometry replay
-    * playbook), so the row hash-matches at any corpus size. */
+    * playbook), so the row hash-matches at any corpus size.
+    *
+    * EAGER, cache-scoped like [[incrementalNearDup]] (the r16
+    * dedupPareto lesson applied the round after it was learned): the
+    * three persisted frames (`keyed`/`groups`/`members`) feed both
+    * the collapse and the member fan-out, but a production caller
+    * looping the daily-ingest shape must not accumulate pinned
+    * corpus-sized frames across calls — so the result materializes
+    * via `localCheckpoint` and the caches release in a `finally`
+    * before returning. [[release]] frees the result's checkpoint
+    * blocks. Plan audits use [[semanticPairsScaledPlan]]. */
   def semanticPairsScaled(embeddings: DataFrame, threshold: Double,
                           iters: Int = 2, trainPct: Int = 100): DataFrame = {
+    val (out, cached) = semanticPairsScaledPlan(embeddings, threshold, iters, trainPct)
+    try out.localCheckpoint(eager = true)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The lazy plan behind [[semanticPairsScaled]] plus its persisted
+    * intermediates — exposed so plan audits can inspect the real
+    * compute shape (the public method returns a checkpoint scan). */
+  private[graft] def semanticPairsScaledPlan(
+      embeddings: DataFrame, threshold: Double,
+      iters: Int = 2, trainPct: Int = 100): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.VectorFunctions.cosine
     val keyed = embeddings
       .withColumn("gk", xxhash64(col("embedding")))
@@ -1156,7 +1177,7 @@ object Dedup {
       .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x")), Seq("a_gid"))
       .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y")), Seq("b_gid"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
-    intra.unionAll(inter)
+    (intra.unionAll(inter), Seq(keyed, groups, members))
   }
 
   /** Keeper selection per duplicate component: given `comps` from
