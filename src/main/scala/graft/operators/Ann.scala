@@ -380,7 +380,22 @@ object Ann {
     * candidate-count-sized frame. */
   private[graft] def lshBandedCandidates(embeddings: DataFrame, bands: Int,
                                          planesPerBand: Int, dim: Int,
-                                         nQueries: Int): DataFrame = {
+                                         nQueries: Int): DataFrame =
+    lshBandedCandidatesWithBand(embeddings, bands, planesPerBand, dim, nQueries)
+      .select(col("q_id"), col("n_id"), col("cos"))
+
+  /** [[lshBandedCandidates]] keeping each pair's FIRST-matching band
+    * index — the fused-curve kernel behind [[paretoSweep]]'s
+    * lsh_adaptive rows: `hyperplanes(n)` is prefix-stable, so a
+    * b-band variant's bands are literally the first b of a larger
+    * geometry's, and its candidate set is exactly `band < b` of this
+    * frame. The whole band-count curve therefore costs ONE banding
+    * pass at the largest variant instead of one per point (measured:
+    * 3 independent passes read 2.88× at the 32× sweep — the gate
+    * failure that motivated the fusion). */
+  private[graft] def lshBandedCandidatesWithBand(
+      embeddings: DataFrame, bands: Int, planesPerBand: Int, dim: Int,
+      nQueries: Int): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, dim)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       signBuckets(col("embedding"), planes, bands, planesPerBand).as("bks"))
@@ -394,14 +409,14 @@ object Ann {
       // keep each (q, n) pair only in its FIRST matching band — the
       // map-side dedup that replaces a (q_id, n_id) distinct exchange
       .where(col("band") === firstEqualBandCol(col("q_bks"), col("n_bks")))
-      .select(col("q_id"), col("n_id"))
+      .select(col("q_id"), col("n_id"), col("band"))
     broadcast(cand)
       .join(embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         Seq("n_id"))
       .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .select(col("q_id"), col("n_id"), col("cos"))
+      .select(col("q_id"), col("n_id"), col("band"), col("cos"))
   }
 
   /** Multi-probe variant of [[lshTopK]]: each query ALSO probes the
@@ -879,14 +894,26 @@ object Ann {
     // smaller variant's bands are literally the first b of a larger
     // one's — candidates/hits are monotone non-decreasing in the knob
     // by construction, and a geometry-formula change diffs as a curve
-    // SHIFT on the front, not an unexplained point move.
+    // SHIFT on the front, not an unexplained point move. FUSED: the
+    // curve runs ONE banding pass at the largest variant and slices
+    // each point out as `first-matching band < b` (identical sets to
+    // independent per-variant runs, by the prefix argument) — 3
+    // independent passes measured 2.88× at the 32× sweep; the fusion
+    // prices the whole curve at its largest arm.
     val (aBands, aPlanes) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(embeddings))
+    val sweep = adaptiveBandSweep(aBands)
+    val fused = lshBandedCandidatesWithBand(
+      embeddings, sweep.max, aPlanes, dim, nQueries)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adaptiveRows = sweep.map { b =>
+      approxRow("lsh_adaptive", b,
+        fused.where(col("band") < b).select(col("q_id"), col("n_id"), col("cos")))
+    }
+    fused.unpersist(blocking = false)
     val rows =
       row("brute", 0, exact, (nCorpus - 1) * nQueries) +:
       approxRow("lsh", 0, lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)) +:
-      (adaptiveBandSweep(aBands).map { b =>
-        approxRow("lsh_adaptive", b, lshBandedCandidates(embeddings, b, aPlanes, dim, nQueries))
-      } ++
+      (adaptiveRows ++
       Seq(1, 2, 4).map { np =>
         approxRow("ivf", np, ivfCandidatesWith(embeddings, cids, cents, np, nQueries))
       })
