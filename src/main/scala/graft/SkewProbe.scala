@@ -57,8 +57,16 @@ import graft.cdc.Changelog
   * the quadratic verify cost is linear per emitted pair (pairs/s
   * recorded, diffable round-over-round).
   *
+  * Fourth probe (r17 verdict #3, landed r18): the semantic flood
+  * SWEEP + the Σ(mode size²) ESCAPE. Mode-size cells measure the
+  * knee where the (output-bound) tight-flood wall crosses 2× the
+  * uniform control; the `lowk_floor` block scales down the REAL
+  * 100 TB pathology — `semanticK`'s kMax clamp leaving diverse
+  * quadratic cells — and prices the banded escape hatch
+  * ([[graft.operators.Dedup.semanticPairsCapped]]) before/after.
+  *
   * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]
-  *   [semDocs] [semFlood]`
+  *   [semDocs] [semFlood] [semSweep=4000,16000] [lowK=8] [semCap=8192]`
   * → one JSON line + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
 object SkewProbe {
 
@@ -78,6 +86,15 @@ object SkewProbe {
     val semFlood = if (args.length >= 7) args(6).toLong else 4000L
     require(semFlood >= 2 && semFlood <= semDocs,
       s"semFlood must be in [2, semDocs=$semDocs], got $semFlood")
+    // mode-size sweep for the knee (r17 verdict #3); 64k is projected
+    // from the measured flat rate rather than run (2.05e9 output rows)
+    val semSweep = (if (args.length >= 8) args(7) else "4000,16000")
+      .split(',').map(_.trim.toLong).toSeq
+    semSweep.foreach(m => require(m >= 2 && m <= semDocs,
+      s"sweep mode sizes must be in [2, semDocs=$semDocs], got $m"))
+    val lowK = if (args.length >= 9) args(8).toInt else 8
+    val semCap = if (args.length >= 10) args(9).toLong else 8192L
+    require(lowK >= 1 && semCap >= 2, s"lowK=$lowK semCap=$semCap invalid")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Sessions.fromEnv(
@@ -181,46 +198,111 @@ object SkewProbe {
     // probe pins cost-per-pair and mode recall.
     val dim = 64
     def h(expr: String) = s"cast(xxhash64($expr) AS double) / 9.223372036854776e18"
-    def semCorpus(flooded: Boolean): DataFrame = {
+    // flood = 0 → the uniform control; flood ≥ 2 → the first `flood`
+    // ids become ONE tight mode (0.02-scaled nudges, pairwise
+    // cos ≈ 0.9996 — all TRUE pairs at the 0.9 threshold)
+    def semCorpusOf(flood: Long): DataFrame = {
       val uniformVec = s"transform(sequence(0, ${dim - 1}), j -> " +
         s"cast(${h("concat('u', cast(id AS string), '_', cast(j AS string))")} AS float))"
       val floodVec = s"transform(sequence(0, ${dim - 1}), j -> " +
         s"cast(${h("concat('b', cast(j AS string))")} + " +
         s"0.02 * ${h("concat('p', cast(id AS string), '_', cast(j AS string))")} AS float))"
-      val vec = if (flooded) s"IF(id < ${semFlood}L, $floodVec, $uniformVec)" else uniformVec
+      val vec = if (flood >= 2) s"IF(id < ${flood}L, $floodVec, $uniformVec)" else uniformVec
       spark.range(semDocs).selectExpr("id AS vec_id", s"$vec AS embedding")
     }
-    def timeSem(flooded: Boolean): (Double, Long, Long) = {
+    def timeSem(flood: Long, cap: Long = Long.MaxValue): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val out = graft.operators.Dedup.semanticPairsScaled(
-        semCorpus(flooded), threshold = 0.9, iters = 2,
-        trainPct = graft.operators.Cluster.TrainPct)
+        semCorpusOf(flood), threshold = 0.9, iters = 2,
+        trainPct = graft.operators.Cluster.TrainPct, clusterCap = cap)
       val total = out.count()
-      val modePairs = out
-        .filter(col("a_id") < semFlood && col("b_id") < semFlood).count()
+      val modePairs = if (flood >= 2)
+        out.filter(col("a_id") < flood && col("b_id") < flood).count() else 0L
       graft.operators.Dedup.release(out)
       ((System.nanoTime() - t0) / 1e9, total, modePairs)
     }
-    val (semBaseSec, semBasePairs, _) = timeSem(flooded = false)
-    val (semSec, semPairs, semModePairs) = timeSem(flooded = true)
+    // cluster-size histogram of the SAME construction the operator
+    // runs (all vectors distinct ⇒ reps == corpus): the mode must
+    // land in one cell, and the verify floor is Σ(size²). One cached
+    // assignment per corpus — max/Σ(n²) in ONE agg, flood cells from
+    // the same cached frame (advisor r17: three rescans before)
+    val semK = graft.operators.Cluster.semanticK(semDocs)
+    def modeStats(flood: Long): (Long, Long, Long) = {
+      val assignedRows = graft.operators.Cluster.kmeansAssign(
+        semCorpusOf(flood), semK, 2, graft.operators.Cluster.TrainPct).persist()
+      try {
+        val hist = assignedRows.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        val agg = hist.agg(max(col("n")), sum(col("n") * col("n"))).head()
+        val cells = assignedRows.filter(col("vec_id") < flood)
+          .select(col("cid")).distinct().count()
+        (cells, agg.getLong(0), agg.getLong(1))
+      } finally assignedRows.unpersist(blocking = false)
+    }
+    val (semBaseSec, semBasePairs, _) = timeSem(0)
+    val (semSec, semPairs, semModePairs) = timeSem(semFlood)
     val semTrue = semFlood * (semFlood - 1) / 2
     val semRecall = semModePairs.toDouble / semTrue
     val semRate = if (semSec > 0) semPairs / semSec else 0.0
-    // cluster-size histogram of the SAME construction the operator
-    // runs (all vectors distinct ⇒ reps == corpus): the mode must
-    // land in one cell, and the verify floor is Σ(size²)
-    val semK = graft.operators.Cluster.semanticK(semDocs)
-    val assignedRows = graft.operators.Cluster.kmeansAssign(
-      semCorpus(flooded = true), semK, 2, graft.operators.Cluster.TrainPct)
-    val hist = assignedRows.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-    val maxCluster = hist.agg(max(col("n"))).head().getLong(0)
-    val verifyFloor = hist.agg(sum(col("n") * col("n"))).head().getLong(0)
-    val floodCells = assignedRows.filter(col("vec_id") < semFlood)
-      .select(col("cid")).distinct().count()
+    val (floodCells, maxCluster, verifyFloor) = modeStats(semFlood)
     System.err.println(f"[skewprobe] semantic: uniform=$semBaseSec%.2f s " +
       f"($semBasePairs pairs) flood=$semSec%.2f s ($semModePairs of $semTrue " +
       f"mode pairs, recall=$semRecall%.4f) ${semRate / 1e6}%.2f M pairs/s " +
       f"k=$semK floodCells=$floodCells maxCluster=$maxCluster sumSq=$verifyFloor")
+
+    // ---- semantic flood SWEEP + escape hatch (r17 verdict #3) ----
+    // (1) MODE-SIZE axis at the tight geometry: every mode pair is
+    // TRUE, so the quadratic is the OUTPUT — the sweep measures where
+    // the flood wall crosses 2× the uniform control (the knee) and
+    // that cost-per-emitted-pair stays flat. The capped re-run pins
+    // what the scaladoc argues: a tight mode shares every band
+    // bucket, so the escape changes neither the pair set nor the
+    // cost — quadratic output has no rescue, only a priced rate.
+    val sweepCells = semSweep.map { m =>
+      val (uSec, uPairs, uMode) = timeSem(m)
+      val (cSec, _, cMode) = timeSem(m, semCap)
+      val (cells, maxC, _) = modeStats(m)
+      val mTrue = m * (m - 1) / 2
+      System.err.println(f"[skewprobe] sweep mode=$m: uncapped=$uSec%.2f s " +
+        f"($uMode/$mTrue mode pairs) capped=$cSec%.2f s ($cMode) " +
+        f"cells=$cells maxCluster=$maxC")
+      (m, uSec, uPairs, uMode, cSec, cMode, cells, maxC)
+    }
+    val knee = sweepCells.find(_._2 > 2 * semBaseSec).map(_._1).getOrElse(-1L)
+    // the largest UNMEASURED verdict size, projected from the flat
+    // rate of the largest measured cell (quadratic output × flat
+    // pairs/s — the sweep's own finding makes the projection honest)
+    val projMode = 64000L
+    val lastRate = sweepCells.lastOption
+      .map(c => c._3 / c._2).getOrElse(semRate)
+    val projSec = (projMode * (projMode - 1) / 2) / math.max(1.0, lastRate)
+
+    // (2) the 100 TB floor the escape RESCUES: [[Cluster.semanticK]]
+    // clamps at kMax=256, so at ~1B docs the expected cell size grows
+    // linearly with the corpus and the within-cell verify goes
+    // quadratic over DIVERSE (sub-threshold) vectors — Σ size² cost,
+    // ~zero emitted pairs. Scaled-down mirror: k forced to `lowK` on
+    // the uniform corpus (cells of ~semDocs/lowK unrelated vectors).
+    // Banding scoped to the oversized cells prunes the sub-threshold
+    // candidates the exhaustive verify grinds through; the emitted
+    // pair set is unchanged (spec-pinned in DedupAnnSpec).
+    val lowkUncapped = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.semanticPairs(
+        semCorpusOf(0), lowK, 2, 0.9, graft.operators.Cluster.TrainPct).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val lowkCapped = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.semanticPairsCapped(
+        semCorpusOf(0), lowK, 2, 0.9, graft.operators.Cluster.TrainPct, semCap)
+      val n = out.count()
+      graft.operators.Dedup.release(out)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val lowkSpeedup = lowkUncapped._1 / math.max(1e-9, lowkCapped._1)
+    System.err.println(f"[skewprobe] lowk floor k=$lowK: uncapped=" +
+      f"${lowkUncapped._1}%.2f s (${lowkUncapped._2} pairs) capped=" +
+      f"${lowkCapped._1}%.2f s (${lowkCapped._2} pairs) speedup=$lowkSpeedup%.1fx")
 
     val line = f"""{"metric":"skewprobe","rows":$rows,"keys":$keys,""" +
       f""""hot_share":$hotShare,"uniform_sec":$uniSec%.3f,"zipf_sec":$zipfSec%.3f,""" +
@@ -236,7 +318,22 @@ object SkewProbe {
       f""""mode_pairs":$semModePairs,"true_pairs":$semTrue,""" +
       f""""mode_recall":$semRecall%.4f,"pairs_per_sec":$semRate%.0f,""" +
       f""""flood_cells":$floodCells,"max_cluster":$maxCluster,""" +
-      f""""sum_sq_floor":$verifyFloor}}"""
+      f""""sum_sq_floor":$verifyFloor},""" +
+      f""""semantic_flood_sweep":{"docs":$semDocs,"cap":$semCap,""" +
+      f""""control_sec":$semBaseSec%.3f,"cells":[""" +
+      sweepCells.map { case (m, uSec, uPairs, uMode, cSec, cMode, cells, maxC) =>
+        f"""{"mode":$m,"uncapped_sec":$uSec%.3f,"pairs":$uPairs,""" +
+        f""""mode_pairs":$uMode,"true_pairs":${m * (m - 1) / 2},""" +
+        f""""capped_sec":$cSec%.3f,"capped_mode_pairs":$cMode,""" +
+        f""""flood_cells":$cells,"max_cluster":$maxC}"""
+      }.mkString(",") +
+      f"""],"knee_mode_size":$knee,"projected":{"mode":$projMode,""" +
+      f""""true_pairs":${projMode * (projMode - 1) / 2},""" +
+      f""""sec_at_measured_rate":$projSec%.1f}},""" +
+      f""""lowk_floor":{"k":$lowK,"docs":$semDocs,"cap":$semCap,""" +
+      f""""uncapped_sec":${lowkUncapped._1}%.3f,"uncapped_pairs":${lowkUncapped._2},""" +
+      f""""capped_sec":${lowkCapped._1}%.3f,"capped_pairs":${lowkCapped._2},""" +
+      f""""speedup":$lowkSpeedup%.2f}}"""
     println(line)
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_LAST.json"))
     Files.writeString(outPath, line + "\n")
