@@ -37,7 +37,12 @@ class DedupAnnSpec extends AnyFunSuite {
     val n = emb.count()
     val rows = Ann.paretoSweep(emb)
       .as[(String, Int, Long, Long, Long)].collect()
-    assert(rows.length == 8)
+    // 5 fixed rows (brute, lsh, ivf×3) + however many knobs the
+    // adaptive sweep derives on this corpus (advisor r17: don't
+    // hard-code 8 — a 1-band geometry would yield a 2-knob sweep)
+    val (aBands0, _) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(emb))
+    val expectRows = 5 + Ann.adaptiveBandSweep(aBands0).size
+    assert(rows.length == expectRows, s"expected $expectRows rows: ${rows.toSeq}")
     val byKey = rows.map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
     val (bx, bh, bs) = byKey(("brute", 0))
     assert(bh == bx, "brute is its own ground truth: recall 1.0")
@@ -59,8 +64,11 @@ class DedupAnnSpec extends AnyFunSuite {
     // are the first b of a larger one's: candidates are a SUPERSET as
     // bands grow ⇒ hits and scored cost monotone non-decreasing —
     // the s-curve shape the front exists to show
-    assert(adaptive.sliding(2).forall { case Array(a, b) => a._4 <= b._4 && a._5 <= b._5 },
-      s"adaptive hits/cost must be monotone in bands: ${adaptive.toSeq}")
+    if (adaptive.length >= 2)
+      assert(adaptive.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4 && a._5 <= b._5
+        case _ => true // trailing 1-element window on odd sizes
+      }, s"adaptive hits/cost must be monotone in bands: ${adaptive.toSeq}")
     val (ax, ah, _) = byKey(("lsh_adaptive", aBands))
     val (_, fh, _) = byKey(("lsh", 0))
     // the ≥0.98 recall CONTRACT is at the cos-0.9 near-dup anchor
@@ -387,6 +395,73 @@ class DedupAnnSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty,
       s"release must free the result checkpoint, still persisted: $after")
+  }
+
+  test("semanticPairsCapped escape hatch: pair-set EQUAL to the uncapped verify, caches released") {
+    // the Σ(mode size²) escape (r17 verdict #3): cells past the cap
+    // reroute from all-pairs verify to cell-scoped banding. Corpus
+    // covers BOTH oversized shapes: a TIGHT true mode (600 vectors,
+    // pairwise cos ≈ 0.9996 — members share every band bucket at the
+    // derived geometry, miss prob ~7e-13/pair, deterministic planes)
+    // and DIFFUSE uniform cells (pairwise cos ≈ 1/√64 — every
+    // candidate fails the exact verify in both paths). Equality is
+    // therefore exact, not statistical.
+    val mode = 600L
+    def h(e: String) = s"cast(xxhash64($e) AS double) / 9.223372036854776e18"
+    val uni = s"transform(sequence(0, 63), j -> " +
+      s"cast(${h("concat('u', cast(id AS string), '_', cast(j AS string))")} AS float))"
+    val fl = s"transform(sequence(0, 63), j -> " +
+      s"cast(${h("concat('b', cast(j AS string))")} + " +
+      s"0.02 * ${h("concat('p', cast(id AS string), '_', cast(j AS string))")} AS float))"
+    val corpus = spark.range(2000)
+      .selectExpr("id AS vec_id", s"IF(id < ${mode}L, $fl, $uni) AS embedding")
+    val uncapped = Dedup.semanticPairs(corpus, k = 8, iters = 2,
+      threshold = 0.9, trainPct = 100).as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cappedDf = Dedup.semanticPairsCapped(corpus, k = 8, iters = 2,
+      threshold = 0.9, trainPct = 100, clusterCap = 256)
+    val capped = cappedDf.as[(Long, Long)].collect().toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"capped path may leave only its result checkpoint, found ${leaked.size}")
+    Dedup.release(cappedDf, blocking = true)
+    assert(capped == uncapped,
+      s"escape must not change the pair set: capped ${capped.size} vs uncapped ${uncapped.size}")
+    // the tight mode is fully recovered through the banded path
+    val modePairs = capped.count { case (a, b) => a < mode && b < mode }
+    assert(modePairs == mode * (mode - 1) / 2,
+      s"all tight-mode pairs must survive the escape: $modePairs")
+    // and the cap was actually exercised: with k=8 seeds inside the
+    // mode, at least one cell must exceed 256 reps
+    val sizes = graft.operators.Cluster.kmeansAssign(corpus, 8, 2, 100)
+      .groupBy(col("cid")).count().as[(Long, Long)].collect()
+    assert(sizes.exists(_._2 > 256), s"no oversized cell — cap untested: ${sizes.toSeq}")
+  }
+
+  test("recall and paretoSweep release their caches before returning (r17 verdict wrong #2)") {
+    // the same lifecycle-by-construction contract Dedup established
+    // (dedupPareto r16, semanticPairsScaled r17), applied to the last
+    // holdout: recall persisted both inputs with no release path, and
+    // a paretoSweep call left ~16 small frames pinned
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Ann.recall(Ann.lshTopKAdaptive(emb), Ann.bruteTopK(emb))
+    assert(r.count() > 0)
+    val leakedR = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedR.size <= 1,
+      s"recall may leave only its result checkpoint, found ${leakedR.size} new RDDs")
+    Dedup.release(r, blocking = true)
+    val front = Ann.paretoSweep(emb)
+    assert(front.count() > 0)
+    val leakedP = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedP.size <= 1,
+      s"paretoSweep may leave only the front's checkpoint, found ${leakedP.size} new RDDs")
+    Dedup.release(front, blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release must free the front's checkpoint, still persisted: $after")
   }
 
   test("semanticPairs shape gate takes both branches under a flipped broadcast budget — same pairs") {
