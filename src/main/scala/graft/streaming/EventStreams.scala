@@ -428,6 +428,89 @@ object EventStreams {
       }.toDF()
   }
 
+  /** One embedding band hit: `vec_id` collided with bucket `owner` in
+    * `band`; `cos` is the EXACT cosine between the row's embedding
+    * and the owner's, verified in-flight — `cos >= threshold` IS the
+    * near-dup verdict, no downstream re-verify pass. */
+  case class EmbHit(vec_id: Long, band: Int, owner: Long, cos: Double)
+
+  /** Scalar twin of [[graft.functions.VectorFunctions.cosine]]
+    * (CosineF32): same one-loop xy/xx/yy accumulation order in
+    * double, so an in-flight verdict here equals the batch verify's
+    * for the same pair (zero-norm → NaN, same as the column form). */
+  private def cosineOf(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      xy += x * y; xx += x * x; yy += y * y
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  /** B18d (r17 verdict stretch #8): streaming SEMANTIC near-dup — the
+    * ingest-time twin of [[graft.operators.Dedup.embeddingPairsLsh]],
+    * closing the streaming × embedding corner of the modality ×
+    * lifecycle matrix. Each row's embedding sign-hashes into `bands`
+    * hyperplane buckets through the SAME deterministic
+    * [[graft.functions.VectorFunctions.signBuckets]] kernel (and the
+    * same [[graft.operators.Ann.hyperplanes]] seed) the batch miner
+    * uses, so a doc flagged here collides with the same peers the
+    * batch pass would pair it with. State is keyed by (band, bucket)
+    * and remembers the first-seen OWNER id AND its embedding, so
+    * every later collision emits WITH its exact cosine to the owner —
+    * the B18c in-flight-verify pattern over embeddings.
+    *
+    * State per bucket is 8 B + one dim-float vector (dim 64 → ~264 B)
+    * — bounded per OCCUPIED bucket, never per row, expiring
+    * `stateTtlMs` past the bucket's newest event time (the B18
+    * retention contract: a near-dup arriving later than the TTL may
+    * pass, and the batch pass downstream catches it). Geometry is a
+    * PARAMETER, not measured — a stream has no corpus cardinality to
+    * pre-measure; size it at deploy time from the expected resident
+    * cardinality with [[graft.operators.Dedup.lshGeometry]] (the 8×6
+    * default mirrors the batch unit shape). Same-micro-batch
+    * collisions resolve deterministically (lowest vec_id claims).
+    *
+    * Input columns: (vec_id, ts, embedding). Output: one [[EmbHit]]
+    * per (row, band) hit (Update mode); roll up per doc like
+    * [[nearDupSink]]. */
+  def embeddingBandHits(vecs: DataFrame, bands: Int = 8, planesPerBand: Int = 6,
+                        dim: Int = 64, watermark: String = "10 minutes",
+                        stateTtlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 30,
+      s"bucket must fit an int: bands=$bands planesPerBand=$planesPerBand")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = graft.operators.Ann.hyperplanes(bands * planesPerBand, dim)
+    vecs
+      .withWatermark("ts", watermark)
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        posexplode(graft.functions.VectorFunctions.signBuckets(
+          col("embedding"), planes, bands, planesPerBand)).as(Seq("band", "bk")))
+      .as[(Long, java.sql.Timestamp, Seq[Float], Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[(Long, Seq[Float]), EmbHit](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[(Long, java.sql.Timestamp, Seq[Float], Int, Long)],
+         state: GroupState[(Long, Seq[Float])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rowsArr = it.toArray
+            val first = rowsArr.minBy(_._1)
+            val (owner, ownerEmb) = state.getOption.getOrElse((first._1, first._3))
+            if (!state.exists) state.update((owner, ownerEmb))
+            val newest = rowsArr.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            rowsArr.iterator.map(r =>
+              EmbHit(r._1, key._1, owner, cosineOf(r._3, ownerEmb)))
+          }
+      }.toDF()
+  }
+
   /** Streaming NEAR-duplicate detection (SURVEY §2 B18): the
     * ingest-time twin of [[graft.operators.Dedup.minhashLsh]]. Each
     * doc's MinHash signature is banded exactly like the batch

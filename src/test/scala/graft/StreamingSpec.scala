@@ -203,6 +203,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(byMedia(4L).forall(_._3 == 4L))
   }
 
+  test("B18d: streaming semantic near-dup — band owners with in-flight cosine verify, batch-consistent") {
+    implicit val sqlCtx = spark.sqlContext
+    // tight near-twin (cos ≈ 0.9996 — collides in every band at 8×6),
+    // an exact copy (cos 1.0), and the NEGATED vector (cos −1: every
+    // hyperplane sign flips, so no band bucket can ever collide —
+    // deterministic, unlike a random far vector at this geometry)
+    val base = Array.tabulate(64)(i => ((i * 37 % 19) - 9) / 9.0f)
+    val near = base.clone(); near(5) = near(5) + 0.02f
+    val anti = base.map(-_)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = EventStreams.embeddingBandHits(
+        in.toDF().toDF("vec_id", "ts", "embedding"), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("b18d").outputMode("update").start()
+    in.addData((1L, ts(1000), base), (4L, ts(1000), anti))
+    q.processAllAvailable() // both novel: each owns its buckets
+    in.addData((2L, ts(2000), near), (3L, ts(2000), base))
+    drain(q)
+    val hits = spark.table("b18d").as[(Long, Int, Long, Double)].collect()
+    def byVec(id: Long) = hits.filter(_._1 == id)
+    // first-seen rows own their buckets at self-cosine (1.0 up to the
+    // xy/(√xx·√yy) double rounding — not exactly 1)
+    def selfCos(c: Double) = (c - 1.0).abs < 1e-12
+    assert(byVec(1L).forall(h => h._3 == 1L && selfCos(h._4)))
+    assert(byVec(4L).forall(h => h._3 == 4L && selfCos(h._4)))
+    // the near twin hits owner 1's buckets VERIFIED above threshold —
+    // a consumer needs no re-verify pass (cos ≈ 1 − 9e-6 by construction)
+    val nearHits = byVec(2L).filter(_._3 == 1L)
+    assert(nearHits.nonEmpty && nearHits.forall(h => h._4 > 0.99 && h._4 < 1.0 - 1e-7),
+      s"near twin must hit owner 1 just below cos 1, got ${byVec(2L).toSeq}")
+    // the exact copy re-hits every band of owner 1 at self-cosine
+    assert(byVec(3L).nonEmpty && byVec(3L).forall(h => h._3 == 1L && selfCos(h._4)))
+    // the negated vector owns its own buckets, never colliding with 1
+    assert(byVec(4L).forall(_._3 == 4L))
+    // batch consistency: the stream pairs each row against its bucket
+    // OWNER only (the B18 owner model — transitive peer pairs are the
+    // downstream batch pass's job), so its verified pairs are a SUBSET
+    // of the batch miner's, and the set of docs it flags as dups must
+    // equal the batch pair docs minus each group's first-seen keeper
+    val corpus = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, base.toSeq), (4L, anti.toSeq))
+      .toDF("vec_id", "embedding")
+    val batchPairs = graft.operators.Dedup.embeddingPairsLsh(corpus, 0.9)
+      .as[(Long, Long)].collect().toSet
+    val streamPairs = hits.filter(h => h._3 != h._1 && h._4 >= 0.9)
+      .map(h => (math.min(h._1, h._3), math.max(h._1, h._3))).toSet
+    assert(streamPairs.subsetOf(batchPairs),
+      s"stream $streamPairs must be owner-pairs of batch $batchPairs")
+    val streamFlagged = hits.filter(h => h._3 != h._1 && h._4 >= 0.9).map(_._1).toSet
+    assert(streamFlagged == Set(2L, 3L),
+      s"every non-keeper batch dup must be flagged in-stream: $streamFlagged")
+  }
+
   test("B28: streaming GTID window tracks per-source lo/hi; gap detector fires once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
