@@ -23,18 +23,22 @@ import sys, os, json, subprocess, glob
 
 x10, work, out = sys.argv[1], sys.argv[2], sys.argv[3]
 budget, chunk_sz = 1800, 10
-skip, only = {"dedup_pareto"}, None
+DEFAULT_SKIP = {"dedup_pareto"}
+user_skip, only, run_all = set(), None, False
 args = sys.argv[4:]
 while args:
     a = args.pop(0)
     if a == "--budget": budget = int(args.pop(0))
     elif a == "--chunk": chunk_sz = int(args.pop(0))
-    elif a == "--skip": skip |= set(args.pop(0).split(","))
+    elif a == "--skip": user_skip |= set(args.pop(0).split(","))
     elif a == "--only": only = set(args.pop(0).split(","))
     # sf0.1 campaigns: the dedup_pareto replay is light there — clear
-    # the default sf1 skip and run the genuinely full surface
-    elif a == "--all": skip = set()
+    # the DEFAULT sf1 skip and run the genuinely full surface. An
+    # explicit --skip is the user's, not the default's: it survives
+    # --all regardless of argument order (advisor r17).
+    elif a == "--all": run_all = True
     else: raise SystemExit(f"unknown arg {a}")
+skip = user_skip | (set() if run_all else DEFAULT_SKIP)
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",

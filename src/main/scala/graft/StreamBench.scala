@@ -141,11 +141,15 @@ object StreamBench {
       }
     }
 
-    // RocksDB provider column (r16 verdict stretch): the two CDC fold
-    // ops re-run on RocksDBStateStoreProvider at the LARGEST key size
-    // — B27 pins the provider CONTRACT functionally; this prices it,
-    // so a provider-specific rate regression shows up in the same
-    // artifact the default-provider rates live in.
+    // RocksDB provider column (r16 verdict stretch, banded ops added
+    // r17 verdict #4): the two CDC fold ops PLUS the two banded
+    // near-dup ops re-run on RocksDBStateStoreProvider at the LARGEST
+    // key size — B27 pins the provider CONTRACT functionally; this
+    // prices it, so a provider-specific rate regression shows up in
+    // the same artifact the default-provider rates live in. The
+    // banded ops have the most store-sensitive access pattern
+    // (per-bucket point lookups + event-time timers), exactly where a
+    // provider regression would hide.
     locally {
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(provKey)
@@ -153,6 +157,15 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val keys = keySizes.max
+        locally { // unmeasured RocksDB warmup (advisor r17): the first
+          // RocksDB query pays native-library + provider init that
+          // would otherwise bias the first measured cell low — mirror
+          // of the default-provider warmup above
+          val in = MemoryStream[Change]
+          run("warmup_rocksdb", 0, 20000, 20000, "update", in,
+            ChangelogStream.entityState(in.toDS()).toDF(),
+            i => Change(i, "upsert", "t", i % 1000, 0.0))
+        }
         locally {
           val in = MemoryStream[Change]
           runs += run("entityState_rocksdb", keys, rowsOf(400000), 50000, "update", in,
@@ -164,6 +177,24 @@ object StreamBench {
           runs += run("scd2Versions_rocksdb", keys, rowsOf(400000), 50000, "append", in,
             ChangelogStream.scd2Versions(in.toDS()).toDF(),
             i => Change(i, if (i % 11 == 0) "delete" else "upsert", "t", i % keys, (i % 7) * 1.0))
+        }
+        locally {
+          val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+          runs += run("nearDupBandHits_rocksdb", keys, rowsOf(60000), 20000, "update", in,
+            EventStreams.nearDupBandHits(in.toDF().toDF("doc_id", "ts", "text")),
+            i => {
+              val d = i % keys
+              (i, ts(i), (0 until 12).map(t => s"w${(d * 31 + t * 7) % (keys * 4)}").mkString(" "))
+            })
+        }
+        locally {
+          val in = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+          runs += run("phashBandHits_rocksdb", keys, rowsOf(120000), 30000, "update", in,
+            EventStreams.phashBandHits(in.toDF().toDF("media_id", "ts", "features")),
+            i => {
+              val d = i % keys
+              (i, ts(i), (0 until 16).map(j => ((d * 2654435761L + j * 40503L) % 1000L) / 1000.0f))
+            })
         }
       } finally prev match {
         case Some(p) => spark.conf.set(provKey, p)
