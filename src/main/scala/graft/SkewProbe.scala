@@ -66,7 +66,7 @@ import graft.cdc.Changelog
   * ([[graft.operators.Dedup.semanticPairsCapped]]) before/after.
   *
   * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]
-  *   [semDocs] [semFlood] [semSweep=4000,16000] [lowK=8] [semCap=8192]`
+  *   [semDocs] [semFlood] [semSweep=4000,16000] [lowK=2] [semCap=8192]`
   * → one JSON line + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
 object SkewProbe {
 
@@ -92,7 +92,7 @@ object SkewProbe {
       .split(',').map(_.trim.toLong).toSeq
     semSweep.foreach(m => require(m >= 2 && m <= semDocs,
       s"sweep mode sizes must be in [2, semDocs=$semDocs], got $m"))
-    val lowK = if (args.length >= 9) args(8).toInt else 8
+    val lowK = if (args.length >= 9) args(8).toInt else 2
     val semCap = if (args.length >= 10) args(9).toLong else 8192L
     require(lowK >= 1 && semCap >= 2, s"lowK=$lowK semCap=$semCap invalid")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -254,9 +254,10 @@ object SkewProbe {
     // TRUE, so the quadratic is the OUTPUT — the sweep measures where
     // the flood wall crosses 2× the uniform control (the knee) and
     // that cost-per-emitted-pair stays flat. The capped re-run pins
-    // what the scaladoc argues: a tight mode shares every band
-    // bucket, so the escape changes neither the pair set nor the
-    // cost — quadratic output has no rescue, only a priced rate.
+    // the DENSITY GATE routing output-dominated cells back to the
+    // exact all-pairs verify (capped_sec ≈ uncapped_sec): the
+    // gate-less first cut measured 65 → 425 s here — a dense cell's
+    // banding re-materializes its emitted pairs once per band.
     val sweepCells = semSweep.map { m =>
       val (uSec, uPairs, uMode) = timeSem(m)
       val (cSec, _, cMode) = timeSem(m, semCap)
@@ -281,10 +282,14 @@ object SkewProbe {
     // linearly with the corpus and the within-cell verify goes
     // quadratic over DIVERSE (sub-threshold) vectors — Σ size² cost,
     // ~zero emitted pairs. Scaled-down mirror: k forced to `lowK` on
-    // the uniform corpus (cells of ~semDocs/lowK unrelated vectors).
-    // Banding scoped to the oversized cells prunes the sub-threshold
-    // candidates the exhaustive verify grinds through; the emitted
-    // pair set is unchanged (spec-pinned in DedupAnnSpec).
+    // the uniform corpus (cells of ~semDocs/lowK unrelated vectors;
+    // lowK=2 puts the mirror where the floor HURTS — ~50k-vector
+    // cells, ~2.5G cosines per cell — the k=8 first cut measured a
+    // 1.25G-cosine floor cheap enough that per-cell job overhead ate
+    // the rescue). The density gate reads these cells DIFFUSE, so
+    // banding prunes the sub-threshold candidates the exhaustive
+    // verify grinds through; the emitted pair set is unchanged
+    // (spec-pinned in DedupAnnSpec).
     val lowkUncapped = {
       val t0 = System.nanoTime()
       val n = graft.operators.Dedup.semanticPairs(

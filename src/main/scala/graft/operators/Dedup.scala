@@ -1124,31 +1124,51 @@ object Dedup {
     * [[semanticVerify]] shape against the SAME trained codebook, so
     * arming the cap changes nothing outside the oversized cells.
     *
-    * What the fallback buys and costs, by mode shape (both measured
-    * in `SKEW_r18.json`'s semantic_flood_sweep):
-    *  - a TIGHT true mode (pairwise cos ≥ threshold): every member
-    *    shares every band bucket, the within-bucket join is the same
-    *    C(m,2), and all pairs verify TRUE — identical pair set,
-    *    identical quadratic cost. The quadratic there is the OUTPUT,
-    *    not overhead; no correct algorithm beats it.
-    *  - a DIFFUSE oversized cell (pairwise cos below threshold — the
-    *    pathological floor: quadratic verify, ~zero emitted pairs):
-    *    sub-threshold pairs land in different buckets with
-    *    probability 1−(1−pʳ)ᵇ, so the banding prunes the candidate
-    *    set the cell-verify would have ground through; the emitted
-    *    set is unchanged (those candidates fail the exact verify in
-    *    both paths). This is where the escape rescues the floor.
-    *  - true pairs AT the anchor inside an oversized cell keep the
-    *    banding family's documented ≥ 0.98 collision recall (the
-    *    lshGeometry contract) instead of the cell-verify's 1.0 —
-    *    the standard banding trade, now scoped to exactly the cells
-    *    whose exhaustive verify became unpayable.
+    * A DENSITY GATE decides per oversized cell (measured into
+    * existence — the first cut sent every oversized cell to banding
+    * and `SKEW_r18.json`'s sweep read the TIGHT 16k mode 6.5× WORSE
+    * through it, 65 → 425 s: a dense cell's within-bucket join
+    * re-materializes its emitted pair set once per band BEFORE the
+    * first-equal-band filter, so banding costs ~bands× the all-pairs
+    * verify exactly when the quadratic is the OUTPUT): sample ≤ 64
+    * members deterministically (xxhash64(vec_id) order), estimate
+    * pair density p̂ over the ≤ 2016 sample pairs driver-side, and
+    *  - p̂ ≥ 1/bands (OUTPUT-dominated, e.g. a true near-dup mode):
+    *    keep the exact all-pairs verify — it rides the same single
+    *    [[semanticVerify]] pass as the under-cap cells, bit-identical
+    *    to the uncapped operator there;
+    *  - p̂ < 1/bands (DIFFUSE — the real kMax-clamp pathology at
+    *    ~1B docs: quadratic verify over unrelated vectors, ~zero
+    *    emitted pairs): cell-scoped hyperplane banding prunes the
+    *    sub-threshold candidates (collision prob 1−(1−pʳ)ᵇ), which
+    *    is where the escape rescues the Σ size² floor. True pairs
+    *    inside a diffuse cell keep the banding family's documented
+    *    ≥ 0.98 collision recall instead of 1.0 (exact-duplicate
+    *    members stay exact — the collapse stage is hash-keyed);
+    *    the 1/bands break-even is the join-volume algebra above,
+    *    with ≥ 2016 sample pairs resolving well past it.
     *
     * Pair-set equivalence on tight/diffuse modes is spec-pinned
-    * (DedupAnnSpec). Control-sized driver state only: cell sizes are
-    * ≤ k ≤ 256 rows; the per-oversized-cell loop is bounded by k.
-    * Default OFF everywhere graded (`Long.MaxValue`) — the DuckDB
-    * oracle replays the uncapped construction. */
+    * (DedupAnnSpec). Control-sized driver state only: ≤ k ≤ 256
+    * cells, ≤ 64 sampled embeddings per oversized cell. Default OFF
+    * everywhere graded (`Long.MaxValue`) — the DuckDB oracle replays
+    * the uncapped construction. */
+  /** Driver-side twin of the CosineF32 kernel (same one-loop
+    * xy/xx/yy accumulation in double) for the density gate's ≤ 2016
+    * sampled pairs. Zero-norm → NaN → counted NOT dense (Java NaN
+    * comparison); the gate is a routing heuristic, never the verify. */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      xy += x * y; xx += x * x; yy += y * y
+      i += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
   def semanticPairsCapped(embeddings: DataFrame, k: Int, iters: Int,
                           threshold: Double, trainPct: Int = 100,
                           clusterCap: Long = Long.MaxValue,
@@ -1164,21 +1184,43 @@ object Dedup {
       val sizes = assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("n")).collect() // ≤ k rows
       val bigCids = sizes.filter(_.getLong(1) > clusterCap).map(_.getLong(0))
-      val small =
-        if (bigCids.isEmpty) assigned.select(col("vec_id"), col("embedding"))
-        else assigned.filter(!col("cid").isin(bigCids.toSeq: _*))
+      def cellOf(c: Long) = assigned.filter(col("cid") === c)
+        .select(col("vec_id"), col("embedding"))
+      // density gate (scaladoc): route each oversized cell by its
+      // sampled pair density vs the 1/bands join-volume break-even
+      val diffuseBig = bigCids.filter { c =>
+        val sample = cellOf(c).orderBy(xxhash64(col("vec_id"))).limit(64)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        val (b, _) = lshGeometry(sizes.find(_.getLong(0) == c).get.getLong(1))
+        var dense = 0; var total = 0
+        var i = 0
+        while (i < sample.length) {
+          var j = i + 1
+          while (j < sample.length) {
+            total += 1
+            if (cosLocal(sample(i), sample(j)) >= threshold) dense += 1
+            j += 1
+          }
+          i += 1
+        }
+        total > 0 && dense.toDouble / total < 1.0 / b
+      }
+      // under-cap cells AND output-dominated oversized cells: ONE
+      // exact graded verify pass against the SAME codebook
+      // (assignment is a pure map, so re-deriving cid on the cached
+      // subset costs one codegen'd pass, never a shuffle)
+      val exactSide =
+        if (diffuseBig.isEmpty) assigned.select(col("vec_id"), col("embedding"))
+        else assigned.filter(!col("cid").isin(diffuseBig.toSeq: _*))
           .select(col("vec_id"), col("embedding"))
-      // under-cap cells: the exact graded verify against the SAME
-      // codebook (assignment is a pure map, so re-deriving cid on the
-      // cached subset costs one codegen'd pass, never a shuffle)
-      val smallPairs = semanticVerify(small, cids, cents, threshold)
-      // per-oversized-cell banding, caches scoped per cell: each
+      val smallPairs = semanticVerify(exactSide, cids, cents, threshold)
+      // per-diffuse-cell banding, caches scoped per cell: each
       // cell's pairs checkpoint eagerly, the banding intermediates
       // release immediately, and the per-cell checkpoints free after
       // the final union materializes
-      val cellChk = bigCids.toSeq.map { c =>
-        val cell = assigned.filter(col("cid") === c)
-          .select(col("vec_id"), col("embedding"))
+      val cellChk = diffuseBig.toSeq.map { c =>
+        val cell = cellOf(c)
         val (b, r) = lshGeometry(distinctEmbeddingCount(cell))
         val (df, cached) = embeddingPairsLshPlan(cell, threshold, b, r, dim)
         try df.localCheckpoint(eager = true)

@@ -399,17 +399,21 @@ class DedupAnnSpec extends AnyFunSuite {
 
   test("semanticPairsCapped escape hatch: pair-set EQUAL to the uncapped verify, caches released") {
     // the Σ(mode size²) escape (r17 verdict #3): cells past the cap
-    // reroute from all-pairs verify to cell-scoped banding. Corpus
-    // covers BOTH oversized shapes: a TIGHT true mode (600 vectors,
-    // pairwise cos ≈ 0.9996 — members share every band bucket at the
-    // derived geometry, miss prob ~7e-13/pair, deterministic planes)
-    // and DIFFUSE uniform cells (pairwise cos ≈ 1/√64 — every
-    // candidate fails the exact verify in both paths). Equality is
-    // therefore exact, not statistical.
+    // route through the DENSITY GATE — output-dominated cells keep
+    // the exact all-pairs verify, diffuse cells fall back to
+    // cell-scoped banding. Corpus covers BOTH routes: a TIGHT true
+    // mode (600 vectors, pairwise cos ≈ 0.9996 — sampled density ~1
+    // ≥ 1/bands → all-pairs route) and DIFFUSE uniform cells
+    // (pairwise cos ≈ 1/√64 — density 0 → banding route; every
+    // candidate fails the exact verify in both paths) with ONE exact
+    // duplicate planted in the diffuse region (ids 1998/1999 share an
+    // embedding — the hash-keyed collapse emits the pair through
+    // banding deterministically, no recall S-curve involved).
+    // Equality is therefore exact, not statistical.
     val mode = 600L
     def h(e: String) = s"cast(xxhash64($e) AS double) / 9.223372036854776e18"
     val uni = s"transform(sequence(0, 63), j -> " +
-      s"cast(${h("concat('u', cast(id AS string), '_', cast(j AS string))")} AS float))"
+      s"cast(${h("concat('u', cast(IF(id = 1999, 1998, id) AS string), '_', cast(j AS string))")} AS float))"
     val fl = s"transform(sequence(0, 63), j -> " +
       s"cast(${h("concat('b', cast(j AS string))")} + " +
       s"0.02 * ${h("concat('p', cast(id AS string), '_', cast(j AS string))")} AS float))"
@@ -419,8 +423,10 @@ class DedupAnnSpec extends AnyFunSuite {
       threshold = 0.9, trainPct = 100).as[(Long, Long)].collect().toSet
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // cap 150: the mode cell (≥600) AND the ~175-250-row uniform
+    // cells are all oversized, so BOTH gate routes run
     val cappedDf = Dedup.semanticPairsCapped(corpus, k = 8, iters = 2,
-      threshold = 0.9, trainPct = 100, clusterCap = 256)
+      threshold = 0.9, trainPct = 100, clusterCap = 150)
     val capped = cappedDf.as[(Long, Long)].collect().toSet
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.size <= 1,
@@ -428,15 +434,19 @@ class DedupAnnSpec extends AnyFunSuite {
     Dedup.release(cappedDf, blocking = true)
     assert(capped == uncapped,
       s"escape must not change the pair set: capped ${capped.size} vs uncapped ${uncapped.size}")
-    // the tight mode is fully recovered through the banded path
+    // the tight mode survives in full through the all-pairs route
     val modePairs = capped.count { case (a, b) => a < mode && b < mode }
     assert(modePairs == mode * (mode - 1) / 2,
       s"all tight-mode pairs must survive the escape: $modePairs")
-    // and the cap was actually exercised: with k=8 seeds inside the
-    // mode, at least one cell must exceed 256 reps
+    // the planted exact dup survives the diffuse cells' banding route
+    assert(capped.contains((1998L, 1999L)),
+      s"exact dup in a diffuse banded cell must survive: ${capped.filter(_._1 > mode).take(5)}")
+    // and the cap was actually exercised on both shapes: the mode
+    // cell plus at least one diffuse cell must exceed 150 reps
     val sizes = graft.operators.Cluster.kmeansAssign(corpus, 8, 2, 100)
       .groupBy(col("cid")).count().as[(Long, Long)].collect()
-    assert(sizes.exists(_._2 > 256), s"no oversized cell — cap untested: ${sizes.toSeq}")
+    assert(sizes.count(_._2 > 150) >= 2,
+      s"need both routes oversized — cap undertested: ${sizes.toSeq}")
   }
 
   test("recall and paretoSweep release their caches before returning (r17 verdict wrong #2)") {
