@@ -66,7 +66,7 @@ import graft.cdc.Changelog
   * ([[graft.operators.Dedup.semanticPairsCapped]]) before/after.
   *
   * `runMain graft.SkewProbe [rows] [keys] [hotShare] [floodDocs] [floodSize]
-  *   [semDocs] [semFlood] [semSweep=4000,16000] [lowK=2] [semCap=8192]`
+  *   [semDocs] [semFlood] [semSweep=4000,16000] [lowK=1] [semCap=8192]`
   * → one JSON line + `$SPARK_GRAFT_SKEW_OUT` (default `SKEW_LAST.json`). */
 object SkewProbe {
 
@@ -92,7 +92,7 @@ object SkewProbe {
       .split(',').map(_.trim.toLong).toSeq
     semSweep.foreach(m => require(m >= 2 && m <= semDocs,
       s"sweep mode sizes must be in [2, semDocs=$semDocs], got $m"))
-    val lowK = if (args.length >= 9) args(8).toInt else 2
+    val lowK = if (args.length >= 9) args(8).toInt else 1
     val semCap = if (args.length >= 10) args(9).toLong else 8192L
     require(lowK >= 1 && semCap >= 2, s"lowK=$lowK semCap=$semCap invalid")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -281,28 +281,37 @@ object SkewProbe {
     // clamps at kMax=256, so at ~1B docs the expected cell size grows
     // linearly with the corpus and the within-cell verify goes
     // quadratic over DIVERSE (sub-threshold) vectors — Σ size² cost,
-    // ~zero emitted pairs. Scaled-down mirror: k forced to `lowK` on
-    // the uniform corpus (cells of ~semDocs/lowK unrelated vectors;
-    // lowK=2 puts the mirror where the floor HURTS — ~50k-vector
-    // cells, ~2.5G cosines per cell — the k=8 first cut measured a
-    // 1.25G-cosine floor cheap enough that per-cell job overhead ate
-    // the rescue). The density gate reads these cells DIFFUSE, so
-    // banding prunes the sub-threshold candidates the exhaustive
-    // verify grinds through; the emitted pair set is unchanged
-    // (spec-pinned in DedupAnnSpec).
-    val lowkUncapped = {
-      val t0 = System.nanoTime()
-      val n = graft.operators.Dedup.semanticPairs(
-        semCorpusOf(0), lowK, 2, 0.9, graft.operators.Cluster.TrainPct).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+    // ~zero emitted pairs. Scaled-down mirror: lowK=1 makes the whole
+    // uniform corpus ONE unsplittable diverse cell (~semDocs²/2
+    // cosines exhaustive vs ~C(n,2)·b/2^(r+1) banded candidates, a
+    // ~585× scoring reduction at the derived (28,13) geometry). The
+    // measured crossover sits near 100k-vector cells: at k=2 (50k
+    // cells) the per-cell banding machinery — signatures, band join,
+    // checkpoint — cancels the pruning gain; past the crossover the
+    // rescue grows linearly in cell size. The density gate reads
+    // these cells DIFFUSE, so banding prunes the sub-threshold
+    // candidates the exhaustive verify grinds through; the emitted
+    // pair set is unchanged (spec-pinned in DedupAnnSpec). min-of-2
+    // samples: this host's noise bursts reach 2× on join-heavy
+    // stages, and the speedup line is the block's verdict.
+    def minOf2(f: => Long): (Double, Long) = {
+      val s = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (s.map(_._1).min, s.head._2)
     }
-    val lowkCapped = {
-      val t0 = System.nanoTime()
+    val lowkUncapped = minOf2 {
+      graft.operators.Dedup.semanticPairs(
+        semCorpusOf(0), lowK, 2, 0.9, graft.operators.Cluster.TrainPct).count()
+    }
+    val lowkCapped = minOf2 {
       val out = graft.operators.Dedup.semanticPairsCapped(
         semCorpusOf(0), lowK, 2, 0.9, graft.operators.Cluster.TrainPct, semCap)
       val n = out.count()
       graft.operators.Dedup.release(out)
-      ((System.nanoTime() - t0) / 1e9, n)
+      n
     }
     val lowkSpeedup = lowkUncapped._1 / math.max(1e-9, lowkCapped._1)
     System.err.println(f"[skewprobe] lowk floor k=$lowK: uncapped=" +

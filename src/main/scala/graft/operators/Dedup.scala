@@ -1215,20 +1215,30 @@ object Dedup {
         else assigned.filter(!col("cid").isin(diffuseBig.toSeq: _*))
           .select(col("vec_id"), col("embedding"))
       val smallPairs = semanticVerify(exactSide, cids, cents, threshold)
-      // per-diffuse-cell banding, caches scoped per cell: each
-      // cell's pairs checkpoint eagerly, the banding intermediates
-      // release immediately, and the per-cell checkpoints free after
-      // the final union materializes
-      val cellChk = diffuseBig.toSeq.map { c =>
-        val cell = cellOf(c)
-        val (b, r) = lshGeometry(distinctEmbeddingCount(cell))
-        val (df, cached) = embeddingPairsLshPlan(cell, threshold, b, r, dim)
-        try df.localCheckpoint(eager = true)
-        finally cached.foreach(_.unpersist(blocking = false))
+      // No diffuse cell → no banding caches to scope: return the
+      // exact verify LAZILY, structurally the uncapped plan (the
+      // sweep's first cut eagerly checkpointed here and paid an
+      // extra full materialization of a 128M-pair tight-mode output
+      // — 35 → 166 s with the gate already routing right; an
+      // output-bound result must not materialize twice)
+      if (diffuseBig.isEmpty) smallPairs
+      else {
+        // per-diffuse-cell banding, caches scoped per cell: each
+        // cell's pairs checkpoint eagerly (diffuse ⇒ near-empty),
+        // the banding intermediates release immediately, and the
+        // per-cell checkpoints free after the final union
+        // materializes
+        val cellChk = diffuseBig.toSeq.map { c =>
+          val cell = cellOf(c)
+          val (b, r) = lshGeometry(distinctEmbeddingCount(cell))
+          val (df, cached) = embeddingPairsLshPlan(cell, threshold, b, r, dim)
+          try df.localCheckpoint(eager = true)
+          finally cached.foreach(_.unpersist(blocking = false))
+        }
+        try (smallPairs +: cellChk).reduce(_.unionAll(_))
+          .localCheckpoint(eager = true)
+        finally cellChk.foreach(release(_))
       }
-      try (smallPairs +: cellChk).reduce(_.unionAll(_))
-        .localCheckpoint(eager = true)
-      finally cellChk.foreach(release(_))
     } finally assigned.unpersist(blocking = false)
   }
 
