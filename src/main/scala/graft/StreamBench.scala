@@ -139,6 +139,18 @@ object StreamBench {
             (i, ts(i), (0 until 16).map(j => ((d * 2654435761L + j * 40503L) % 1000L) / 1000.0f))
           })
       }
+      locally { // B18d embeddingBandHits: hyperplane banding + in-flight
+        // cosine verify (8 bands/row at dim 64 — the heaviest per-row
+        // state payload of the banded family: owner id + vector)
+        val in = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+        runs += run("embeddingBandHits", keys, rowsOf(60000), 20000, "update", in,
+          EventStreams.embeddingBandHits(in.toDF().toDF("vec_id", "ts", "embedding")),
+          i => {
+            val d = i % keys
+            (i, ts(i), (0 until 64).map(j =>
+              (((d * 2654435761L + j * 40503L) % 2000L) - 1000L) / 1000.0f))
+          })
+      }
     }
 
     // RocksDB provider column (r16 verdict stretch, banded ops added

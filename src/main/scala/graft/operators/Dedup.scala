@@ -816,8 +816,17 @@ object Dedup {
       .persist() // scanned by the band explode and both verify attaches
     val bb = base.select(col("gid"), col("bks"),
       posexplode(col("bks")).as(Seq("band", "bk")))
+    // SHUFFLE_HASH pinned (r18): left to estimates, Catalyst either
+    // BROADCASTS the exploded band side (~bands × corpus rows carrying
+    // the bks arrays — driver-sized luck on a test rig, a driver OOM
+    // on a cluster) or, when the input hides behind a cached filter
+    // (the capped escape's per-cell frames), flips the whole pipeline
+    // to SortMergeJoin — which SORTS the candidate stream and spilled
+    // ~35 GB on a 100k-vector cell before failing the disk. The hash
+    // join shuffles each side once and streams the matches; no sort
+    // ever touches the band or candidate volume.
     val cand = bb.as("a")
-      .join(bb.as("b"),
+      .join(bb.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.gid") < col("b.gid"))
       // first-matching-band filter: exactly one surviving copy per
@@ -828,9 +837,16 @@ object Dedup {
       .where(col("a.band") ===
         graft.functions.VectorFunctions.firstEqualBandCol(col("a.bks"), col("b.bks")))
       .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
+    // verify attaches take the measured attachStrategy (r18, the sf1
+    // near_dup_jaccard lesson applied here): broadcast the embedding
+    // side when it fits the budget, pinned SHUFFLE_HASH past it —
+    // never SMJ, which would sort the candidate stream with KB-sized
+    // arrays attached (the measured 35 GB spill above)
+    val strat = attachStrategy(
+      base.select(col("gid"), col("embedding")), col("embedding"))
     val repPairs = cand
-      .join(base.select(col("gid").as("a_gid"), col("embedding").as("a_emb")), Seq("a_gid"))
-      .join(base.select(col("gid").as("b_gid"), col("embedding").as("b_emb")), Seq("b_gid"))
+      .join(strat(base.select(col("gid").as("a_gid"), col("embedding").as("a_emb"))), Seq("a_gid"))
+      .join(strat(base.select(col("gid").as("b_gid"), col("embedding").as("b_emb"))), Seq("b_gid"))
       .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
       .select(col("a_gid"), col("b_gid"))
 
@@ -852,9 +868,15 @@ object Dedup {
       .join(okMembers.as("y"),
         col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    // member attaches SHUFFLE_HASH-pinned like the verify attaches
+    // (r18): the rep-pair stream is OUTPUT-sized (a dup flood makes
+    // it quadratic), so it must never be sorted — the id-only member
+    // side builds the hash table
     val inter = repPairs
-      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x")), Seq("a_gid"))
-      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y")), Seq("b_gid"))
+      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x"))
+        .hint("SHUFFLE_HASH"), Seq("a_gid"))
+      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y"))
+        .hint("SHUFFLE_HASH"), Seq("b_gid"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
     (intra.unionAll(inter), Seq(keyed, groups, members, base))
   }
@@ -1332,9 +1354,15 @@ object Dedup {
       .join(okMembers.as("y"),
         col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    // member attaches SHUFFLE_HASH-pinned like the verify attaches
+    // (r18): the rep-pair stream is OUTPUT-sized (a dup flood makes
+    // it quadratic), so it must never be sorted — the id-only member
+    // side builds the hash table
     val inter = repPairs
-      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x")), Seq("a_gid"))
-      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y")), Seq("b_gid"))
+      .join(members.select(col("gid").as("a_gid"), col("vec_id").as("x"))
+        .hint("SHUFFLE_HASH"), Seq("a_gid"))
+      .join(members.select(col("gid").as("b_gid"), col("vec_id").as("y"))
+        .hint("SHUFFLE_HASH"), Seq("b_gid"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
     (intra.unionAll(inter), Seq(keyed, groups, members))
   }
