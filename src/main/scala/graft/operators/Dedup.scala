@@ -452,14 +452,87 @@ object Dedup {
     val (nCandExact, nExact) =
       try (cand.count(), verifyJaccard(t, cand, threshold).count())
       finally { cand.unpersist(); t.unpersist() }
-    val rows = ("exact", 0, nExact, nExact, nCandExact) +: bandsList.map { b =>
-      val agg = minhashLsh(docs, numHashes, b, threshold)
-        .agg((sum(col("n_cand")) / 2).cast("long").as("c"),
-          (sum(col("n_dup")) / 2).cast("long").as("f"))
-        .head()
-      ("minhash_lsh", b, nExact, agg.getLong(1), agg.getLong(0))
-    }
+    val rows = ("exact", 0, nExact, nExact, nCandExact) +:
+      minhashSweep(docs, numHashes, bandsList, threshold).map { case (b, c, f) =>
+        ("minhash_lsh", b, nExact, f, c)
+      }
     rows.toDF("method", "bands", "n_exact", "n_found", "n_cand")
+  }
+
+  /** [[dedupPareto]]'s banded arms in ONE plan (r18 — the per-arm
+    * loop re-ran the whole shingle → collapse → 128-hash signature
+    * prefix once per `bands` value and paid an eager `.head()` per
+    * arm, ~60 of dedup_pareto's 86 driver-synchronized jobs): the
+    * prefix is shared — `numHashes` is fixed across the sweep, only
+    * the band SPLIT of the same signature differs — and the per-arm
+    * rollup aggregates union into a single collect. Per-arm values
+    * are identical to independent [[minhashLsh]] runs by
+    * construction: each arm's band explode, candidate self-join,
+    * exact-Jaccard verify and per-doc rollup are the same expressions
+    * over the same collapsed groups. Returns (bands, Σn_cand/2,
+    * Σn_dup/2) per arm. */
+  private def minhashSweep(docs: DataFrame, numHashes: Int,
+                           bandsList: Seq[Int],
+                           threshold: Double): Seq[(Int, Long, Long)] = {
+    val withKey = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
+      .withColumn("gk", xxhash64(col("sh")))
+      .withColumn("gk2", xxhash64(lit(1L), col("sh")))
+      .persist()
+    // collapsed groups carry the FULL minhash signature once; each
+    // arm only re-splits it into its own band hashes
+    val groups = withKey
+      .groupBy(col("gk"), col("gk2"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+        min_by(col("sh"), col("doc_id")).as("sh"))
+      .withColumn("grp_ok", (size(col("sh")) > 0).cast("int"))
+      .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
+      .persist()
+    val members = withKey.select(col("doc_id"), col("gk"), col("gk2"))
+      .join(groups.select(col("gk"), col("gk2"), col("gid"), col("m"), col("grp_ok")),
+        Seq("gk", "gk2"))
+    val shProj = groups.select(col("gid"), col("sh"))
+    // one measured attach decision for every arm (the strategy is a
+    // property of the group projection, not of the band count)
+    val strat = attachStrategy(shProj, col("sh"))
+    val bhs = bandsList.map { b =>
+      groups.filter(col("grp_ok") === 1)
+        .select(col("gid"),
+          posexplode(Hashing.bandHashes(col("sig"), b, numHashes / b))
+            .as(Seq("band", "bh")))
+        .persist()
+    }
+    try {
+      val perArm = bandsList.zip(bhs).map { case (b, bh) =>
+        val candG = bh.as("a")
+          .join(bh.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.gid") < col("b.gid"))
+          .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))
+          .distinct()
+        val verified = shProj.select(col("gid").as("a_gid"), col("sh").as("a_sh"))
+          .join(candG, Seq("a_gid"))
+          .join(strat(shProj.select(col("gid").as("b_gid"), col("sh").as("b_sh"))),
+            Seq("b_gid"))
+          .withColumn("i", Hashing.sortedIntersectCount(col("a_sh"), col("b_sh")))
+          .withColumn("j",
+            col("i").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("i")))
+          .withColumn("dup", (col("j") >= threshold).cast("int"))
+          .select(col("a_gid"), col("b_gid"), col("dup"))
+        rollupPerDoc(members, verified, groups.select(col("gid"), col("m")), Seq.empty)
+          .agg((sum(col("n_cand")) / 2).cast("long").as("c"),
+            (sum(col("n_dup")) / 2).cast("long").as("f"))
+          .select(lit(b).as("bands"), col("c"), col("f"))
+      }
+      perArm.reduce(_.unionAll(_)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally {
+      bhs.foreach(_.unpersist(blocking = false))
+      groups.unpersist(blocking = false)
+      withKey.unpersist(blocking = false)
+    }
   }
 
   /** SimHash near-dup summary per document (hamming ≤ `maxHamming`):
@@ -1431,9 +1504,15 @@ object Dedup {
     // of one cached frame inside a single job would each compute.
     val e0 = edges.select(col("a"), col("b")).persist()
     e0.count()
+    // pre-partitioned by the per-round join key (r18): every round
+    // joins sym on `v`, and each round is its own action (the
+    // checkpoint), so exchange reuse never applies across rounds —
+    // without this the edge frame re-shuffles O(rounds) times; the
+    // cached InMemoryTableScan reports hashpartitioning(v), so
+    // EnsureRequirements drops the sym-side exchange in every round
     val sym = e0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
-      .distinct().persist()
+      .distinct().repartition(col("v")).persist()
     // only edge ENDPOINTS iterate: in a dedup setting almost every doc
     // is isolated (no pair touches it), its label can never change,
     // and carrying it through O(log d) rounds of joins would make each

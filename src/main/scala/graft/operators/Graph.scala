@@ -51,8 +51,16 @@ object Graph {
                initRank: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "pageRank: iters >= 1")
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // pre-partitioned by the per-iteration join key (r18): ranks
+    // attach by src every round, and the rank chain is one lazy plan
+    // whose per-iteration joins would each re-shuffle the edge cache
+    // (ReusedExchange only fires on identical subplans — the
+    // rank-side differs per iteration and AQE replans each stage);
+    // hashpartitioning(src) on the cached frame lets every iteration
+    // skip the edge-side exchange outright
     val linked = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = initRank * 15L / 100L
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))

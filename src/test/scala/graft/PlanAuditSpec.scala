@@ -503,4 +503,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
       s"one single-row exchange of the combined stats:\n$p")
   }
+
+  test("cached frame pre-partitioned by the join key skips its per-round exchange (CC/pageRank shape)") {
+    // connectedComponents and Graph.pageRank repartition their edge
+    // cache by the per-round join key (r18): each round is a separate
+    // action, so ReusedExchange never applies across rounds, and the
+    // saving relies on InMemoryTableScan REPORTING the cached frame's
+    // hashpartitioning so EnsureRequirements drops the edge-side
+    // exchange. Pin that propagation: if a Spark upgrade stops
+    // carrying partitioning through the cache, the iterative shuffle
+    // savings silently evaporate — this spec is the alarm.
+    import org.apache.spark.sql.functions._
+    val big = spark.range(1000)
+      .select((col("id") % 97).as("v"), col("id").as("payload"))
+      .repartition(col("v")).persist()
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val (bc0, aqe0) = (spark.conf.get(bcKey), spark.conf.get(aqeKey))
+    try {
+      big.count() // materialize the cache
+      // deterministic probe: no broadcast (force a shuffle join) and
+      // no AQE (so executedPlan is the static tree). InMemoryTableScan
+      // is a LEAF of the operator tree, so the cache's own build-time
+      // exchange is not counted — only per-round shuffles are.
+      spark.conf.set(bcKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      val small = spark.range(97).select(col("id").as("v"), (col("id") * 2).as("label"))
+      val qe = big.join(small, Seq("v")).queryExecution
+      val shuffles = qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.size
+      assert(shuffles == 1,
+        s"cached hashpartitioning(v) must satisfy the join's requirement " +
+          s"(expected 1 exchange on the probe side, got $shuffles):\n${qe.executedPlan}")
+    } finally {
+      spark.conf.set(bcKey, bc0)
+      spark.conf.set(aqeKey, aqe0)
+      big.unpersist(blocking = true)
+    }
+  }
 }
