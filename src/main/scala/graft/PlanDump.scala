@@ -24,6 +24,9 @@ object PlanDump {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-plandump"),
       cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // committed plan artifacts must be complete — lift the session
+    // profiles' 64 KB plan-string budget for this tool
+    spark.conf.set("spark.sql.maxPlanStringLength", (Int.MaxValue - 15).toString)
     Files.createDirectories(Paths.get(s"plans/$tag"))
     names.foreach { n =>
       try {

@@ -42,6 +42,17 @@ object Sessions {
       // (small); 10k bounds memory while making the cache effective at
       // this engine's query-surface size.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // plan-string budget (r18): AQE rebuilds the FULL formatted plan
+      // string on every stage update (AdaptiveSparkPlanExec
+      // .onUpdatePlan → explainString) even with the UI off, and the
+      // cost is O(plan size) per replan — measured here as minutes of
+      // single-threaded driver time on deep operator chains (a
+      // thread-dump of a chained-pipeline run sat in
+      // StringConcat.toString). 64 KB keeps explain() useful for
+      // debugging while bounding the per-replan driver tax; tooling
+      // that needs the complete text (plan dumps, audits) raises the
+      // conf per session — it is runtime-settable.
+      .config("spark.sql.maxPlanStringLength", "65536")
     if (shufflePartitions > 0)
       base.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     else base

@@ -214,7 +214,12 @@ object Dedup {
     val posts = t.select(col("doc_id"), explode(col("sh")).as("g"))
     val kept = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
-    val kp = posts.join(kept, Seq("g"))
+    // persisted (r18): the self-join's two legs each re-derived the
+    // df-filtered posting table — the posting shuffle (the corpus'
+    // widest exchange here) ran TWICE, once per leg. Cached, the join
+    // output's hashpartitioning(g) also satisfies both legs of the
+    // self-join, so no further exchange touches a posting row.
+    val kp = posts.join(kept, Seq("g")).persist()
     val cand = kp.as("x").join(kp.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -261,16 +266,28 @@ object Dedup {
     */
   private def rollupPerDoc(members: DataFrame, verified: DataFrame,
                            sizes: DataFrame, carry: Seq[String]): DataFrame = {
-    val fromA = verified
-      .join(sizes.select(col("gid").as("b_gid"), col("m").as("pm")), Seq("b_gid"))
-      .select(col("a_gid").as("gid"), col("pm"), col("dup"), col("b_gid").as("p_gid"))
-    val fromB = verified
-      .join(sizes.select(col("gid").as("a_gid"), col("m").as("pm")), Seq("a_gid"))
-      .select(col("b_gid").as("gid"), col("pm"), col("dup"), col("a_gid").as("p_gid"))
-    val pairAgg = fromA.unionAll(fromB).groupBy(col("gid")).agg(
-      sum(col("pm")).as("ext_cand"),
-      sum(col("dup") * col("pm")).as("ext_dup"),
-      min(when(col("dup") === 1, col("p_gid"))).as("min_dup_gid"))
+    // ONE reference to `verified` (r18): the old fromA/fromB pair of
+    // size-attach joins embedded the verify pipeline TWICE in the
+    // physical plan — Spark has no common-subexpression reuse above
+    // exchanges, so the exact-verify kernel (the family's dominant
+    // compute: sorted-merge intersections / hamming verdicts over
+    // every candidate pair) ran once per direction. A map-side
+    // explode emits both directions from a single verify stage; the
+    // size attach and the per-gid aggregate then cost one join + one
+    // exchange instead of two of each. Values are unchanged: the
+    // exploded multiset is exactly fromA ∪ fromB.
+    val dir = verified
+      .select(explode(array(
+          struct(col("a_gid").as("gid"), col("b_gid").as("p_gid")),
+          struct(col("b_gid").as("gid"), col("a_gid").as("p_gid")))).as("e"),
+        col("dup"))
+      .select(col("e.gid").as("gid"), col("e.p_gid").as("p_gid"), col("dup"))
+    val pairAgg = dir
+      .join(sizes.select(col("gid").as("p_gid"), col("m").as("pm")), Seq("p_gid"))
+      .groupBy(col("gid")).agg(
+        sum(col("pm")).as("ext_cand"),
+        sum(col("dup") * col("pm")).as("ext_dup"),
+        min(when(col("dup") === 1, col("p_gid"))).as("min_dup_gid"))
     members.join(pairAgg, Seq("gid"), "left")
       .select(
         col("doc_id") +: carry.map(col) :+
