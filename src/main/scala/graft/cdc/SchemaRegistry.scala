@@ -463,7 +463,7 @@ object SchemaRegistry {
     // the no-log-payload-shuffle audit true).
     val fan = committed.filter(!isAlter)
       .select(col("pos"), col("op"), col("tbl"), col("id"))
-      .repartition(committed.sparkSession.sparkContext.defaultParallelism)
+      .repartition(committed.sparkSession.sparkContext.defaultParallelism, col("pos"))
     val attached = attach(fan, registry)
       .withColumn("vals_raw", synthValsCol(col("tbl"), col("id"), col("n_cols")))
     // migrate via the index-aligned scale path: per row, decode is one

@@ -49,7 +49,7 @@ object Ann {
     // bytes are tiny but the compute is not, which size-based planning
     // cannot see. AQE honors the explicit count.
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("n_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
@@ -147,7 +147,7 @@ object Ann {
     val c = embeddings
       .join(candidateIds.select(col("n_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("n_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))

@@ -96,7 +96,7 @@ object Dedup {
         col("doc_id"),
         expr("n_chars div 100").as("bucket"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist()
     val a = t.select(col("doc_id").as("a_id"), col("bucket").as("a_bucket"))
     val b = t.select(col("doc_id").as("b_id"),
@@ -209,7 +209,7 @@ object Dedup {
     val t = docs
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist()
     val posts = t.select(col("doc_id"), explode(col("sh")).as("g"))
     val kept = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -324,7 +324,7 @@ object Dedup {
                            threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val withKey = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
       // two independent 64-bit group keys: a single-key collision would
@@ -492,7 +492,7 @@ object Dedup {
                            bandsList: Seq[Int],
                            threshold: Double): Seq[(Int, Long, Long)] = {
     val withKey = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
       .withColumn("gk", xxhash64(col("sh")))
@@ -566,7 +566,7 @@ object Dedup {
     * from forming quadratic buckets. */
   def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val s = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         Hashing.simhash(TextFunctions.tokens(col("text"))).as("sh64"))
       .persist() // 16 B/row; scanned by both the collapse and the member join
@@ -678,7 +678,7 @@ object Dedup {
       s"need maxHamming + 2 <= dim for non-empty band chunks, got maxHamming=$maxHamming dim=$dim")
     val ph = phashCol(dim, wrap)
     val s = features
-      .repartition(features.sparkSession.sparkContext.defaultParallelism)
+      .repartition(features.sparkSession.sparkContext.defaultParallelism, col("media_id"))
       .select(col("media_id").as("doc_id"), ph.as("ph"))
       .persist() // 16 B/row; scanned by both the collapse and the member join
     val groups = s.groupBy(col("ph"))
@@ -725,7 +725,7 @@ object Dedup {
     // a few partitions each grinding |corpus|²/p cosines — compute the
     // size-based planner can't see (same fix as Ann.bruteTopK)
     val a = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("a_id"))
     val b = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .where(graft.functions.VectorFunctions.cosine(col("a_emb"), col("b_emb")) >= threshold)
@@ -1068,7 +1068,7 @@ object Dedup {
     // fanned out (a text-carrying exchange) and re-shingled twice
     // (plan-audited: exactly one text shuffle in the whole query)
     val withKey = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), (col("doc_id") >= cutoff).as("side"),
         Hashing.hashedShingles3Col(TextFunctions.tokens(col("text"))).as("sh"))
       .withColumn("gk", xxhash64(col("sh")))
