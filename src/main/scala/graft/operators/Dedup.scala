@@ -1551,9 +1551,16 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nbl"))
+      // persisted (r18): the pointer jump references prop TWICE (the
+      // propagated labels and the label→label lookup), and Spark has
+      // no common-subexpression reuse above exchanges — uncached, the
+      // neighbor-min join+aggregate ran once per reference every
+      // round. The cache fills during the checkpoint action (no extra
+      // job) and releases as soon as the round materializes.
       val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .persist()
       // pointer jump: follow the label one hop (labels are node ids by
       // construction — min over node ids — so the lookup always lands).
       // The old label rides along so convergence is read off the
@@ -1565,6 +1572,7 @@ object Dedup {
         .select(col("node"), col("old"), coalesce(col("ll"), col("label")).as("label"))
         .withColumn("chg", col("label") =!= col("old"))
         .localCheckpoint()
+      prop.unpersist(blocking = false)
       val changed = jumped.where(col("chg")).limit(1).count()
       // jumped is materialized (eager checkpoint) — the previous
       // round's blocks are no longer referenced
