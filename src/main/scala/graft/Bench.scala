@@ -126,26 +126,42 @@ object Bench {
     val opsTotal = total - instTotal
     val instList = Instruments.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val nFailed = results.count(_._3.isDefined)
+    // The driver's stdout capture truncates long lines mid-JSON — the
+    // old ~20 KB line (inlined samples/status/canary maps) came back
+    // `parsed: null` every round (r16-r18 verdicts). The stdout line is
+    // therefore the COMPACT contract surface only (metric/value/unit/
+    // per-query medians/totals/failed/sf, ~3 KB for 138 queries); the
+    // full evidence maps live exclusively in the file artifact.
     val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""operators_total":${jnum(opsTotal)},"instruments_total":${jnum(instTotal)},""" +
+      s""""failed":$nFailed,"cpus":$cpus,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
       s""""operators_total":${jnum(opsTotal)},"instruments_total":${jnum(instTotal)},""" +
       s""""instruments":$instList,""" +
       s""""samples":$samples,"status":$status,"canary":$canaries,""" +
-      s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"sf":"$sfDir"}"""
-    println(line)
-    // stdout tails get truncated in the driver's capture; a file copy
-    // keeps the per-query medians/samples recoverable regardless.
-    // Default to a repo-relative artifact (BENCH_LAST.json) so the
-    // numbers survive even when the env var is unset. Best-effort: an
-    // unwritable working dir must not turn a successful run into a
-    // non-zero exit after the results already printed.
-    val outPath = java.nio.file.Paths
-      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-    try {
-      java.nio.file.Files.writeString(outPath, line + "\n")
-      System.err.println(s"[bench] artifact written to ${outPath.toAbsolutePath}")
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] artifact write to $outPath failed: $e (results are on stdout)")
+      s""""load":["$loadStart","${loadAvg()}"],"failed":$nFailed,"cpus":$cpus,"sf":"$sfDir"}"""
+    // File artifacts FIRST (and their stderr notices), so the JSON line
+    // is the very last stdout before sbt's own [success] trailer — a
+    // tail-limited capture then always contains the complete line.
+    // Default artifacts: BENCH_LAST.json (compat) + a cpus-suffixed
+    // copy so a 32-core and an 8-core driver run in the same round
+    // don't clobber each other's per-query maps (r18 lost the c32 map
+    // that way). Best-effort: an unwritable working dir must not turn
+    // a successful run into a non-zero exit.
+    val outPaths = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => Seq(java.nio.file.Paths.get(p)) // dev runs: exactly where asked
+      case None =>
+        Seq("BENCH_LAST.json", s"BENCH_LAST_c$cpus.json").map(java.nio.file.Paths.get(_))
     }
+    outPaths.foreach { outPath =>
+      try {
+        java.nio.file.Files.writeString(outPath, full + "\n")
+        System.err.println(s"[bench] artifact written to ${outPath.toAbsolutePath}")
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] artifact write to $outPath failed: $e (results are on stdout)")
+      }
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -21,10 +21,16 @@ object DevAb {
       cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // '-' means "the session default" — capture it ONCE up front and
+    // RESTORE it for that arm, otherwise from the second repetition on
+    // the '-' arm would inherit the other arm's conf value and the A/B
+    // comparison measures nothing.
+    val orig = spark.conf.getOption(key)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       def once(v: String): Double = {
         if (v != "-") spark.conf.set(key, v)
+        else orig.fold(spark.conf.unset(key))(spark.conf.set(key, _))
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         try df.write.format("noop").mode("overwrite").save()

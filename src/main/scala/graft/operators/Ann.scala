@@ -887,6 +887,15 @@ object Ann {
     // persisted once, released in the finally (r17 lifecycle contract)
     val exact = bruteTopK(embeddings, nQueries, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // r19 (advisor): the try starts IMMEDIATELY after the first persist
+    // — the eager actions below (corpus count, codebook collect,
+    // distinctEmbeddingCount) used to run outside it, so a failure
+    // there pinned the caches for the session (the leak class the
+    // dedupPareto comment prices at 36 GB). fused/cand are vars so the
+    // one finally releases whatever was registered before a failure.
+    var fused: DataFrame = null
+    var cand: DataFrame = null
+    try {
     val nCorpus = embeddings.count()
     // one codebook collect, shared by every nprobe variant
     val centRows = embeddings.filter(col("vec_id") < nlist)
@@ -908,7 +917,7 @@ object Ann {
     // prices the whole curve at its largest arm.
     val (aBands, aPlanes) = Dedup.lshGeometry(Dedup.distinctEmbeddingCount(embeddings))
     val sweep = adaptiveBandSweep(aBands)
-    val fused = lshBandedCandidatesWithBand(
+    fused = lshBandedCandidatesWithBand(
       embeddings, sweep.max, aPlanes, dim, nQueries)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE plan for the whole front (r18 — the per-variant loop was 8
@@ -927,14 +936,13 @@ object Ann {
     def tag(method: String, knob: Int, cand: DataFrame): DataFrame =
       cand.select(lit(method).as("method"), lit(knob).as("knob"),
         col("q_id"), col("n_id"), col("cos"))
-    val cand = (
+    cand = (
       tag("lsh", 0, lshCandidates(embeddings, numPlanes, dim, nQueries, probes = 0)) +:
       (sweep.map(b => tag("lsh_adaptive", b,
         fused.where(col("band") < b).select(col("q_id"), col("n_id"), col("cos")))) ++
        Seq(1, 2, 4).map(np =>
          tag("ivf", np, ivfCandidatesWith(embeddings, cids, cents, np, nQueries))))
     ).reduce(_.unionAll(_)).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
       val nExact = exact.count()
       val scored = cand.groupBy(col("method"), col("knob"))
         .agg(count(lit(1)).as("n_scored"))
@@ -964,8 +972,8 @@ object Ann {
       // only the front itself (one row per (method, knob)) survives
       bruteRow.unionByName(front).localCheckpoint(eager = true)
     } finally {
-      cand.unpersist(blocking = false)
-      fused.unpersist(blocking = false)
+      if (cand != null) cand.unpersist(blocking = false)
+      if (fused != null) fused.unpersist(blocking = false)
       exact.unpersist(blocking = false)
     }
   }

@@ -218,7 +218,13 @@ object Dedup {
     // df-filtered posting table — the posting shuffle (the corpus'
     // widest exchange here) ran TWICE, once per leg. Cached, the join
     // output's hashpartitioning(g) also satisfies both legs of the
-    // self-join, so no further exchange touches a posting row.
+    // self-join when the kept-attach shuffles on g (at audit scale AQE
+    // broadcasts `kept` instead — then the cache still saves the
+    // re-derivation, which is the dominant term). Lifetime follows the
+    // operator family's persist convention: intermediates stay cached
+    // until the caller's catalog.clearCache() (bench/verify do this
+    // between queries); library callers embedding this plan long-term
+    // own that release.
     val kp = posts.join(kept, Seq("g")).persist()
     val cand = kp.as("x").join(kp.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -498,30 +504,37 @@ object Dedup {
       .withColumn("gk", xxhash64(col("sh")))
       .withColumn("gk2", xxhash64(lit(1L), col("sh")))
       .persist()
-    // collapsed groups carry the FULL minhash signature once; each
-    // arm only re-splits it into its own band hashes
-    val groups = withKey
-      .groupBy(col("gk"), col("gk2"))
-      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
-        min_by(col("sh"), col("doc_id")).as("sh"))
-      .withColumn("grp_ok", (size(col("sh")) > 0).cast("int"))
-      .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
-      .persist()
-    val members = withKey.select(col("doc_id"), col("gk"), col("gk2"))
-      .join(groups.select(col("gk"), col("gk2"), col("gid"), col("m"), col("grp_ok")),
-        Seq("gk", "gk2"))
-    val shProj = groups.select(col("gid"), col("sh"))
-    // one measured attach decision for every arm (the strategy is a
-    // property of the group projection, not of the band count)
-    val strat = attachStrategy(shProj, col("sh"))
-    val bhs = bandsList.map { b =>
-      groups.filter(col("grp_ok") === 1)
-        .select(col("gid"),
-          posexplode(Hashing.bandHashes(col("sig"), b, numHashes / b))
-            .as(Seq("band", "bh")))
-        .persist()
-    }
+    // r19 (advisor): the try starts IMMEDIATELY after the first
+    // persist — attachStrategy's eager measurement probe used to run
+    // outside it, so a failure there pinned withKey/groups for the
+    // session. groups/bhs are vars so the one finally releases
+    // whatever was registered before a failure.
+    var groups: DataFrame = null
+    var bhs: Seq[DataFrame] = Nil
     try {
+      // collapsed groups carry the FULL minhash signature once; each
+      // arm only re-splits it into its own band hashes
+      groups = withKey
+        .groupBy(col("gk"), col("gk2"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+          min_by(col("sh"), col("doc_id")).as("sh"))
+        .withColumn("grp_ok", (size(col("sh")) > 0).cast("int"))
+        .withColumn("sig", Hashing.minhash(col("sh"), numHashes))
+        .persist()
+      val members = withKey.select(col("doc_id"), col("gk"), col("gk2"))
+        .join(groups.select(col("gk"), col("gk2"), col("gid"), col("m"), col("grp_ok")),
+          Seq("gk", "gk2"))
+      val shProj = groups.select(col("gid"), col("sh"))
+      // one measured attach decision for every arm (the strategy is a
+      // property of the group projection, not of the band count)
+      val strat = attachStrategy(shProj, col("sh"))
+      bhs = bandsList.map { b =>
+        groups.filter(col("grp_ok") === 1)
+          .select(col("gid"),
+            posexplode(Hashing.bandHashes(col("sig"), b, numHashes / b))
+              .as(Seq("band", "bh")))
+          .persist()
+      }
       val perArm = bandsList.zip(bhs).map { case (b, bh) =>
         val candG = bh.as("a")
           .join(bh.as("b"),
@@ -547,7 +560,7 @@ object Dedup {
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     } finally {
       bhs.foreach(_.unpersist(blocking = false))
-      groups.unpersist(blocking = false)
+      if (groups != null) groups.unpersist(blocking = false)
       withKey.unpersist(blocking = false)
     }
   }

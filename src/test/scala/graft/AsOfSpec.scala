@@ -41,8 +41,7 @@ class AsOfSpec extends AnyFunSuite {
   test("plan: one hash exchange on the key, no join node, no range explosion") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 1L)).toDF("k", "t", "rv")
-    val p = AsOf.join(l, r, Seq("k"), "t", "t")
-      .queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(AsOf.join(l, r, Seq("k"), "t", "t"))
     val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).size
     assert(shuffles <= 2, s"union sides may each shuffle once at most, got $shuffles:\n$p")
     assert(!p.contains("Join"), "as-of must compile to union+window, not a pairwise join")

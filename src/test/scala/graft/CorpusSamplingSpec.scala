@@ -562,8 +562,7 @@ class CorpusSamplingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FormattedMode
     val df = spark.range(10000).select(
       col("id"), (col("id") % 5).cast("string").as("g"), (col("id") % 97 + 1).as("w"))
-    val p = Sampling.weightedSample(df, col("id"), col("w"), col("g"), n = 10)
-      .queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(Sampling.weightedSample(df, col("id"), col("w"), col("g"), n = 10))
     assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"expect partial (pre-shuffle) + final WindowGroupLimit:\n$p")
   }

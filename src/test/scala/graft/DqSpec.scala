@@ -74,11 +74,10 @@ class DqSpec extends AnyFunSuite {
   }
 
   test("plan: all row-local rules + uniqueness fold in ONE scan") {
-    val p = Dq.check(frame(), Seq(
+    val p = TestSpark.fullPlan(Dq.check(frame(), Seq(
         Dq.Rule("a", col("price") < 0),
         Dq.Rule("b", col("custkey").isNull)),
-        uniqueKeys = Seq(("u", col("id"))))
-      .queryExecution.explainString(FormattedMode)
+        uniqueKeys = Seq(("u", col("id")))))
     assert(raw"\(\d+\) Scan\b".r.findAllIn(p).size <= 1,
       s"adding a rule must add a counter, not a pass:\n$p")
     assert(!p.contains("Expand"),

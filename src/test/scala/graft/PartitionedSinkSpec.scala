@@ -33,8 +33,7 @@ class PartitionedSinkSpec extends AnyFunSuite {
     PartitionedSink.writeByDay(
       Seq((1L, day1us, 1.0), (2L, day2us, 2.0)).toDF("pos", "us", "val"), dir)
     val df = PartitionedSink.readDay(spark, dir, "2024-01-01")
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    val plan = TestSpark.fullPlan(df)
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-01"),
       s"day predicate must prune partitions:\n$plan")
     assert(df.select("pos").as[Long].collect().toSeq == Seq(1L))

@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // double-count exchanges, making audit results depend on suite
     // execution order
     spark.catalog.clearCache()
-    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+    TestSpark.fullPlan(SparkEntry.queries(name)(spark, sf))
   }
 
   /** `Input [n]: [...]` attribute lists of every `(k) Exchange` node
@@ -170,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     val (lazyPlan, cached) = graft.operators.Dedup.incrementalNearDupPlan(
       Tables.documents(spark, sf), cutoff = 250L)
-    val p = lazyPlan.queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(lazyPlan)
     cached.foreach(_.unpersist(blocking = false))
     // ONE deliberate text-carrying exchange exists: the round-robin
     // fan-out BEFORE shingling, so the expensive shingle compute runs
@@ -490,10 +490,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("tableStats scale path: one scan, all per-column sketches partial, no Expand") {
     import org.apache.spark.sql.functions.col
-    val p = graft.operators.Sketch.tableStats(
+    val p = TestSpark.fullPlan(graft.operators.Sketch.tableStats(
         graft.Tables.lineitem(spark, sf),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
-      .queryExecution.explainString(FormattedMode)
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
     assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 1,
       s"ANALYZE must fold every column's stats in ONE pass:\n$p")
     assert(p.contains("partial_kmin_values"),

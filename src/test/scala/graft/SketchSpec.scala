@@ -46,8 +46,7 @@ class SketchSpec extends AnyFunSuite {
   test("plan: partial+final object-hash aggregate, one exchange, no Expand") {
     val df = spark.range(100000)
       .select((col("id") % 7).cast("string").as("g"), col("id").as("v"))
-    val p = Sketch.distinctKmv(df, col("g"), col("v"), k = 256)
-      .queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(Sketch.distinctKmv(df, col("g"), col("v"), k = 256))
     assert(raw"\(\d+\) ObjectHashAggregate\b".r.findAllIn(p).size == 2,
       s"expect partial (map-side) + final ObjectHashAggregate:\n$p")
     assert(p.contains("partial_kmin_values"),
@@ -109,8 +108,7 @@ class SketchSpec extends AnyFunSuite {
       .select(col("id").as("doc_id"), lit("a b c d e").as("text"))
     val items = docs.select(col("doc_id"),
       explode(Hashing.hashedShinglesNCol(split(col("text"), " "), 2)).as("bg"))
-    val p = items.agg(Sketches.countMin(col("bg"), 4, 512).as("cms"))
-      .queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(items.agg(Sketches.countMin(col("bg"), 4, 512).as("cms")))
     assert(p.contains("partial_count_min_sketch"),
       s"matrix must fold map-side before the exchange:\n$p")
     assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
@@ -166,8 +164,7 @@ class SketchSpec extends AnyFunSuite {
 
   test("groupQuantileSketch plan: one group exchange, bottom-k capped before it") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val p = Sketch.groupQuantileSketch(docs, col("lang"), col("doc_id"), col("n_chars"))
-      .queryExecution.explainString(FormattedMode)
+    val p = TestSpark.fullPlan(Sketch.groupQuantileSketch(docs, col("lang"), col("doc_id"), col("n_chars")))
     assert(raw"\(\d+\) Exchange\b".r.findAllIn(p).size == 1,
       s"all three windows must share the single group exchange:\n$p")
     assert(raw"WindowGroupLimit".r.findAllIn(p).size >= 2,

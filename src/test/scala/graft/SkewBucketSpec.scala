@@ -47,7 +47,7 @@ class SkewBucketSpec extends AnyFunSuite {
   test("saltedJoin spreads the hot key across buckets (salt reaches the join key)") {
     withNoBroadcast {
       val salted = Skew.saltedJoin(facts, dims, Seq("k"), col("f_id"), 8)
-      val plan = salted.queryExecution.explainString(FormattedMode)
+      val plan = TestSpark.fullPlan(salted)
       assert(plan.contains("__salt"), "salt column must be part of the join")
       // distinct salts actually used by the hot key — all 8 buckets hit
       val hotSalts = facts
@@ -111,7 +111,7 @@ class SkewBucketSpec extends AnyFunSuite {
     withNoBroadcast {
       val joined = Bucketed.read(spark, "b_facts")
         .join(Bucketed.read(spark, "b_dims"), Seq("k"))
-      val plan = joined.queryExecution.explainString(FormattedMode)
+      val plan = TestSpark.fullPlan(joined)
       val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(plan).size
       assert(shuffles == 0, s"expected shuffle-free co-located join, plan:\n$plan")
       assert(plan.contains("SortMergeJoin"), "co-located path is a sort-merge join")
